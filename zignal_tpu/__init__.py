@@ -1,0 +1,22 @@
+"""zignal-tpu: TPU-native image processing framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+`arrufat/zignal` (a zero-dependency Zig image-processing library).
+The public API mirrors the `zignal-processing` Python package
+call-for-call; the compute path is batched channel-last device arrays
+compiled to fused XLA/Pallas programs.
+"""
+
+__version__ = "0.1.0"
+
+from .blending import Blending
+from .color import (
+    Gray, Hsl, Hsv, Lab, Lch, Lms, Oklab, Oklch, Rgb, Rgba, Xyb, Xyz, Ycbcr,
+)
+
+__all__ = [
+    "__version__",
+    "Blending",
+    "Gray", "Rgb", "Rgba", "Hsl", "Hsv", "Lab", "Lch", "Lms",
+    "Oklab", "Oklch", "Xyb", "Xyz", "Ycbcr",
+]
