@@ -13,10 +13,14 @@ from .blending import Blending
 from .color import (
     Gray, Hsl, Hsv, Lab, Lch, Lms, Oklab, Oklch, Rgb, Rgba, Xyb, Xyz, Ycbcr,
 )
+from .enums import BorderMode, DrawMode, Interpolation, ThresholdMode
+from .image import Image, PixelIterator
+from .rectangle import Rectangle
 
 __all__ = [
     "__version__",
-    "Blending",
+    "Blending", "BorderMode", "DrawMode", "Interpolation", "ThresholdMode",
     "Gray", "Rgb", "Rgba", "Hsl", "Hsv", "Lab", "Lch", "Lms",
     "Oklab", "Oklch", "Xyb", "Xyz", "Ycbcr",
+    "Image", "PixelIterator", "Rectangle",
 ]

@@ -1,0 +1,574 @@
+"""The Image container — TPU-native redesign of zignal's Image(T).
+
+Reference: src/image.zig:97-1248 and bindings/python/src/image.zig.
+
+Design (SURVEY.md §7): an ``Image`` is a thin host handle over a
+channel-last ``[H, W, C]`` uint8 array with a dtype tag (Gray/Rgb/Rgba).
+The pixel data lives in exactly one of two homes:
+
+- **host** (``_np``): a numpy array that backs the mutation API —
+  ``to_numpy`` zero-copy views, pixel proxies, slice assignment, views
+  sharing memory with their parent. While a host array exists it is
+  authoritative (users may write through views), so device ops re-upload.
+- **device** (``_dev``): a ``jax.Array`` produced by compute ops. Chains
+  of ops (resize → blur → convert …) stay on device and fuse under jit
+  with no host round-trips; the host array is materialized lazily only
+  when the mutation/introspection API needs it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .blending import Blending, blend_arrays
+from .color._classes import CLASS_BY_SPACE, Gray, Rgb, Rgba, _Color
+from .color import _scalar as _sc
+from .enums import BorderMode, Interpolation
+from .rectangle import Rectangle
+
+__all__ = ["Image", "PixelIterator"]
+
+_SPACE_CHANNELS = {"gray": 1, "rgb": 3, "rgba": 4}
+_CHANNELS_SPACE = {1: "gray", 3: "rgb", 4: "rgba"}
+
+
+def _dtype_space(dtype) -> str:
+    if dtype is None:
+        return "rgb"
+    if isinstance(dtype, _Color):
+        dtype = type(dtype)
+    if dtype is Gray:
+        return "gray"
+    if dtype is Rgb:
+        return "rgb"
+    if dtype is Rgba:
+        return "rgba"
+    raise TypeError("dtype must be zignal.Gray, zignal.Rgb, or zignal.Rgba")
+
+
+def _parse_color(value, space: str):
+    """Parse an int / float / tuple / color object into u8 components of
+    `space` (reference: bindings/python/src/color_utils.zig parseColor)."""
+    if isinstance(value, _Color):
+        target = CLASS_BY_SPACE[space]
+        return tuple(value.to(target)._v)
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        if isinstance(value, float) and 0.0 <= value <= 1.0 and value != int(value):
+            g = _sc.f64_to_u8(value)
+        else:
+            g = int(value)
+        if not 0 <= g <= 255:
+            raise ValueError("color component must be in range 0-255")
+        return _sc.convert_u8("gray", space, (g,))
+    if isinstance(value, (tuple, list)):
+        vals = tuple(int(v) for v in value)
+        if any(not 0 <= v <= 255 for v in vals):
+            raise ValueError("color components must be in range 0-255")
+        if len(vals) == 3:
+            return _sc.convert_u8("rgb", space, vals)
+        if len(vals) == 4:
+            return _sc.convert_u8("rgba", space, vals)
+        raise ValueError("color tuple must have 3 or 4 components")
+    raise TypeError(f"cannot interpret {type(value).__name__} as a color")
+
+
+def _convert_array_u8(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
+    """Host-side u8 dtype conversion, bit-exact fixed point
+    (reference: src/color.zig:987-1043)."""
+    if src == dst:
+        return arr
+    a = arr
+    path = _sc.conversion_path(src, dst)
+    for s, d in path:
+        if (s, d) == ("rgb", "gray"):
+            v = a.astype(np.int64)
+            yr, yg, yb = _sc._GRAY_FWD
+            y = (v[..., 0] * yr + v[..., 1] * yg + v[..., 2] * yb + 32768) >> 16
+            a = np.clip(y, 0, 255).astype(np.uint8)[..., None]
+        elif (s, d) == ("gray", "rgb"):
+            a = np.repeat(a, 3, axis=-1)
+        elif (s, d) == ("rgb", "rgba"):
+            a = np.concatenate([a, np.full_like(a[..., :1], 255)], axis=-1)
+        elif (s, d) == ("rgba", "rgb"):
+            a = np.ascontiguousarray(a[..., :3])
+        elif (s, d) == ("rgb", "ycbcr"):
+            v = a.astype(np.int64)
+            y = (19595 * v[..., 0] + 38470 * v[..., 1] + 7471 * v[..., 2] + 32768) >> 16
+            cb = ((-11059 * v[..., 0] - 21710 * v[..., 1] + 32768 * v[..., 2] + 32768) >> 16) + 128
+            cr = ((32768 * v[..., 0] - 27439 * v[..., 1] - 5329 * v[..., 2] + 32768) >> 16) + 128
+            a = np.clip(np.stack([y, cb, cr], axis=-1), 0, 255).astype(np.uint8)
+        elif (s, d) == ("ycbcr", "rgb"):
+            v = a.astype(np.int64)
+            y, cb, cr = v[..., 0], v[..., 1] - 128, v[..., 2] - 128
+            r = (65536 * y + 91881 * cr + 32768) >> 16
+            g = (65536 * y - 22554 * cb - 46802 * cr + 32768) >> 16
+            b = (65536 * y + 116130 * cb + 32768) >> 16
+            a = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported u8 conversion edge {s}->{d}")
+    return a
+
+
+class Image:
+    """A 2-D image with dtype Gray, Rgb, or Rgba (u8 components)."""
+
+    __slots__ = ("_np", "_dev", "_space")
+
+    def __init__(self, rows=None, cols=None, color=None, dtype=None, _defer=False):
+        if _defer:
+            self._np = None
+            self._dev = None
+            self._space = "rgb"
+            return
+        rows = int(rows)
+        cols = int(cols)
+        if rows <= 0 or cols <= 0:
+            raise ValueError("rows and cols must be positive")
+        if dtype is not None:
+            space = _dtype_space(dtype)
+        elif color is None:
+            space = "rgb"
+        elif isinstance(color, (int, float)):
+            space = "gray"
+        elif isinstance(color, (tuple, list)):
+            space = "rgba" if len(color) == 4 else "rgb"
+        elif isinstance(color, Rgba):
+            space = "rgba"
+        else:
+            space = "rgb"
+        c = _SPACE_CHANNELS[space]
+        arr = np.zeros((rows, cols, c), dtype=np.uint8)
+        if color is not None:
+            arr[:] = np.array(_parse_color(color, space), dtype=np.uint8)
+        self._np = arr
+        self._dev = None
+        self._space = space
+
+    # -- construction helpers ----------------------------------------------
+
+    @classmethod
+    def _from_host(cls, arr: np.ndarray, space: str) -> "Image":
+        img = cls(_defer=True)
+        img._np = arr
+        img._dev = None
+        img._space = space
+        return img
+
+    @classmethod
+    def _from_device(cls, dev, space: str) -> "Image":
+        img = cls(_defer=True)
+        img._np = None
+        img._dev = dev
+        img._space = space
+        return img
+
+    @classmethod
+    def from_numpy(cls, array) -> "Image":
+        """Wrap a numpy uint8 array of shape [H, W, C] (C in 1/3/4).
+        The array is borrowed, not copied — mutations are shared
+        (reference: bindings/python/src/image/numpy_interop.zig)."""
+        if not isinstance(array, np.ndarray):
+            raise TypeError("from_numpy expects a numpy.ndarray")
+        if array.dtype != np.uint8:
+            raise TypeError("from_numpy requires a uint8 array")
+        if array.ndim == 3 and array.shape[2] in _CHANNELS_SPACE:
+            return cls._from_host(array, _CHANNELS_SPACE[array.shape[2]])
+        raise ValueError(
+            "from_numpy requires shape (rows, cols, channels) with 1, 3, or 4 channels"
+        )
+
+    # -- representation plumbing -------------------------------------------
+
+    def _host(self) -> np.ndarray:
+        """Materialize (and return) the authoritative host array."""
+        if self._np is None:
+            self._np = np.asarray(self._dev).copy()
+            self._dev = None
+        return self._np
+
+    def _device(self):
+        """The pixel data as a device array (uploads host data if present)."""
+        import jax.numpy as jnp
+
+        if self._np is not None:
+            return jnp.asarray(np.ascontiguousarray(self._np))
+        return self._dev
+
+    # -- basic properties ---------------------------------------------------
+
+    @property
+    def rows(self) -> int:
+        return (self._np if self._np is not None else self._dev).shape[0]
+
+    @property
+    def cols(self) -> int:
+        return (self._np if self._np is not None else self._dev).shape[1]
+
+    @property
+    def channels(self) -> int:
+        return _SPACE_CHANNELS[self._space]
+
+    @property
+    def dtype(self):
+        return CLASS_BY_SPACE[self._space]
+
+    def is_contiguous(self) -> bool:
+        if self._np is None:
+            return True
+        return self._np.flags["C_CONTIGUOUS"]
+
+    def get_rectangle(self) -> Rectangle:
+        return Rectangle(0, 0, self.cols, self.rows)
+
+    # -- numpy interop ------------------------------------------------------
+
+    def to_numpy(self) -> np.ndarray:
+        """Zero-copy [H, W, C] uint8 view of the pixel data; writes are
+        reflected in the image."""
+        return self._host()
+
+    # -- copying / equality -------------------------------------------------
+
+    def copy(self) -> "Image":
+        if self._np is not None:
+            return Image._from_host(self._np.copy(), self._space)
+        return Image._from_device(self._dev, self._space)  # immutable
+
+    dupe = copy
+
+    def __eq__(self, other):
+        if not isinstance(other, Image):
+            return NotImplemented
+        if self._space != other._space:
+            return False
+        a, b = self._host(), other._host()
+        return a.shape == b.shape and np.array_equal(a, b)
+
+    def __repr__(self):
+        return f"Image({self.rows}x{self.cols}, dtype={self.dtype.__name__})"
+
+    def __format__(self, spec):
+        if spec in ("", "none"):
+            return repr(self)
+        from .terminal.display import format_image
+
+        return format_image(self, spec)
+
+    def __len__(self):
+        return self.rows * self.cols
+
+    def __iter__(self):
+        return PixelIterator(self)
+
+    # -- pixel access -------------------------------------------------------
+
+    def _check_coords(self, row, col):
+        if not (0 <= row < self.rows and 0 <= col < self.cols):
+            raise IndexError(f"pixel ({row}, {col}) out of bounds")
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2:
+            row, col = int(key[0]), int(key[1])
+            self._check_coords(row, col)
+            if self._space == "gray":
+                return int(self._host()[row, col, 0])
+            return _PixelProxy(self, row, col)
+        raise TypeError("image indices must be a (row, col) tuple")
+
+    def __setitem__(self, key, value):
+        if isinstance(key, tuple) and len(key) == 2:
+            row, col = int(key[0]), int(key[1])
+            self._check_coords(row, col)
+            px = _parse_color(value, self._space)
+            self._host()[row, col] = np.array(px, dtype=np.uint8)
+            return
+        if isinstance(key, slice):
+            if key != slice(None):
+                raise TypeError("only full-slice assignment (img[:] = ...) is supported")
+            if isinstance(value, Image):
+                self._copy_from(value)
+            else:
+                self.fill(value)
+            return
+        raise TypeError("image indices must be (row, col) or [:]")
+
+    def _copy_from(self, src: "Image"):
+        """Full-image assignment with dtype conversion
+        (reference: test_image.py slice-assignment semantics)."""
+        if (src.rows, src.cols) != (self.rows, self.cols):
+            raise ValueError("source image dimensions must match")
+        data = _convert_array_u8(src._host(), src._space, self._space)
+        self._host()[:] = data
+
+    # -- mutation -----------------------------------------------------------
+
+    def fill(self, color):
+        px = _parse_color(color, self._space)
+        self._host()[:] = np.array(px, dtype=np.uint8)
+
+    def set_border(self, rect=None, color=None):
+        """Fill everything outside `rect` with `color` (default zero)
+        (reference: src/image.zig setBorder)."""
+        if rect is None or isinstance(rect, (int, float)):
+            raise TypeError("set_border requires a Rectangle or 4-tuple")
+        if isinstance(rect, (tuple, list)):
+            rect = Rectangle(*rect)
+        if not isinstance(rect, Rectangle):
+            raise TypeError("set_border requires a Rectangle or 4-tuple")
+        px = (
+            np.zeros(self.channels, dtype=np.uint8)
+            if color is None
+            else np.array(_parse_color(color, self._space), dtype=np.uint8)
+        )
+        arr = self._host()
+        clipped = rect.intersect(self.get_rectangle())
+        if clipped is None:
+            arr[:] = px
+            return
+        l, t = int(clipped.left), int(clipped.top)
+        r, b = int(clipped.right), int(clipped.bottom)
+        arr[:t, :] = px
+        arr[b:, :] = px
+        arr[:, :l] = px
+        arr[:, r:] = px
+
+    # -- views --------------------------------------------------------------
+
+    def view(self, rect) -> "Image":
+        """Zero-copy sub-image view sharing memory with self
+        (reference: src/image.zig:332)."""
+        if isinstance(rect, (tuple, list)):
+            rect = Rectangle(*rect)
+        clipped = self.get_rectangle().intersect(rect)
+        if clipped is None:
+            raise ValueError("view rectangle does not intersect the image")
+        l, t = int(clipped.left), int(clipped.top)
+        r, b = int(clipped.right), int(clipped.bottom)
+        return Image._from_host(self._host()[t:b, l:r], self._space)
+
+    # -- dtype conversion ---------------------------------------------------
+
+    def convert(self, dtype) -> "Image":
+        space = _dtype_space(dtype)
+        if space == self._space:
+            return self.copy()
+        if self._np is not None:
+            return Image._from_host(
+                _convert_array_u8(self._np, self._space, space), space
+            )
+        from .color._array import convert_u8_array
+
+        return Image._from_device(
+            convert_u8_array(self._dev, self._space, space), space
+        )
+
+    # -- simple ops ---------------------------------------------------------
+
+    def invert(self) -> "Image":
+        """Photographic negative; alpha preserved (reference: image.zig invert)."""
+        arr = self._host()
+        out = 255 - arr
+        if self._space == "rgba":
+            out[..., 3] = arr[..., 3]
+        return Image._from_host(out, self._space)
+
+    def flip_left_right(self) -> "Image":
+        return Image._from_host(self._host()[:, ::-1].copy(), self._space)
+
+    def flip_top_bottom(self) -> "Image":
+        return Image._from_host(self._host()[::-1].copy(), self._space)
+
+    def blend(self, overlay: "Image", mode: Blending = Blending.NORMAL) -> None:
+        """In-place alpha compositing of `overlay` (RGBA) onto self
+        (reference: bindings image blend; src/blending.zig)."""
+        if not isinstance(overlay, Image):
+            raise TypeError("overlay must be an Image")
+        if (overlay.rows, overlay.cols) != (self.rows, self.cols):
+            raise ValueError("overlay dimensions must match")
+        over = _convert_array_u8(overlay._host(), overlay._space, "rgba")
+        base = _convert_array_u8(self._host(), self._space, "rgba")
+        f32 = np.float32
+        out = blend_arrays(
+            base.astype(f32) / f32(255.0), over.astype(f32) / f32(255.0),
+            Blending(mode), xp=np,
+        )
+        out_u8 = np.floor(255.0 * np.clip(out.astype(np.float64), 0.0, 1.0) + 0.5)
+        out_u8 = out_u8.astype(np.uint8)
+        self._host()[:] = _convert_array_u8(out_u8, "rgba", self._space)
+
+    # -- geometry ops (device path) ----------------------------------------
+
+    def resize(self, size, method: Interpolation = Interpolation.BILINEAR) -> "Image":
+        """Resize by scale factor (float) or to (rows, cols)
+        (reference: src/image.zig:523-543; transforms binding)."""
+        if isinstance(size, (int, float)) and not isinstance(size, bool):
+            scale = float(size)
+            if not (scale > 0) or not np.isfinite(scale):
+                raise ValueError("Scale factor must be positive and finite")
+            rows = int(np.round(np.float32(self.rows) * np.float32(scale)))
+            cols = int(np.round(np.float32(self.cols) * np.float32(scale)))
+            if rows == 0 or cols == 0:
+                raise ValueError("resulting dimensions are zero")
+        elif isinstance(size, (tuple, list)) and len(size) == 2:
+            rows, cols = int(size[0]), int(size[1])
+            if rows <= 0 or cols <= 0:
+                raise ValueError("Size must be positive")
+        else:
+            raise TypeError("size must be a scale factor or a (rows, cols) tuple")
+        from .ops.interpolation import resize as resize_op
+
+        out = resize_op(self._device(), rows, cols, Interpolation(method))
+        return Image._from_device(out, self._space)
+
+    def letterbox(self, size, method: Interpolation = Interpolation.BILINEAR) -> "Image":
+        """Aspect-preserving resize centered on a padded canvas
+        (reference: src/image/transforms.zig:49-108)."""
+        if isinstance(size, (int, float)) and not isinstance(size, bool):
+            rows = cols = int(size)
+        elif isinstance(size, (tuple, list)) and len(size) == 2:
+            rows, cols = int(size[0]), int(size[1])
+        else:
+            raise TypeError("size must be an int or a (rows, cols) tuple")
+        if rows <= 0 or cols <= 0:
+            raise ValueError("Size must be positive")
+        import jax.numpy as jnp
+
+        f32 = np.float32
+        rows_scale = f32(rows) / f32(self.rows)
+        cols_scale = f32(cols) / f32(self.cols)
+        if rows_scale == cols_scale:
+            return self.resize((rows, cols), method)
+        aspect = min(rows_scale, cols_scale)
+        scaled_rows = max(1, int(np.round(aspect * f32(self.rows))))
+        scaled_cols = max(1, int(np.round(aspect * f32(self.cols))))
+        off_r = (rows - scaled_rows) // 2
+        off_c = (cols - scaled_cols) // 2
+        from .ops.interpolation import resize as resize_op
+
+        content = resize_op(self._device(), scaled_rows, scaled_cols, Interpolation(method))
+        canvas = jnp.zeros((rows, cols, self.channels), dtype=jnp.uint8)
+        canvas = canvas.at[off_r:off_r + scaled_rows, off_c:off_c + scaled_cols].set(content)
+        return Image._from_device(canvas, self._space)
+
+    # -- metrics ------------------------------------------------------------
+
+    def psnr(self, other: "Image") -> float:
+        """Peak signal-to-noise ratio in dB (reference: src/image/metrics.zig:10)."""
+        self._check_same(other)
+        a = self._host().astype(np.float64)
+        b = other._host().astype(np.float64)
+        mse = np.mean((a - b) ** 2)
+        if mse == 0:
+            return float("inf")
+        return float(10.0 * np.log10(255.0**2 / mse))
+
+    def mean_pixel_error(self, other: "Image") -> float:
+        """Mean absolute pixel error normalized to [0, 1]
+        (reference: src/image/metrics.zig:114)."""
+        self._check_same(other)
+        a = self._host().astype(np.float64)
+        b = other._host().astype(np.float64)
+        return float(np.mean(np.abs(a - b)) / 255.0)
+
+    def _check_same(self, other):
+        if not isinstance(other, Image):
+            raise TypeError("expected an Image")
+        if (other.rows, other.cols) != (self.rows, self.cols):
+            raise ValueError("image dimensions must match")
+        if other._space != self._space:
+            raise ValueError("image dtypes must match")
+
+
+class _PixelProxy:
+    """Mutable view of one RGB(A) pixel (reference:
+    bindings/python/src/pixel_proxy.zig)."""
+
+    __slots__ = ("_img", "_row", "_col")
+
+    def __init__(self, img, row, col):
+        object.__setattr__(self, "_img", img)
+        object.__setattr__(self, "_row", row)
+        object.__setattr__(self, "_col", col)
+
+    def _values(self):
+        return tuple(int(v) for v in self._img._host()[self._row, self._col])
+
+    @property
+    def _fields(self):
+        return ("r", "g", "b", "a")[: self._img.channels]
+
+    def __getattr__(self, name):
+        fields = ("r", "g", "b", "a")[: object.__getattribute__(self, "_img").channels]
+        if name in fields:
+            img = object.__getattribute__(self, "_img")
+            return int(img._host()[self._row, self._col, fields.index(name)])
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        fields = self._fields
+        if name in fields:
+            if not (isinstance(value, int) and 0 <= value <= 255):
+                raise ValueError("component must be an integer in 0-255")
+            self._img._host()[self._row, self._col, fields.index(name)] = value
+            return
+        raise AttributeError(name)
+
+    def item(self):
+        cls = CLASS_BY_SPACE[self._img._space]
+        return cls._new_unchecked(list(self._values()))
+
+    def to(self, target):
+        return self.item().to(target)
+
+    def blend(self, overlay, mode: Blending = Blending.NORMAL):
+        """Blend overlay into this pixel in place; returns the new color."""
+        out = self.item().blend(overlay, mode)
+        self._img._host()[self._row, self._col] = np.array(out._v, dtype=np.uint8)
+        return out
+
+    def __eq__(self, other):
+        if isinstance(other, (tuple, list)):
+            return self._values() == tuple(other)
+        if isinstance(other, _PixelProxy):
+            return self._values() == other._values()
+        if isinstance(other, _Color):
+            return self.item() == other
+        return NotImplemented
+
+    def __repr__(self):
+        return repr(self.item())
+
+    def __format__(self, spec):
+        if spec == "sgr":
+            rgb = self.to(Rgb)
+            return f"\x1b[48;2;{rgb.r};{rgb.g};{rgb.b}m  \x1b[0m"
+        return format(self.item(), spec)
+
+
+class PixelIterator:
+    """Row-major pixel iterator yielding (row, col, pixel)
+    (reference: src/image/PixelIterator.zig)."""
+
+    __slots__ = ("_img", "_idx")
+
+    def __init__(self, img):
+        self._img = img
+        self._idx = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        img = self._img
+        if self._idx >= len(img):
+            raise StopIteration
+        row, col = divmod(self._idx, img.cols)
+        self._idx += 1
+        arr = img._host()
+        if img._space == "gray":
+            px = int(arr[row, col, 0])
+        else:
+            px = CLASS_BY_SPACE[img._space]._new_unchecked(
+                [int(v) for v in arr[row, col]]
+            )
+        return (row, col, px)
