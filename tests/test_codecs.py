@@ -1,0 +1,211 @@
+"""Codec tests: PNG/BMP round-trips, JPEG decode vs oracle, format sniffing.
+
+PIL is used strictly as an *oracle* (the framework itself never imports it),
+mirroring the reference's strategy of validating hand-rolled codecs against
+known-good output (SURVEY.md §4)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+import zignal_tpu as zignal
+from zignal_tpu.codecs import bmp, detect_format, jpeg, png
+
+PIL = pytest.importorskip("PIL.Image")
+
+RNG = np.random.default_rng(3)
+LIZA = "/root/reference/assets/liza.jpg"
+
+
+def _rand(h, w, c):
+    return RNG.integers(0, 256, (h, w, c), dtype=np.uint8)
+
+
+class TestPng:
+    @pytest.mark.parametrize("c", [1, 3, 4])
+    def test_roundtrip(self, c):
+        arr = _rand(37, 53, c)
+        data = png.encode(arr)
+        out, info = png.decode(data)
+        assert np.array_equal(out, arr)
+        assert (info.width, info.height) == (53, 37)
+
+    @pytest.mark.parametrize("c", [1, 3, 4])
+    def test_pil_reads_our_png(self, c):
+        arr = _rand(21, 17, c)
+        data = png.encode(arr)
+        pil = np.asarray(PIL.open(io.BytesIO(data)))
+        if c == 1:
+            pil = pil[..., None]
+        assert np.array_equal(pil, arr)
+
+    @pytest.mark.parametrize("mode", ["L", "RGB", "RGBA", "P", "1", "I;16"])
+    def test_decode_pil_pngs(self, mode):
+        base = _rand(25, 31, 3)
+        img = PIL.fromarray(base, "RGB").convert(mode)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        out, _ = png.decode(buf.getvalue())
+        want = np.asarray(img.convert("RGBA" if out.shape[2] == 4 else
+                                      "RGB" if out.shape[2] == 3 else "L"))
+        if want.ndim == 2:
+            want = want[..., None]
+        if mode == "I;16":
+            # 16-bit gray: we take the high byte
+            want16 = np.asarray(img)
+            want = (want16 >> 8).astype(np.uint8)[..., None]
+        assert out.shape == want.shape
+        assert np.array_equal(out, want)
+
+    def test_interlaced(self):
+        """Hand-build an Adam7-interlaced PNG (filter 0 scanlines)."""
+        import struct
+        import zlib
+
+        arr = _rand(33, 29, 3)
+        h, w = arr.shape[:2]
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw.append(0)
+                raw.extend(row.tobytes())
+
+        def chunk(ctype, payload):
+            return (struct.pack(">I", len(payload)) + ctype + payload
+                    + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+
+        data = (png.SIGNATURE
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        out, info = png.decode(data)
+        assert info.interlace == 1
+        assert np.array_equal(out, arr)
+        # sanity: PIL agrees with our hand-built file
+        pil = np.asarray(PIL.open(io.BytesIO(data)))
+        assert np.array_equal(pil, arr)
+
+    def test_bad_signature_and_crc(self):
+        with pytest.raises(ValueError):
+            png.decode(b"not a png at all")
+        data = bytearray(png.encode(_rand(5, 5, 3)))
+        data[50] ^= 0xFF  # corrupt IDAT payload -> CRC mismatch
+        with pytest.raises(ValueError):
+            png.decode(bytes(data))
+
+    def test_decode_limits(self):
+        data = png.encode(_rand(16, 16, 3))
+        with pytest.raises(ValueError):
+            png.decode(data, png.DecodeLimits(max_width=8))
+
+
+class TestBmp:
+    @pytest.mark.parametrize("c", [1, 3, 4])
+    def test_roundtrip(self, c):
+        arr = _rand(19, 23, c)
+        out, _ = bmp.decode(bmp.encode(arr))
+        if c == 1:
+            assert np.array_equal(out[..., 0], arr[..., 0])
+            assert np.array_equal(out[..., 0], out[..., 1])
+        else:
+            assert np.array_equal(out[..., :c], arr)
+
+    def test_pil_reads_our_bmp(self):
+        arr = _rand(11, 13, 3)
+        pil = np.asarray(PIL.open(io.BytesIO(bmp.encode(arr))))
+        assert np.array_equal(pil, arr)
+
+    def test_decode_pil_bmp(self):
+        arr = _rand(14, 10, 3)
+        buf = io.BytesIO()
+        PIL.fromarray(arr, "RGB").save(buf, format="BMP")
+        out, _ = bmp.decode(buf.getvalue())
+        assert np.array_equal(out, arr)
+
+
+class TestJpeg:
+    def test_decode_liza(self):
+        """Decode the reference's real photo; compare against PIL."""
+        if not os.path.exists(LIZA):
+            pytest.skip("liza.jpg not available")
+        ours = jpeg.load(LIZA)
+        theirs = np.asarray(PIL.open(LIZA).convert("RGB")).astype(np.int16)
+        assert ours.shape == theirs.shape
+        diff = np.abs(ours.astype(np.int16) - theirs)
+        # JPEG decoders legitimately differ by a few counts (IDCT/upsampling)
+        assert np.mean(diff) < 2.0
+        assert np.percentile(diff, 99) <= 12
+
+    @pytest.mark.parametrize("subsampling", ["444", "420"])
+    @pytest.mark.parametrize("progressive", [False, True])
+    def test_decode_pil_encodes(self, subsampling, progressive):
+        arr = _rand(40, 56, 3)
+        # smooth it so JPEG can represent it
+        arr = np.asarray(
+            PIL.fromarray(arr, "RGB").resize((14, 10)).resize((56, 40))
+        )
+        buf = io.BytesIO()
+        PIL.fromarray(arr, "RGB").save(
+            buf, format="JPEG", quality=95,
+            subsampling={"444": 0, "420": 2}[subsampling],
+            progressive=progressive,
+        )
+        ours = jpeg.load_from_bytes(buf.getvalue())
+        theirs = np.asarray(PIL.open(buf).convert("RGB"))
+        diff = np.abs(ours.astype(np.int16) - theirs.astype(np.int16))
+        assert np.mean(diff) < 3.0
+
+    def test_our_encoder_decodes_everywhere(self):
+        arr = np.asarray(
+            PIL.fromarray(_rand(48, 64, 3), "RGB").resize((16, 12)).resize((64, 48))
+        )
+        for sub in ("444", "420"):
+            data = jpeg.encode(arr, quality=95, subsampling=sub)
+            pil = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+            ours = jpeg.load_from_bytes(data)
+            assert pil.shape == arr.shape
+            assert np.mean(np.abs(pil.astype(int) - arr.astype(int))) < 4.0
+            assert np.mean(np.abs(ours.astype(int) - arr.astype(int))) < 4.0
+
+    def test_gray_roundtrip(self):
+        g = np.asarray(
+            PIL.fromarray(_rand(24, 24, 1)[..., 0], "L").resize((8, 8)).resize((24, 24))
+        )[..., None]
+        data = jpeg.encode(g, quality=95)
+        ours = jpeg.load_from_bytes(data)
+        assert ours.shape == g.shape
+        assert np.mean(np.abs(ours.astype(int) - g.astype(int))) < 4.0
+
+
+class TestImageIO:
+    def test_load_save_roundtrip(self, tmp_path):
+        img = zignal.Image(16, 20, (10, 200, 30), dtype=zignal.Rgb)
+        p = str(tmp_path / "x.png")
+        img.save(p)
+        back = zignal.Image.load(p)
+        assert back == img
+
+    def test_save_jpeg_and_bmp(self, tmp_path):
+        img = zignal.Image(24, 24, (90, 120, 30), dtype=zignal.Rgb)
+        for name in ("x.jpg", "x.bmp"):
+            p = str(tmp_path / name)
+            img.save(p)
+            back = zignal.Image.load(p)
+            assert (back.rows, back.cols) == (24, 24)
+            diff = np.abs(
+                back.to_numpy()[..., :3].astype(int) - img.to_numpy().astype(int)
+            )
+            assert diff.mean() < 3.0
+
+    def test_detect_format(self):
+        assert detect_format(png.encode(_rand(4, 4, 3))).value == "png"
+        assert detect_format(bmp.encode(_rand(4, 4, 3))).value == "bmp"
+        assert detect_format(b"GIF89a....").value == "gif"
+        assert detect_format(b"garbage") is None

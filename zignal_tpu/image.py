@@ -177,6 +177,29 @@ class Image:
             "from_numpy requires shape (rows, cols, channels) with 1, 3, or 4 channels"
         )
 
+    @classmethod
+    def load(cls, path: str) -> "Image":
+        """Load a PNG/JPEG/BMP/GIF file; dtype follows the file's content
+        (reference: src/image.zig:247; bindings load)."""
+        from .codecs import load_array
+
+        arr = load_array(path)
+        return cls._from_host(arr, _CHANNELS_SPACE[arr.shape[2]])
+
+    @classmethod
+    def load_from_bytes(cls, data) -> "Image":
+        from .codecs import load_array_from_bytes
+
+        arr = load_array_from_bytes(bytes(data))
+        return cls._from_host(arr, _CHANNELS_SPACE[arr.shape[2]])
+
+    def save(self, path: str, **options) -> None:
+        """Save to PNG/JPEG/BMP/GIF chosen by extension
+        (reference: src/image.zig:279)."""
+        from .codecs import save_array
+
+        save_array(path, self._host(), **options)
+
     # -- representation plumbing -------------------------------------------
 
     def _host(self) -> np.ndarray:

@@ -1,0 +1,66 @@
+"""Native (C++) host runtime: codec hot loops, loaded via ctypes.
+
+Built lazily with g++ on first use and cached next to the sources.
+Every entry point has a pure-Python fallback so the package works
+without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "_zt_native.so")
+_SOURCES = [os.path.join(_DIR, "codec_core.cpp"), os.path.join(_DIR, "jpeg_core.cpp")]
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    sources = [s for s in _SOURCES if os.path.exists(s)]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", _LIB_PATH + ".tmp", *sources]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None when unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        newest_src = max(
+            (os.path.getmtime(s) for s in _SOURCES if os.path.exists(s)),
+            default=0.0,
+        )
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < newest_src:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.zt_png_unfilter.restype = ctypes.c_int
+        lib.zt_png_unfilter.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.zt_gif_lzw_decode.restype = ctypes.c_int64
+        lib.zt_gif_lzw_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ]
+        _lib = lib
+    return _lib

@@ -1,0 +1,155 @@
+// Native host-side codec hot loops for zignal-tpu.
+//
+// The reference implements its codecs in native Zig (src/codecs/); here the
+// sequential hot loops (PNG scanline unfiltering, GIF LZW) are C++ compiled
+// to a shared library and driven from Python via ctypes. Decompression and
+// bulk transforms stay in numpy/zlib.
+//
+// Build: zignal_tpu/native/build.py (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+extern "C" {
+
+// PNG scanline unfilter (reference behavior: src/codecs/png.zig decode).
+// `src`: H scanlines, each 1 filter byte + `stride` bytes.
+// `dst`: H*stride reconstructed bytes.
+// Returns 0 on success, -1 on bad filter byte.
+int zt_png_unfilter(const uint8_t* src, uint8_t* dst,
+                    int64_t rows, int64_t stride, int64_t bpp) {
+    const uint8_t* prev = nullptr;
+    for (int64_t r = 0; r < rows; ++r) {
+        const uint8_t filter = src[r * (stride + 1)];
+        const uint8_t* in = src + r * (stride + 1) + 1;
+        uint8_t* out = dst + r * stride;
+        switch (filter) {
+            case 0:  // None
+                std::memcpy(out, in, (size_t)stride);
+                break;
+            case 1:  // Sub
+                for (int64_t i = 0; i < bpp && i < stride; ++i) out[i] = in[i];
+                for (int64_t i = bpp; i < stride; ++i)
+                    out[i] = (uint8_t)(in[i] + out[i - bpp]);
+                break;
+            case 2:  // Up
+                if (prev) {
+                    for (int64_t i = 0; i < stride; ++i)
+                        out[i] = (uint8_t)(in[i] + prev[i]);
+                } else {
+                    std::memcpy(out, in, (size_t)stride);
+                }
+                break;
+            case 3:  // Average
+                for (int64_t i = 0; i < stride; ++i) {
+                    const int a = (i >= bpp) ? out[i - bpp] : 0;
+                    const int b = prev ? prev[i] : 0;
+                    out[i] = (uint8_t)(in[i] + ((a + b) >> 1));
+                }
+                break;
+            case 4:  // Paeth
+                for (int64_t i = 0; i < stride; ++i) {
+                    const int a = (i >= bpp) ? out[i - bpp] : 0;
+                    const int b = prev ? prev[i] : 0;
+                    const int c = (prev && i >= bpp) ? prev[i - bpp] : 0;
+                    const int p = a + b - c;
+                    const int pa = p > a ? p - a : a - p;
+                    const int pb = p > b ? p - b : b - p;
+                    const int pc = p > c ? p - c : c - p;
+                    int pred;
+                    if (pa <= pb && pa <= pc) pred = a;
+                    else if (pb <= pc) pred = b;
+                    else pred = c;
+                    out[i] = (uint8_t)(in[i] + pred);
+                }
+                break;
+            default:
+                return -1;
+        }
+        prev = out;
+    }
+    return 0;
+}
+
+// GIF LZW decode (reference behavior: src/codecs/gif/lzw.zig).
+// Variable-width LSB-first codes. Returns number of bytes written to dst,
+// or -1 on malformed stream / dst overflow.
+int64_t zt_gif_lzw_decode(const uint8_t* src, int64_t src_len,
+                          uint8_t* dst, int64_t dst_cap,
+                          int min_code_size) {
+    const int clear_code = 1 << min_code_size;
+    const int end_code = clear_code + 1;
+    // dictionary: prefix/suffix representation
+    static const int MAX_CODES = 4096;
+    int16_t* prefix = (int16_t*)std::malloc(MAX_CODES * sizeof(int16_t));
+    uint8_t* suffix = (uint8_t*)std::malloc(MAX_CODES * sizeof(uint8_t));
+    uint8_t* stack = (uint8_t*)std::malloc(MAX_CODES * sizeof(uint8_t));
+    if (!prefix || !suffix || !stack) {
+        std::free(prefix); std::free(suffix); std::free(stack);
+        return -1;
+    }
+
+    int code_size = min_code_size + 1;
+    int next_code = end_code + 1;
+    int prev_code = -1;
+    uint32_t bitbuf = 0;
+    int bitcnt = 0;
+    int64_t si = 0, di = 0;
+    int64_t result = -1;
+
+    for (int i = 0; i < clear_code; ++i) { prefix[i] = -1; suffix[i] = (uint8_t)i; }
+
+    for (;;) {
+        while (bitcnt < code_size) {
+            if (si >= src_len) { result = di; goto done; }  // truncated: accept
+            bitbuf |= (uint32_t)src[si++] << bitcnt;
+            bitcnt += 8;
+        }
+        int code = (int)(bitbuf & ((1u << code_size) - 1));
+        bitbuf >>= code_size;
+        bitcnt -= code_size;
+
+        if (code == clear_code) {
+            code_size = min_code_size + 1;
+            next_code = end_code + 1;
+            prev_code = -1;
+            continue;
+        }
+        if (code == end_code) { result = di; goto done; }
+
+        int sp = 0;
+        int cur = code;
+        if (cur >= next_code) {
+            // KwKwK case: emit prev + first char of prev
+            if (prev_code < 0 || cur > next_code) goto done;
+            stack[sp++] = 0;  // placeholder for first char, fixed below
+            cur = prev_code;
+        }
+        while (cur >= 0) {
+            if (sp >= MAX_CODES) goto done;
+            stack[sp++] = suffix[cur];
+            cur = prefix[cur];
+        }
+        // first char of expansion:
+        uint8_t first = stack[sp - 1];
+        if (code >= next_code) stack[0] = first;  // fix placeholder
+
+        if (di + sp > dst_cap) { result = di; goto done; }
+        for (int i = sp - 1; i >= 0; --i) dst[di++] = stack[i];
+
+        if (prev_code >= 0 && next_code < MAX_CODES) {
+            prefix[next_code] = (int16_t)prev_code;
+            suffix[next_code] = first;
+            next_code++;
+            if (next_code == (1 << code_size) && code_size < 12)
+                code_size++;
+        }
+        prev_code = code;
+    }
+done:
+    std::free(prefix); std::free(suffix); std::free(stack);
+    return result;
+}
+
+}  // extern "C"
