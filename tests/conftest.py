@@ -4,14 +4,19 @@ The reference (arrufat/zignal) runs its pytest suite on CPU; we additionally
 force 8 virtual XLA host devices so sharding/mesh tests exercise real
 collectives without TPU hardware (SURVEY.md §4 implications).
 
-This must run before `jax` is imported anywhere.
+Note: this environment's sitecustomize imports jax at interpreter startup
+and registers the 'axon' TPU backend, so setting JAX_PLATFORMS here is too
+late — we override via jax.config instead (set ZT_TEST_PLATFORM to opt out).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("ZT_TEST_PLATFORM", "cpu"))

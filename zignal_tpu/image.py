@@ -473,6 +473,60 @@ class Image:
         canvas = canvas.at[off_r:off_r + scaled_rows, off_c:off_c + scaled_cols].set(content)
         return Image._from_device(canvas, self._space)
 
+    # -- filtering (device path) -------------------------------------------
+
+    def box_blur(self, radius: int) -> "Image":
+        """Box blur via summed-area table (reference: image.zig:635)."""
+        radius = int(radius)
+        if radius < 0:
+            raise ValueError("radius must be non-negative")
+        if radius == 0:
+            return self.copy()
+        from .ops.integral import box_blur as op
+
+        return Image._from_device(op(self._device(), radius), self._space)
+
+    def sharpen(self, radius: int) -> "Image":
+        """Unsharp mask 2*orig - box_blur (reference: image.zig:785)."""
+        radius = int(radius)
+        if radius < 0:
+            raise ValueError("radius must be non-negative")
+        if radius == 0:
+            return self.copy()
+        from .ops.integral import sharpen as op
+
+        return Image._from_device(op(self._device(), radius), self._space)
+
+    def gaussian_blur(self, sigma: float) -> "Image":
+        """Separable Gaussian blur, radius=ceil(3*sigma)
+        (reference: image.zig:954)."""
+        sigma = float(sigma)
+        if not (sigma > 0) or not np.isfinite(sigma):
+            raise ValueError("sigma must be positive and finite")
+        from .ops.convolution import gaussian_blur as op
+
+        return Image._from_device(op(self._device(), sigma), self._space)
+
+    def sobel(self) -> "Image":
+        """Sobel gradient magnitude as a grayscale image
+        (reference: image.zig:999; edges.zig:29)."""
+        from .ops.convolution import sobel_magnitude
+
+        gray = self._gray_f32()
+        out = sobel_magnitude(gray)
+        return Image._from_device(out[..., None], "gray")
+
+    def _gray_f32(self):
+        """Luminance plane as 0-255 float (u8 fixed-point path then cast)."""
+        import jax.numpy as jnp
+
+        dev = self._device()
+        if self._space == "gray":
+            return dev[..., 0].astype(jnp.float32)
+        from .color._array import rgb_to_gray_u8
+
+        return rgb_to_gray_u8(dev[..., :3])[..., 0].astype(jnp.float32)
+
     # -- metrics ------------------------------------------------------------
 
     def psnr(self, other: "Image") -> float:

@@ -1,0 +1,175 @@
+"""Convolution kernels (reference: src/image/convolution.zig).
+
+u8 path replicates the reference's 8.8 fixed-point arithmetic: 1-D kernel
+weights are ``round(k * 256)`` int32; the horizontal pass accumulates into
+int32 "temp" planes, the vertical pass accumulates temp*weight and divides
+by 256² with symmetric rounding (divClampU8, convolution.zig:18-38).
+Accumulators stay within int32 for any kernel with
+``sum|kx| * sum|ky| * 255 < 2^31`` — true for all normalized kernels.
+
+Tap indices are resolved at trace time (static shapes/border), so the
+device program is unrolled gathers + integer MACs that XLA fuses into one
+VPU kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..enums import BorderMode
+from .interpolation import resolve_index_np
+
+__all__ = [
+    "convolve_separable", "convolve2d", "gaussian_kernel", "gaussian_blur",
+    "sobel_magnitude",
+]
+
+_SCALE = 256
+
+
+def _kernel_to_int(kernel) -> np.ndarray:
+    k = np.asarray(kernel, dtype=np.float32)
+    return np.round(k * np.float32(_SCALE)).astype(np.int32)
+
+
+def _div_clamp_u8(accum, scale: int):
+    """Symmetric-rounding divide + clamp (reference: convolution.zig:18-23)."""
+    half = scale // 2
+    rounded = jnp.where(accum >= 0, accum + half, accum - half)
+    q = jnp.abs(rounded) // scale
+    q = jnp.where(rounded < 0, -q, q)
+    return jnp.clip(q, 0, 255).astype(jnp.uint8)
+
+
+def _axis_taps(n: int, ksize: int, border: BorderMode):
+    """[n, ksize] resolved tap indices + validity mask (for ZERO border)."""
+    half = ksize // 2
+    base = np.arange(n, dtype=np.int64)[:, None] + np.arange(ksize)[None, :] - half
+    idx = resolve_index_np(base, n, border)
+    mask = idx >= 0
+    return np.where(mask, idx, 0).astype(np.int32), mask
+
+
+def _sep_pass(arr, taps, mask, weights, axis):
+    """One separable pass: sum_k take(arr, taps[:,k], axis) * w[k]."""
+    total = None
+    for k in range(taps.shape[1]):
+        part = jnp.take(arr, taps[:, k], axis=axis)
+        w = weights[k]
+        if mask is not None and not mask[:, k].all():
+            m = jnp.asarray(mask[:, k])
+            shape = [1] * arr.ndim
+            shape[axis] = -1
+            part = part * m.reshape(shape)
+        term = part * w
+        total = term if total is None else total + term
+    return total
+
+
+@partial(jax.jit, static_argnames=("kernel_x", "kernel_y", "border"))
+def convolve_separable(arr, kernel_x: tuple, kernel_y: tuple,
+                       border: BorderMode = BorderMode.MIRROR):
+    """Separable convolution of [H, W, C]; kernels are 1-D float tuples.
+
+    uint8 input -> bit-exact fixed-point path; float input -> float path.
+    """
+    border = BorderMode(border)
+    h, w = arr.shape[0], arr.shape[1]
+    x_taps, x_mask = _axis_taps(w, len(kernel_x), border)
+    y_taps, y_mask = _axis_taps(h, len(kernel_y), border)
+    x_mask = None if x_mask.all() else x_mask
+    y_mask = None if y_mask.all() else y_mask
+
+    if arr.dtype == jnp.uint8:
+        kx = _kernel_to_int(kernel_x)
+        ky = _kernel_to_int(kernel_y)
+        temp = _sep_pass(arr.astype(jnp.int32), x_taps, x_mask, kx, axis=1)
+        accum = _sep_pass(temp, y_taps, y_mask, ky, axis=0)
+        return _div_clamp_u8(accum, _SCALE * _SCALE)
+    kx = np.asarray(kernel_x, dtype=np.float32)
+    ky = np.asarray(kernel_y, dtype=np.float32)
+    temp = _sep_pass(arr, x_taps, x_mask, kx, axis=1)
+    return _sep_pass(temp, y_taps, y_mask, ky, axis=0)
+
+
+@partial(jax.jit, static_argnames=("kernel", "border"))
+def convolve2d(arr, kernel: tuple, border: BorderMode = BorderMode.MIRROR):
+    """2-D convolution of [H, W, C] with a (tuple-of-tuples) kernel."""
+    border = BorderMode(border)
+    k = np.asarray(kernel, dtype=np.float32)
+    kh, kw = k.shape
+    h, w = arr.shape[0], arr.shape[1]
+    y_taps, y_mask = _axis_taps(h, kh, border)
+    x_taps, x_mask = _axis_taps(w, kw, border)
+
+    is_u8 = arr.dtype == jnp.uint8
+    if is_u8:
+        kint = _kernel_to_int(k)
+        a = arr.astype(jnp.int32)
+    else:
+        kint = k
+        a = arr
+
+    total = None
+    for ky_i in range(kh):
+        rows = jnp.take(a, y_taps[:, ky_i], axis=0)
+        if not y_mask[:, ky_i].all():
+            rows = rows * jnp.asarray(y_mask[:, ky_i]).reshape(-1, *([1] * (a.ndim - 1)))
+        for kx_i in range(kw):
+            wgt = kint[ky_i, kx_i]
+            if float(wgt) == 0.0:
+                continue
+            part = jnp.take(rows, x_taps[:, kx_i], axis=1)
+            if not x_mask[:, kx_i].all():
+                part = part * jnp.asarray(x_mask[:, kx_i]).reshape(
+                    1, -1, *([1] * (a.ndim - 2))
+                )
+            term = part * wgt
+            total = term if total is None else total + term
+    if is_u8:
+        return _div_clamp_u8(total, _SCALE)
+    return total
+
+
+def gaussian_kernel(sigma: float) -> tuple:
+    """Normalized 1-D Gaussian, radius = ceil(3 sigma)
+    (reference: src/image.zig:973-990)."""
+    radius = int(np.ceil(3.0 * np.float32(sigma)))
+    x = np.arange(2 * radius + 1, dtype=np.float32) - np.float32(radius)
+    k = np.exp(-(x * x) / (2.0 * np.float32(sigma) * np.float32(sigma)))
+    k = k / k.sum()
+    return tuple(float(v) for v in k)
+
+
+def gaussian_blur(arr, sigma: float, border: BorderMode = BorderMode.MIRROR):
+    if sigma == 0:
+        return arr
+    k = gaussian_kernel(sigma)
+    return convolve_separable(arr, k, k, border)
+
+
+_SOBEL_X = ((-1.0, 0.0, 1.0), (-2.0, 0.0, 2.0), (-1.0, 0.0, 1.0))
+_SOBEL_Y = ((-1.0, -2.0, -1.0), (0.0, 0.0, 0.0), (1.0, 2.0, 1.0))
+
+
+@jax.jit
+def sobel_magnitude(gray_f32):
+    """Sobel gradient magnitude of a [H, W] 0-255 float plane -> u8
+    (reference: src/image/edges.zig:29-73: magnitude/4, trunc, clamp)."""
+    a = gray_f32[..., None]
+    gx = convolve2d(a, _SOBEL_X, BorderMode.REPLICATE)[..., 0]
+    gy = convolve2d(a, _SOBEL_Y, BorderMode.REPLICATE)[..., 0]
+    mag = jnp.sqrt(gx * gx + gy * gy) / 4.0
+    return jnp.trunc(jnp.clip(mag, 0.0, 255.0)).astype(jnp.uint8)
+
+
+def sobel_gradients(gray_f32, border: BorderMode = BorderMode.REPLICATE):
+    """Raw Sobel gradients (gx, gy) of a [H, W] float plane."""
+    a = gray_f32[..., None]
+    gx = convolve2d(a, _SOBEL_X, border)[..., 0]
+    gy = convolve2d(a, _SOBEL_Y, border)[..., 0]
+    return gx, gy

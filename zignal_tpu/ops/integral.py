@@ -1,0 +1,74 @@
+"""Integral image (summed-area table), box blur, sharpen
+(reference: src/image/integral.zig).
+
+The SAT is two f32 cumsums — exactly the reference's row-then-column
+accumulation. Box blur reads 4 SAT corners per pixel with window edges
+clamped to the image (integral.zig:200-270); sharpen is
+``2*original - blurred`` (integral.zig:273+).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["integral_image", "box_blur", "sharpen"]
+
+
+def integral_image(arr):
+    """SAT of [H, W, C] -> f32 [H, W, C]; sat[r,c] = sum over [0..r, 0..c]."""
+    a = arr.astype(jnp.float32)
+    return jnp.cumsum(jnp.cumsum(a, axis=0), axis=1)
+
+
+def _window_bounds(n: int, radius: int):
+    i = np.arange(n, dtype=np.int64)
+    lo = np.maximum(i - radius, 0)
+    hi = np.minimum(i + radius, n - 1)
+    return lo.astype(np.int32), hi.astype(np.int32)
+
+
+def _box_sums(sat, radius: int):
+    """Window sums + per-pixel window areas from a padded SAT."""
+    h, w = sat.shape[0], sat.shape[1]
+    r1, r2 = _window_bounds(h, radius)
+    c1, c2 = _window_bounds(w, radius)
+    padded = jnp.pad(sat, ((1, 0), (1, 0), (0, 0)))
+    a = jnp.take(jnp.take(padded, r2 + 1, axis=0), c2 + 1, axis=1)
+    b = jnp.take(jnp.take(padded, r1, axis=0), c2 + 1, axis=1)
+    c = jnp.take(jnp.take(padded, r2 + 1, axis=0), c1, axis=1)
+    d = jnp.take(jnp.take(padded, r1, axis=0), c1, axis=1)
+    sums = a - b - c + d
+    area = (
+        (r2 - r1 + 1).astype(np.float32)[:, None]
+        * (c2 - c1 + 1).astype(np.float32)[None, :]
+    )
+    return sums, jnp.asarray(area)[..., None]
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def box_blur(arr, radius: int):
+    """Box blur of [H, W, C] via SAT; u8 output rounds half away from zero."""
+    if radius == 0:
+        return arr
+    sums, area = _box_sums(integral_image(arr), radius)
+    vals = sums / area
+    if arr.dtype == jnp.uint8:
+        return jnp.clip(jnp.floor(vals + 0.5), 0, 255).astype(jnp.uint8)
+    return vals.astype(arr.dtype)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def sharpen(arr, radius: int):
+    """Unsharp mask: 2*original - box_blur (reference: integral.zig sharpen)."""
+    if radius == 0:
+        return arr
+    sums, area = _box_sums(integral_image(arr), radius)
+    blurred = sums / area
+    vals = 2.0 * arr.astype(jnp.float32) - blurred
+    if arr.dtype == jnp.uint8:
+        return jnp.clip(jnp.floor(vals + 0.5), 0, 255).astype(jnp.uint8)
+    return vals.astype(arr.dtype)

@@ -1,0 +1,144 @@
+"""Multi-chip scale-out: mesh construction, batch sharding, spatial
+sharding with halo exchange.
+
+The reference is single-process with SIMD-only parallelism (SURVEY.md §2,
+"Parallelism — explicit statement"). The TPU-native equivalents:
+
+- per-image independence -> **batch data parallelism**: shard [B, H, W, C]
+  over a 1-D mesh axis; every batched op is collective-free.
+- megapixel single images -> **spatial sharding**: shard H across chips and
+  exchange `radius` halo rows with `lax.ppermute` over ICI for convolution
+  windows (the only collective pattern this domain needs).
+- global statistics (FDM covariance, histograms) -> `psum` reductions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.convolution import gaussian_kernel
+
+__all__ = [
+    "make_mesh", "shard_batch", "replicate", "sharded_pipeline",
+    "spatial_gaussian_blur", "global_mean_cov",
+]
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:
+    """1-D device mesh over the first n devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def shard_batch(arr, mesh: Mesh, axis_name: str = "batch"):
+    """Place [B, ...] with B sharded across the mesh axis."""
+    return jax.device_put(arr, NamedSharding(mesh, P(axis_name)))
+
+
+def replicate(arr, mesh: Mesh):
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def sharded_pipeline(mesh: Mesh, out_rows: int, out_cols: int,
+                     sigma: float = 2.0):
+    """The north-star pipeline jitted with batch-sharded in/out
+    (data-parallel over the mesh; no collectives needed)."""
+    from ..pipeline import resize_blur_oklab
+
+    spec = NamedSharding(mesh, P("batch"))
+
+    @partial(jax.jit, in_shardings=spec, out_shardings=spec)
+    def step(batch):
+        return resize_blur_oklab(batch, out_rows, out_cols, sigma)
+
+    return step
+
+
+def spatial_gaussian_blur(mesh: Mesh, sigma: float, axis_name: str = "batch"):
+    """Gaussian blur of a single [H, W, C] image with H sharded across the
+    mesh: each chip blurs its row block after exchanging `radius` halo rows
+    with its neighbors via `lax.ppermute` (replicate border at the global
+    edges, so the result is exact for BorderMode.REPLICATE)."""
+    kernel = np.asarray(gaussian_kernel(sigma), dtype=np.float32)
+    radius = len(kernel) // 2
+    n = mesh.devices.size
+
+    def local_blur(x):
+        """x: [h_local + 2*radius, W, C] float; valid output rows only."""
+        # horizontal pass
+        xp = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)), mode="edge")
+        acc = None
+        for i, w in enumerate(kernel):
+            t = xp[:, i:i + x.shape[1]] * w
+            acc = t if acc is None else acc + t
+        # vertical pass over the extended rows -> valid center
+        out = None
+        for i, w in enumerate(kernel):
+            t = acc[i:i + x.shape[0] - 2 * radius] * w
+            out = t if out is None else out + t
+        return out
+
+    def body(local):
+        # local: [H/n, W, C] on each chip
+        idx = jax.lax.axis_index(axis_name)
+        up_halo = jax.lax.ppermute(
+            local[-radius:], axis_name,
+            [(i, i + 1) for i in range(n - 1)],
+        )  # rows from the previous chip (zeros on chip 0)
+        down_halo = jax.lax.ppermute(
+            local[:radius], axis_name,
+            [(i + 1, i) for i in range(n - 1)],
+        )  # rows from the next chip (zeros on last chip)
+        top_edge = jnp.repeat(local[:1], radius, axis=0)
+        bottom_edge = jnp.repeat(local[-1:], radius, axis=0)
+        up = jnp.where(idx == 0, top_edge, up_halo)
+        down = jnp.where(idx == n - 1, bottom_edge, down_halo)
+        ext = jnp.concatenate([up, local.astype(jnp.float32), down], axis=0)
+        return local_blur(ext)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=P(axis_name, None, None),
+        out_specs=P(axis_name, None, None),
+    )
+
+    @jax.jit
+    def blur(image):
+        out = fn(image.astype(jnp.float32))
+        if image.dtype == jnp.uint8:
+            return jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
+        return out
+
+    return blur
+
+
+def global_mean_cov(mesh: Mesh, axis_name: str = "batch"):
+    """Mean + channel covariance of a batch-sharded [B, H, W, C] image set,
+    reduced across chips with psum (the FDM statistics path on a mesh)."""
+
+    def body(local):
+        x = local.astype(jnp.float32).reshape(-1, local.shape[-1])
+        count = jnp.float32(x.shape[0])
+        s = jnp.sum(x, axis=0)
+        ss = x.T @ x
+        count = jax.lax.psum(count, axis_name)
+        s = jax.lax.psum(s, axis_name)
+        ss = jax.lax.psum(ss, axis_name)
+        mean = s / count
+        cov = ss / count - jnp.outer(mean, mean)
+        return mean, cov
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=P(axis_name, None, None, None),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn)

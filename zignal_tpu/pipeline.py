@@ -1,0 +1,50 @@
+"""Fused batched pipelines — the TPU-native execution model.
+
+Where the reference processes one image per call with per-pixel loops,
+the TPU framework's unit of work is a **batch**: ``[B, H, W, C]`` uint8
+arrays in HBM, with whole op chains traced into a single fused XLA
+program (resize -> blur -> color transform), optionally sharded over a
+device mesh (zignal_tpu.parallel). This module holds the canonical
+pipelines used by the CLI, the benchmarks, and the driver entry.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .color._array import convert_array
+from .enums import Interpolation
+from .ops.convolution import gaussian_kernel, convolve_separable
+from .ops.interpolation import resize as resize_op
+
+__all__ = ["resize_blur_oklab", "batched_resize", "batched_gaussian_blur"]
+
+
+def batched_resize(batch, rows: int, cols: int,
+                   method: Interpolation = Interpolation.BILINEAR):
+    """Resize [B, H, W, C] -> [B, rows, cols, C] (vmapped resize kernel)."""
+    return jax.vmap(lambda a: resize_op(a, rows, cols, method))(batch)
+
+
+def batched_gaussian_blur(batch, sigma: float):
+    k = gaussian_kernel(sigma)
+    return jax.vmap(lambda a: convolve_separable(a, k, k))(batch)
+
+
+@partial(jax.jit, static_argnames=("out_rows", "out_cols", "sigma", "method"))
+def resize_blur_oklab(batch, out_rows: int, out_cols: int, sigma: float = 2.0,
+                      method: Interpolation = Interpolation.BILINEAR):
+    """The north-star pipeline (BASELINE.md): batched resize -> Gaussian
+    blur -> sRGB->Oklab, one fused XLA program.
+
+    batch: [B, H, W, 3] uint8 sRGB. Returns [B, out_rows, out_cols, 3]
+    float32 Oklab. uint8 stages are bit-exact with the reference's
+    fixed-point kernels; the Oklab conversion is float32 (±1/255).
+    """
+    small = batched_resize(batch, out_rows, out_cols, method)
+    blurred = batched_gaussian_blur(small, sigma)
+    rgb = blurred.astype(jnp.float32) / 255.0
+    return convert_array(rgb, "rgb", "oklab")
