@@ -1,0 +1,144 @@
+"""Geometric transform tests (ported from
+bindings/python/tests/test_transforms.py + test_convex_hull.py)."""
+
+import math
+
+import pytest
+
+import zignal_tpu as zignal
+
+
+class TestTransforms:
+    def test_similarity_transform(self):
+        t = zignal.SimilarityTransform([(0, 0), (10, 0)], [(5, 5), (15, 5)])
+        assert t.project((5, 0)) is not None
+        assert t.project([(0, 0), (5, 5)]) is not None
+        # pure translation recovered exactly
+        out = t.project((0, 0))
+        assert out[0] == pytest.approx(5) and out[1] == pytest.approx(5)
+
+    def test_affine_transform(self):
+        t = zignal.AffineTransform([(0, 0), (10, 0), (0, 10)], [(1, 1), (11, 2), (2, 11)])
+        assert t.project((5, 5)) is not None
+        assert t.project([(0, 0), (5, 5)]) is not None
+        out = t.project((0, 0))
+        assert out[0] == pytest.approx(1) and out[1] == pytest.approx(1)
+
+    def test_projective_transform(self):
+        t = zignal.ProjectiveTransform(
+            [(0, 0), (10, 0), (10, 10), (0, 10)], [(1, 1), (9, 2), (8, 8), (2, 9)]
+        )
+        for src, want in zip([(0, 0), (10, 0), (10, 10), (0, 10)],
+                             [(1, 1), (9, 2), (8, 8), (2, 9)]):
+            out = t.project(src)
+            assert out[0] == pytest.approx(want[0], abs=1e-9)
+            assert out[1] == pytest.approx(want[1], abs=1e-9)
+
+    @pytest.mark.parametrize("cls,f,t", [
+        (zignal.SimilarityTransform, [(0, 0), (0, 0)], [(1, 1), (1, 1)]),
+        (zignal.AffineTransform, [(0, 0), (1, 0), (2, 0)], [(0, 0), (1, 0), (2, 0)]),
+        (zignal.ProjectiveTransform, [(0, 0), (1, 0), (2, 0), (3, 0)],
+         [(0, 0), (1, 0), (2, 0), (3, 0)]),
+    ])
+    def test_rank_deficient(self, cls, f, t):
+        with pytest.raises(ValueError, match="rank deficient"):
+            cls(f, t)
+
+    def test_transform_with_warp(self):
+        img = zignal.Image(10, 10)
+        sim = zignal.SimilarityTransform([(2, 2), (8, 2)], [(3, 3), (7, 3)])
+        assert img.warp(sim) is not None
+        aff = zignal.AffineTransform([(0, 0), (10, 0), (0, 10)], [(1, 1), (9, 1), (1, 9)])
+        assert img.warp(aff) is not None
+        proj = zignal.ProjectiveTransform(
+            [(0, 0), (10, 0), (10, 10), (0, 10)], [(1, 1), (9, 1), (9, 9), (1, 9)]
+        )
+        assert img.warp(proj) is not None
+        assert img.warp(sim, shape=(20, 20)).rows == 20
+        assert img.warp(sim, method=zignal.Interpolation.BICUBIC) is not None
+        gray = img.convert(zignal.Gray)
+        assert gray.warp(sim) is not None
+
+    def test_rotate_with_border(self):
+        img = zignal.Image(10, 10, dtype=zignal.Rgb)
+        img.fill(zignal.Rgb(255, 255, 255))
+        rotated = img.rotate(math.radians(45))
+        assert rotated.rows > 10 and rotated.cols > 10
+        px = rotated[0, 0]
+        assert (px.r, px.g, px.b) == (0, 0, 0)
+        rr = img.rotate(math.radians(45), method=zignal.Interpolation.NEAREST,
+                        border=zignal.BorderMode.REPLICATE)
+        px = rr[0, 0]
+        assert (px.r, px.g, px.b) == (255, 255, 255)
+
+    def test_rotate_orthogonal_exact(self):
+        import numpy as np
+
+        img = zignal.Image(4, 6, dtype=zignal.Rgb)
+        a = img.to_numpy()
+        a[...] = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        r90 = img.rotate(math.pi / 2)
+        assert (r90.rows, r90.cols) == (6, 4)
+        r180 = img.rotate(math.pi)
+        assert np.array_equal(r180.to_numpy(), a[::-1, ::-1])
+        r0 = img.rotate(0.0)
+        assert np.array_equal(r0.to_numpy(), a)
+
+    def test_extract_with_border(self):
+        img = zignal.Image(10, 10, dtype=zignal.Rgb)
+        img.fill(zignal.Rgb(255, 255, 255))
+        rect = zignal.Rectangle(-5, -5, 5, 5)
+        tl = img.extract(rect)[0, 0]
+        assert (tl.r, tl.g, tl.b) == (0, 0, 0)
+        tl = img.extract(rect, border=zignal.BorderMode.MIRROR)[0, 0]
+        assert (tl.r, tl.g, tl.b) == (255, 255, 255)
+        tl = img.extract(rect, border=zignal.BorderMode.REPLICATE)[0, 0]
+        assert (tl.r, tl.g, tl.b) == (255, 255, 255)
+
+    def test_rotate_angle_validation(self):
+        img = zignal.Image(10, 10, dtype=zignal.Rgb)
+        for bad in (float("nan"), float("inf"), 1e39):
+            with pytest.raises(ValueError, match="Angle must be a finite number"):
+                img.rotate(bad)
+
+    def test_resize_scale_validation(self):
+        img = zignal.Image(10, 10, dtype=zignal.Rgb)
+        for bad in (float("nan"), float("inf"), 1e39):
+            with pytest.raises(ValueError, match="Scale factor must be a finite number"):
+                img.resize(bad)
+        with pytest.raises(ValueError, match="Scale factor must be"):
+            img.resize(-1.0)
+
+    def test_insert_and_crop(self):
+        img = zignal.Image(10, 10, (0, 0, 0), dtype=zignal.Rgb)
+        small = zignal.Image(4, 4, (255, 0, 0), dtype=zignal.Rgb)
+        img.insert(small, zignal.Rectangle(2, 2, 6, 6))
+        assert img[3, 3] == (255, 0, 0)
+        assert img[0, 0] == (0, 0, 0)
+        c = img.crop((2, 2, 6, 6))
+        assert (c.rows, c.cols) == (4, 4)
+
+
+def test_convex_hull_api_and_invalids():
+    hull = zignal.ConvexHull()
+    assert repr(hull) == "ConvexHull()"
+    res = hull.find([(0, 0), (1, 0), (0.5, 1)])
+    assert isinstance(res, list)
+    assert all(isinstance(p, tuple) and len(p) == 2 for p in res)
+    assert hull.find([]) is None
+    assert hull.find([(0, 0)]) is None
+    assert hull.find([(0, 0), (1, 1)]) is None
+    assert hull.find([(0, 0), (1, 1), (2, 2)]) is None
+    with pytest.raises(TypeError):
+        hull.find("not a sequence")
+
+
+def test_convex_hull_get_rectangle_roundtrip():
+    hull = zignal.ConvexHull()
+    assert hull.get_rectangle() is None
+    hull.find([(0.0, 0.0), (1.0, 0.0), (0.5, 1.0)])
+    rect = hull.get_rectangle()
+    assert isinstance(rect, zignal.Rectangle)
+    assert (rect.left, rect.top, rect.right, rect.bottom) == (0.0, 0.0, 1.0, 1.0)
+    hull.find([(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)])
+    assert hull.get_rectangle() is None

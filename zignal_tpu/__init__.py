@@ -14,6 +14,9 @@ from .color import (
     Gray, Hsl, Hsv, Lab, Lch, Lms, Oklab, Oklch, Rgb, Rgba, Xyb, Xyz, Ycbcr,
 )
 from .enums import BorderMode, DrawMode, Interpolation, ThresholdMode
+from .geometry import (
+    AffineTransform, ConvexHull, ProjectiveTransform, SimilarityTransform,
+)
 from .image import Image, PixelIterator
 from .rectangle import Rectangle
 
@@ -23,4 +26,5 @@ __all__ = [
     "Gray", "Rgb", "Rgba", "Hsl", "Hsv", "Lab", "Lch", "Lms",
     "Oklab", "Oklch", "Xyb", "Xyz", "Ycbcr",
     "Image", "PixelIterator", "Rectangle",
+    "SimilarityTransform", "AffineTransform", "ProjectiveTransform", "ConvexHull",
 ]

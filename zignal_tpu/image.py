@@ -28,6 +28,13 @@ from .rectangle import Rectangle
 
 __all__ = ["Image", "PixelIterator"]
 
+def _round_half_away_f32(x) -> float:
+    import math
+
+    x = float(np.float32(x))
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
 _SPACE_CHANNELS = {"gray": 1, "rgb": 3, "rgba": 4}
 _CHANNELS_SPACE = {1: "gray", 3: "rgb", 4: "rgba"}
 
@@ -426,8 +433,10 @@ class Image:
         (reference: src/image.zig:523-543; transforms binding)."""
         if isinstance(size, (int, float)) and not isinstance(size, bool):
             scale = float(size)
-            if not (scale > 0) or not np.isfinite(scale):
-                raise ValueError("Scale factor must be positive and finite")
+            if not np.isfinite(scale) or abs(scale) > 3.4e38:
+                raise ValueError("Scale factor must be a finite number")
+            if scale <= 0:
+                raise ValueError("Scale factor must be positive")
             rows = int(np.round(np.float32(self.rows) * np.float32(scale)))
             cols = int(np.round(np.float32(self.cols) * np.float32(scale)))
             if rows == 0 or cols == 0:
@@ -472,6 +481,105 @@ class Image:
         canvas = jnp.zeros((rows, cols, self.channels), dtype=jnp.uint8)
         canvas = canvas.at[off_r:off_r + scaled_rows, off_c:off_c + scaled_cols].set(content)
         return Image._from_device(canvas, self._space)
+
+    def rotate(self, angle, method: Interpolation = Interpolation.BILINEAR,
+               border: BorderMode = BorderMode.ZERO) -> "Image":
+        """Rotate around center (radians, CCW); output auto-sized to fit
+        (reference: image.zig:558; transforms.zig:112-213)."""
+        angle = float(angle)
+        if not np.isfinite(angle) or abs(angle) > 3.4e38:
+            raise ValueError("Angle must be a finite number")
+        from .ops.warp import rotate as rotate_op, rotate_bounds
+
+        rows, cols = rotate_bounds(self.rows, self.cols, angle)
+        out = rotate_op(self._device(), angle, rows, cols,
+                        Interpolation(method), BorderMode(border))
+        return Image._from_device(out, self._space)
+
+    def crop(self, rect) -> "Image":
+        """Crop a rectangle; out-of-bounds fills black
+        (reference: transforms.zig:216-222)."""
+        rect = self._coerce_rect(rect)
+        rows = int(_round_half_away_f32(rect.height))
+        cols = int(_round_half_away_f32(rect.width))
+        if rows == 0 or cols == 0:
+            raise ValueError("crop rectangle is empty")
+        return self.extract(rect, 0.0, (rows, cols), Interpolation.NEAREST)
+
+    def extract(self, rect, angle: float = 0.0, size=None,
+                method: Interpolation = Interpolation.BILINEAR,
+                border: BorderMode = BorderMode.ZERO) -> "Image":
+        """Extract a rotated rect, resampled to `size`
+        (reference: transforms.zig:231-283)."""
+        rect = self._coerce_rect(rect)
+        if size is None:
+            rows = max(1, int(_round_half_away_f32(rect.height)))
+            cols = max(1, int(_round_half_away_f32(rect.width)))
+        elif isinstance(size, (int, float)):
+            rows = cols = int(size)
+        else:
+            rows, cols = int(size[0]), int(size[1])
+        if rows <= 0 or cols <= 0:
+            raise ValueError("size must be positive")
+        from .ops.warp import extract as extract_op
+
+        out = extract_op(
+            self._device(),
+            (rect.left, rect.top, rect.right, rect.bottom),
+            float(angle), rows, cols, Interpolation(method), BorderMode(border),
+        )
+        return Image._from_device(out, self._space)
+
+    def insert(self, source: "Image", rect, angle: float = 0.0,
+               method: Interpolation = Interpolation.BILINEAR,
+               blend_mode: Blending = Blending.NONE) -> None:
+        """Insert `source` into self at a rotated rect (in place)
+        (reference: transforms.zig:293-380)."""
+        if not isinstance(source, Image):
+            raise TypeError("source must be an Image")
+        rect = self._coerce_rect(rect)
+        from .ops.warp import insert_region
+
+        mode = Blending(blend_mode)
+        if mode != Blending.NONE and source._space == "rgba":
+            src_dev = source._device()
+        else:
+            src_dev = source.convert(self.dtype)._device()
+            mode = Blending.NONE
+        out = insert_region(
+            self._device(), src_dev,
+            (rect.left, rect.top, rect.right, rect.bottom),
+            float(angle), Interpolation(method), mode,
+        )
+        self._host()[:] = np.asarray(out)
+
+    def warp(self, transform, shape=None,
+             method: Interpolation = Interpolation.BILINEAR) -> "Image":
+        """Backward-map through a geometric transform
+        (reference: image.zig:621; transforms.zig:522)."""
+        from .geometry.transforms import (
+            AffineTransform, ProjectiveTransform, SimilarityTransform,
+        )
+
+        if not isinstance(transform, (SimilarityTransform, AffineTransform,
+                                      ProjectiveTransform)):
+            raise TypeError("transform must be a Similarity/Affine/Projective transform")
+        if shape is None:
+            rows, cols = self.rows, self.cols
+        else:
+            rows, cols = int(shape[0]), int(shape[1])
+        from .ops.warp import warp as warp_op
+
+        out = warp_op(self._device(), transform.homogeneous(), rows, cols,
+                      Interpolation(method))
+        return Image._from_device(out, self._space)
+
+    def _coerce_rect(self, rect) -> Rectangle:
+        if isinstance(rect, (tuple, list)) and len(rect) == 4:
+            return Rectangle(*rect)
+        if isinstance(rect, Rectangle):
+            return rect
+        raise TypeError("expected a Rectangle or (l, t, r, b) tuple")
 
     # -- filtering (device path) -------------------------------------------
 

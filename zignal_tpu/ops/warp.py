@@ -1,0 +1,323 @@
+"""Runtime-coordinate sampling and geometric warps.
+
+One device kernel — inverse-map + interpolate — serves rotate, extract,
+insert, and warp (SURVEY.md L4 "Geometric transforms"; reference:
+src/image/transforms.zig, src/image/interpolation.zig:306-430).
+
+Unlike resize (whose coordinates are trace-time constants), these sample
+at coordinates computed on device from a transform matrix, so border
+resolution and filter weights are computed on device too.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..enums import BorderMode, Interpolation
+
+__all__ = ["sample", "rotate", "rotate_bounds", "extract", "insert_region", "warp"]
+
+
+def _round_half_away(x):
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def _resolve_dev(idx, length: int, border: BorderMode):
+    """Device version of border.resolveIndex. Returns (index, valid)."""
+    inside = (idx >= 0) & (idx < length)
+    if border == BorderMode.ZERO:
+        return jnp.clip(idx, 0, length - 1), inside
+    if border == BorderMode.REPLICATE:
+        return jnp.clip(idx, 0, length - 1), jnp.ones_like(inside)
+    if border == BorderMode.MIRROR:
+        if length == 1:
+            return jnp.zeros_like(idx), jnp.ones_like(inside)
+        period = 2 * (length - 1)
+        m = jnp.remainder(idx, period)
+        return jnp.where(m >= length, period - m, m), jnp.ones_like(inside)
+    if border == BorderMode.WRAP:
+        return jnp.remainder(idx, length), jnp.ones_like(inside)
+    raise ValueError(f"unknown border mode {border!r}")
+
+
+def _gather2d(arr, ry, cx):
+    """arr [H,W,C]; ry/cx int32 of shape S -> [*S, C]."""
+    return arr[ry, cx]
+
+
+def _cubic_kernel_f32(t):
+    """a=-1 bicubic (interpolation.zig:221-229)."""
+    at = jnp.abs(t)
+    w1 = 1 - 2 * at * at + at * at * at
+    w2 = 4 - 8 * at + 5 * at * at - at * at * at
+    return jnp.where(at <= 1, w1, jnp.where(at <= 2, w2, 0.0))
+
+
+def _catmull_kernel_f32(t):
+    at = jnp.abs(t)
+    w1 = 1.5 * at**3 - 2.5 * at**2 + 1
+    w2 = -0.5 * at**3 + 2.5 * at**2 - 4 * at + 2
+    return jnp.where(at <= 1, w1, jnp.where(at <= 2, w2, 0.0))
+
+
+def _mitchell_kernel_f32(t, b=1.0 / 3.0, c=1.0 / 3.0):
+    at = jnp.abs(t)
+    at2, at3 = at * at, at * at * at
+    w1 = ((12 - 9 * b - 6 * c) * at3 + (-18 + 12 * b + 6 * c) * at2
+          + (6 - 2 * b)) / 6.0
+    w2 = ((-b - 6 * c) * at3 + (6 * b + 30 * c) * at2
+          + (-12 * b - 48 * c) * at + (8 * b + 24 * c)) / 6.0
+    return jnp.where(at < 1, w1, jnp.where(at < 2, w2, 0.0))
+
+
+def _lanczos3_kernel_f32(t):
+    at = jnp.abs(t)
+    pi_x = jnp.pi * t
+    safe = jnp.where(t == 0, 1.0, pi_x)
+    val = (3.0 * jnp.sin(safe) * jnp.sin(safe / 3.0)) / (safe * safe)
+    val = jnp.where(t == 0, 1.0, val)
+    return jnp.where(at >= 3.0, 0.0, val)
+
+
+_KERNELS = {
+    Interpolation.BICUBIC: (_cubic_kernel_f32, 2),
+    Interpolation.CATMULL_ROM: (_catmull_kernel_f32, 2),
+    Interpolation.MITCHELL: (_mitchell_kernel_f32, 2),
+    Interpolation.LANCZOS: (_lanczos3_kernel_f32, 3),
+}
+
+
+@partial(jax.jit, static_argnames=("method", "border"))
+def sample(arr, xs, ys, method=Interpolation.BILINEAR,
+           border: BorderMode = BorderMode.ZERO):
+    """Point-sample [H, W, C] at runtime float coords; OOB yields zeros
+    under ZERO border (reference: interpolation.zig interpolate*)."""
+    method = Interpolation(method)
+    border = BorderMode(border)
+    h, w = arr.shape[0], arr.shape[1]
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+
+    if method == Interpolation.NEAREST:
+        cx = _round_half_away(xs).astype(jnp.int32)
+        ry = _round_half_away(ys).astype(jnp.int32)
+        cxr, vx = _resolve_dev(cx, w, border)
+        ryr, vy = _resolve_dev(ry, h, border)
+        out = _gather2d(arr, ryr, cxr)
+        valid = (vx & vy)[..., None]
+        return jnp.where(valid, out, 0).astype(arr.dtype)
+
+    if method == Interpolation.BILINEAR:
+        left = jnp.floor(xs)
+        top = jnp.floor(ys)
+        fx = xs - left
+        fy = ys - top
+        l_i = left.astype(jnp.int32)
+        t_i = top.astype(jnp.int32)
+        c0, vc0 = _resolve_dev(l_i, w, border)
+        c1, vc1 = _resolve_dev(l_i + 1, w, border)
+        r0, vr0 = _resolve_dev(t_i, h, border)
+        r1, vr1 = _resolve_dev(t_i + 1, h, border)
+
+        if arr.dtype == jnp.uint8:
+            a = arr.astype(jnp.int32)
+            fxi = _round_half_away(fx * 256.0).astype(jnp.int32)[..., None]
+            fyi = _round_half_away(fy * 256.0).astype(jnp.int32)[..., None]
+            tl = _gather2d(a, r0, c0) * (vr0 & vc0)[..., None]
+            tr = _gather2d(a, r0, c1) * (vr0 & vc1)[..., None]
+            bl = _gather2d(a, r1, c0) * (vr1 & vc0)[..., None]
+            br = _gather2d(a, r1, c1) * (vr1 & vc1)[..., None]
+            topv = tl * (256 - fxi) + tr * fxi
+            botv = bl * (256 - fxi) + br * fxi
+            acc = topv * (256 - fyi) + botv * fyi + (256 * 256 // 2)
+            q = jnp.abs(acc) // (256 * 256)
+            q = jnp.where(acc < 0, -q, q)
+            return jnp.clip(q, 0, 255).astype(jnp.uint8)
+        tl = _gather2d(arr, r0, c0) * (vr0 & vc0)[..., None]
+        tr = _gather2d(arr, r0, c1) * (vr0 & vc1)[..., None]
+        bl = _gather2d(arr, r1, c0) * (vr1 & vc0)[..., None]
+        br = _gather2d(arr, r1, c1) * (vr1 & vc1)[..., None]
+        fxv = fx[..., None]
+        fyv = fy[..., None]
+        return ((1 - fyv) * ((1 - fxv) * tl + fxv * tr)
+                + fyv * ((1 - fxv) * bl + fxv * br)).astype(arr.dtype)
+
+    # kernel-based: f32 weights normalized by the sum of in-bounds weights
+    kernel_fn, radius = _KERNELS[method]
+    ix = jnp.floor(xs)
+    iy = jnp.floor(ys)
+    fx = xs - ix
+    fy = ys - iy
+    ix_i = ix.astype(jnp.int32)
+    iy_i = iy.astype(jnp.int32)
+    win = radius * 2
+    a = arr.astype(jnp.float32)
+
+    total = 0.0
+    wsum = 0.0
+    for j in range(win):
+        off_j = j - (radius - 1)
+        ry, vy = _resolve_dev(iy_i + off_j, h, border)
+        wy = kernel_fn(off_j - fy)
+        for i in range(win):
+            off_i = i - (radius - 1)
+            cx, vx = _resolve_dev(ix_i + off_i, w, border)
+            wx = kernel_fn(off_i - fx)
+            wgt = wx * wy * (vx & vy)
+            px = _gather2d(a, ry, cx)
+            total = total + px * wgt[..., None]
+            wsum = wsum + wgt
+    val = jnp.where(wsum[..., None] != 0, total / wsum[..., None], 0.0)
+    if arr.dtype == jnp.uint8:
+        return jnp.clip(_round_half_away(val), 0, 255).astype(jnp.uint8)
+    return val.astype(arr.dtype)
+
+
+def rotate_bounds(rows: int, cols: int, angle: float):
+    """Output size for auto-sized rotation (transforms.zig:112-149)."""
+    f32 = np.float32
+    tau = 2 * np.pi
+    na = float(np.mod(angle, tau))
+    eps = 1e-6
+    if abs(na) < eps or abs(na - tau) < eps or abs(na - np.pi) < eps:
+        return rows, cols
+    if abs(na - np.pi / 2) < eps or abs(na - 3 * np.pi / 2) < eps:
+        return cols, rows
+    cos_abs = abs(float(np.cos(f32(angle))))
+    sin_abs = abs(float(np.sin(f32(angle))))
+    new_w = cols * cos_abs + rows * sin_abs
+    new_h = rows * cos_abs + cols * sin_abs
+    return int(np.ceil(f32(new_h))), int(np.ceil(f32(new_w)))
+
+
+@partial(jax.jit, static_argnames=("angle", "method", "border", "out_rows", "out_cols"))
+def rotate(arr, angle: float, out_rows: int, out_cols: int,
+           method=Interpolation.BILINEAR, border=BorderMode.ZERO):
+    """Rotate around center into an (out_rows, out_cols) canvas
+    (reference: transforms.zig:163-213)."""
+    h, w = arr.shape[0], arr.shape[1]
+    tau = 2 * np.pi
+    na = float(np.mod(angle, tau))
+    eps = 1e-6
+    if abs(na) < eps or abs(na - tau) < eps:
+        return arr
+    if abs(na - np.pi / 2) < eps:
+        return jnp.rot90(arr, k=1, axes=(0, 1))
+    if abs(na - np.pi) < eps:
+        return arr[::-1, ::-1]
+    if abs(na - 3 * np.pi / 2) < eps:
+        return jnp.rot90(arr, k=-1, axes=(0, 1))
+
+    cx = np.float32(w) / 2.0
+    cy = np.float32(h) / 2.0
+    off_x = (np.float32(out_cols) - np.float32(w)) / 2.0
+    off_y = (np.float32(out_rows) - np.float32(h)) / 2.0
+    cos = np.float32(np.cos(np.float32(angle)))
+    sin = np.float32(np.sin(np.float32(angle)))
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_rows, dtype=jnp.float32),
+        jnp.arange(out_cols, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dx = xs - (cx + off_x)
+    dy = ys - (cy + off_y)
+    src_x = cos * dx - sin * dy + cx
+    src_y = sin * dx + cos * dy + cy
+    return sample(arr, src_x, src_y, method, border)
+
+
+@partial(jax.jit, static_argnames=("method", "border", "out_rows", "out_cols",
+                                   "rect", "angle"))
+def extract(arr, rect: tuple, angle: float, out_rows: int, out_cols: int,
+            method=Interpolation.BILINEAR, border=BorderMode.ZERO):
+    """Sample a rotated rect (l,t,r,b) into [out_rows, out_cols]
+    (reference: transforms.zig:231-283)."""
+    l, t, r, b = (np.float32(v) for v in rect)
+    width = r - l
+    height = b - t
+    cx = (l + r) * np.float32(0.5)
+    cy = (t + b) * np.float32(0.5)
+    cos = np.float32(np.cos(np.float32(angle)))
+    sin = np.float32(np.sin(np.float32(angle)))
+
+    ty = (jnp.arange(out_rows, dtype=jnp.float32) / np.float32(out_rows - 1)
+          if out_rows > 1 else jnp.full((1,), 0.5, jnp.float32))
+    tx = (jnp.arange(out_cols, dtype=jnp.float32) / np.float32(out_cols - 1)
+          if out_cols > 1 else jnp.full((1,), 0.5, jnp.float32))
+    y_rect = t + ty * height
+    x_rect = l + tx * width
+    yg, xg = jnp.meshgrid(y_rect, x_rect, indexing="ij")
+    dx = xg - cx
+    dy = yg - cy
+    src_x = cx + cos * dx - sin * dy
+    src_y = cy + sin * dx + cos * dy
+    return sample(arr, src_x, src_y, method, border)
+
+
+@partial(jax.jit, static_argnames=("method", "out_rows", "out_cols"))
+def warp(arr, matrix, out_rows: int, out_cols: int,
+         method=Interpolation.BILINEAR):
+    """Backward-map through a 3x3 homogeneous transform (x, y, 1) order
+    with MIRROR sampling (reference: transforms.zig:522-533)."""
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_rows, dtype=jnp.float32),
+        jnp.arange(out_cols, dtype=jnp.float32),
+        indexing="ij",
+    )
+    m = jnp.asarray(matrix, dtype=jnp.float32)
+    sx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2]
+    sy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2]
+    sw = m[2, 0] * xs + m[2, 1] * ys + m[2, 2]
+    sw = jnp.where(sw == 0, 1.0, sw)
+    return sample(arr, sx / sw, sy / sw, method, BorderMode.MIRROR)
+
+
+def insert_region(arr, source, rect: tuple, angle: float,
+                  method=Interpolation.BILINEAR, blend_mode=0):
+    """Insert `source` into `arr` at a rotated rect; returns new array
+    (reference: transforms.zig:293-380). Both channel-last uint8 with the
+    same channel count (dtype conversion happens in the Image layer)."""
+    import jax.numpy as jnp
+
+    h, w = arr.shape[0], arr.shape[1]
+    sh, sw = source.shape[0], source.shape[1]
+    l, t, r, b = (float(v) for v in rect)
+    width = r - l
+    height = b - t
+    cx = (l + r) * 0.5
+    cy = (t + b) * 0.5
+    cos = float(np.cos(np.float32(angle)))
+    sin = float(np.sin(np.float32(angle)))
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dx = xs - cx
+    dy = ys - cy
+    rect_x = cos * dx + sin * dy
+    rect_y = -sin * dx + cos * dy
+    inside = (jnp.abs(rect_x) <= width * 0.5) & (jnp.abs(rect_y) <= height * 0.5)
+    norm_x = (rect_x + width * 0.5) / width
+    norm_y = (rect_y + height * 0.5) / height
+    src_x = jnp.where(sw == 1, 0.0, norm_x * (sw - 1))
+    src_y = jnp.where(sh == 1, 0.0, norm_y * (sh - 1))
+    sampled = sample(source, src_x, src_y, method, BorderMode.MIRROR)
+
+    if blend_mode and arr.shape[2] >= 3 and source.shape[2] == 4:
+        from ..blending import blend_arrays
+
+        base = arr.astype(jnp.float32) / 255.0
+        over = sampled.astype(jnp.float32) / 255.0
+        if base.shape[2] == 3:
+            base = jnp.concatenate([base, jnp.ones_like(base[..., :1])], axis=-1)
+        blended = blend_arrays(base, over, blend_mode)
+        out_px = jnp.clip(jnp.floor(blended[..., : arr.shape[2]] * 255.0 + 0.5),
+                          0, 255).astype(jnp.uint8)
+    else:
+        out_px = sampled[..., : arr.shape[2]]
+    return jnp.where(inside[..., None], out_px, arr)
