@@ -635,7 +635,95 @@ class Image:
 
         return rgb_to_gray_u8(dev[..., :3])[..., 0].astype(jnp.float32)
 
+    # -- thresholding & morphology -----------------------------------------
+
+    def threshold_otsu(self):
+        """Otsu binarization -> (binary gray Image, threshold)
+        (reference: image.zig:845; binary.zig:38)."""
+        from .ops.binary import otsu_threshold, threshold_apply
+
+        plane = self._gray_u8_plane()
+        t = otsu_threshold(plane)
+        binary = threshold_apply(plane, t)
+        return Image._from_device(binary[..., None], "gray"), int(t)
+
+    def threshold_adaptive_mean(self, radius: int = 6, c: float = 5.0):
+        """Adaptive mean threshold via integral image
+        (reference: image.zig:858; binary.zig:86)."""
+        radius = int(radius)
+        if radius <= 0:
+            raise ValueError("radius must be positive")
+        from .ops.binary import adaptive_mean_threshold
+
+        out = adaptive_mean_threshold(self._gray_u8_plane(), radius, float(c))
+        return Image._from_device(out[..., None], "gray")
+
+    def _morph(self, op_name: str, kernel_size: int, iterations: int):
+        kernel_size = int(kernel_size)
+        iterations = int(iterations)
+        if kernel_size < 3 or kernel_size % 2 == 0:
+            raise ValueError("kernel_size must be odd and >= 3")
+        if iterations < 0:
+            raise ValueError("iterations must be non-negative")
+        if iterations == 0:
+            return self.copy()
+        from .ops import binary as B
+
+        op = {"dilate": B.dilate, "erode": B.erode,
+              "open": B.open_morph, "close": B.close_morph}[op_name]
+        out = op(self._gray_u8_plane(), kernel_size, iterations)
+        return Image._from_device(out[..., None], "gray")
+
+    def dilate_binary(self, kernel_size: int = 3, iterations: int = 1):
+        return self._morph("dilate", kernel_size, iterations)
+
+    def erode_binary(self, kernel_size: int = 3, iterations: int = 1):
+        return self._morph("erode", kernel_size, iterations)
+
+    def open_binary(self, kernel_size: int = 3, iterations: int = 1):
+        return self._morph("open", kernel_size, iterations)
+
+    def close_binary(self, kernel_size: int = 3, iterations: int = 1):
+        return self._morph("close", kernel_size, iterations)
+
+    def _gray_u8_plane(self):
+        dev = self._device()
+        if self._space == "gray":
+            return dev[..., 0]
+        from .color._array import rgb_to_gray_u8
+
+        return rgb_to_gray_u8(dev[..., :3])[..., 0]
+
+    # -- enhancement ---------------------------------------------------------
+
+    def autocontrast(self, cutoff: float = 0.0) -> "Image":
+        """Contrast stretch ignoring `cutoff` fraction per end
+        (reference: image.zig:804; enhancement.zig:11)."""
+        cutoff = float(cutoff)
+        if cutoff < 0 or cutoff >= 0.5:
+            raise ValueError("cutoff must be in [0, 0.5)")
+        from .ops.enhancement import autocontrast as op
+
+        return Image._from_device(op(self._device(), cutoff), self._space)
+
+    def equalize(self) -> "Image":
+        """Histogram equalization per channel
+        (reference: image.zig:824; enhancement.zig:84)."""
+        from .ops.enhancement import equalize as op
+
+        return Image._from_device(op(self._device()), self._space)
+
     # -- metrics ------------------------------------------------------------
+
+    def ssim(self, other: "Image") -> float:
+        """Mean SSIM over 11x11 Gaussian windows
+        (reference: image.zig:1126; metrics.zig:56)."""
+        self._check_same(other)
+        if self.rows < 11 or self.cols < 11:
+            raise ValueError("images must be at least 11x11 for SSIM")
+        from .ops.metrics import ssim as op
+
+        return float(op(self._device(), other._device()))
 
     def psnr(self, other: "Image") -> float:
         """Peak signal-to-noise ratio in dB (reference: src/image/metrics.zig:10)."""

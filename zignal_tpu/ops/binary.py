@@ -1,0 +1,116 @@
+"""Binary thresholding and morphology (reference: src/image/binary.zig).
+
+Otsu's threshold search is vectorized over all 256 candidate thresholds;
+morphology with the square all-ones structuring element is two separable
+min/max passes (zero padding = background, matching the reference's OOB
+rules: dilate ignores OOB, erode treats OOB as background).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["histogram256", "otsu_threshold", "threshold_apply",
+           "adaptive_mean_threshold", "dilate", "erode", "open_morph",
+           "close_morph"]
+
+
+def histogram256(plane):
+    """256-bin histogram of a u8 [H, W] plane (scatter-add)."""
+    return jnp.zeros(256, jnp.int32).at[plane.reshape(-1)].add(1)
+
+
+@jax.jit
+def otsu_threshold(plane):
+    """Otsu between-class-variance maximization (binary.zig:38-85).
+    plane: u8 [H, W]. Returns scalar threshold (int32)."""
+    hist = histogram256(plane).astype(jnp.float64 if jax.config.jax_enable_x64
+                                      else jnp.float32)
+    total = jnp.sum(hist)
+    intensities = jnp.arange(256, dtype=hist.dtype)
+    sum_total = jnp.sum(hist * intensities)
+    wb = jnp.cumsum(hist)
+    sb = jnp.cumsum(hist * intensities)
+    wf = total - wb
+    valid = (wb > 0) & (wf > 0)
+    mean_b = sb / jnp.where(wb == 0, 1, wb)
+    mean_f = (sum_total - sb) / jnp.where(wf == 0, 1, wf)
+    variance = wb * wf * (mean_b - mean_f) ** 2
+    variance = jnp.where(valid, variance, -1.0)
+    return jnp.argmax(variance).astype(jnp.int32)
+
+
+def threshold_apply(plane, threshold):
+    return jnp.where(plane > threshold, 255, 0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def adaptive_mean_threshold(plane, radius: int, c: float):
+    """out = src > window_mean - c (binary.zig:86-118). plane: u8 [H,W]."""
+    from .integral import _box_sums, integral_image
+
+    sums, area = _box_sums(integral_image(plane[..., None]), radius)
+    mean = sums[..., 0] / area[..., 0]
+    return jnp.where(plane.astype(jnp.float32) > mean - c, 255, 0).astype(jnp.uint8)
+
+
+def _binarize(plane):
+    return (plane != 0)
+
+
+def _pool_pass(mask, ksize: int, is_max: bool, axis: int):
+    """Separable window max/min with zero (background) padding."""
+    half = ksize // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (half, half)
+    padded = jnp.pad(mask, pad, constant_values=False)
+    n = mask.shape[axis]
+    acc = None
+    for k in range(ksize):
+        sl = jax.lax.slice_in_dim(padded, k, k + n, axis=axis)
+        if acc is None:
+            acc = sl
+        elif is_max:
+            acc = acc | sl
+        else:
+            acc = acc & sl
+    return acc
+
+
+@partial(jax.jit, static_argnames=("ksize", "iterations"))
+def dilate(plane, ksize: int = 3, iterations: int = 1):
+    m = _binarize(plane)
+    for _ in range(iterations):
+        m = _pool_pass(_pool_pass(m, ksize, True, 0), ksize, True, 1)
+    return jnp.where(m, 255, 0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("ksize", "iterations"))
+def erode(plane, ksize: int = 3, iterations: int = 1):
+    m = _binarize(plane)
+    for _ in range(iterations):
+        m = _pool_pass(_pool_pass(m, ksize, False, 0), ksize, False, 1)
+    return jnp.where(m, 255, 0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("ksize", "iterations"))
+def open_morph(plane, ksize: int = 3, iterations: int = 1):
+    m = _binarize(plane)
+    for _ in range(iterations):
+        m = _pool_pass(_pool_pass(m, ksize, False, 0), ksize, False, 1)
+    for _ in range(iterations):
+        m = _pool_pass(_pool_pass(m, ksize, True, 0), ksize, True, 1)
+    return jnp.where(m, 255, 0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("ksize", "iterations"))
+def close_morph(plane, ksize: int = 3, iterations: int = 1):
+    m = _binarize(plane)
+    for _ in range(iterations):
+        m = _pool_pass(_pool_pass(m, ksize, True, 0), ksize, True, 1)
+    for _ in range(iterations):
+        m = _pool_pass(_pool_pass(m, ksize, False, 0), ksize, False, 1)
+    return jnp.where(m, 255, 0).astype(jnp.uint8)

@@ -1,0 +1,88 @@
+"""Histogram-based enhancement (reference: src/image/enhancement.zig).
+
+autocontrast: per-channel cutoff-percentile stretch; equalize:
+per-channel CDF remap. Histograms are scatter-adds; the LUT apply is a
+gather — both fuse on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .binary import histogram256
+
+__all__ = ["autocontrast", "equalize"]
+
+
+def _cutoff_min(hist, cutoff_pixels):
+    """First intensity whose cumulative count exceeds the cutoff
+    (histogram.zig:123-140); first non-zero bin when cutoff is 0."""
+    cum = jnp.cumsum(hist)
+    if_zero = jnp.argmax(hist > 0)
+    over = cum > cutoff_pixels
+    idx = jnp.where(jnp.any(over), jnp.argmax(over), 255)
+    return jnp.where(cutoff_pixels == 0, if_zero, idx)
+
+
+def _cutoff_max(hist, cutoff_pixels):
+    rev = hist[::-1]
+    cum = jnp.cumsum(rev)
+    if_zero = 255 - jnp.argmax(rev > 0)
+    over = cum > cutoff_pixels
+    idx = jnp.where(jnp.any(over), 255 - jnp.argmax(over), 0)
+    return jnp.where(cutoff_pixels == 0, if_zero, idx)
+
+
+@partial(jax.jit, static_argnames=("skip_alpha",))
+def autocontrast(arr, cutoff: float = 0.0, skip_alpha: bool = True):
+    """Stretch each channel's [cutoff_min, cutoff_max] to [0, 255].
+    arr: u8 [H, W, C]."""
+    h, w, ch = arr.shape
+    total = h * w
+    cutoff_pixels = jnp.int32(jnp.trunc(jnp.float32(total) * cutoff))
+    chans = []
+    for i in range(ch):
+        if skip_alpha and ch == 4 and i == 3:
+            chans.append(arr[..., i])
+            continue
+        plane = arr[..., i]
+        hist = histogram256(plane)
+        lo = _cutoff_min(hist, cutoff_pixels).astype(jnp.float32)
+        hi = _cutoff_max(hist, cutoff_pixels).astype(jnp.float32)
+        rng = jnp.where(hi > lo, hi - lo, 1.0)
+        clamped = jnp.clip(plane.astype(jnp.float32), lo, hi)
+        normalized = (clamped - lo) / rng
+        out = jnp.floor(normalized * 255.0 + 0.5)
+        chans.append(jnp.clip(out, 0, 255).astype(jnp.uint8))
+    return jnp.stack(chans, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("skip_alpha",))
+def equalize(arr, skip_alpha: bool = True):
+    """Per-channel histogram equalization via integer CDF LUT
+    (enhancement.zig:84-150). arr: u8 [H, W, C]."""
+    h, w, ch = arr.shape
+    total = h * w
+    chans = []
+    for i in range(ch):
+        if skip_alpha and ch == 4 and i == 3:
+            chans.append(arr[..., i])
+            continue
+        plane = arr[..., i]
+        hist = histogram256(plane)
+        cdf = jnp.cumsum(hist)
+        nonzero = cdf > 0
+        cdf_min = jnp.where(jnp.any(nonzero), cdf[jnp.argmax(nonzero)], 0)
+        denom = total - cdf_min
+        ident = jnp.arange(256, dtype=jnp.uint8)
+        lut = jnp.where(
+            cdf >= cdf_min,
+            ((cdf - cdf_min) * 255 // jnp.maximum(denom, 1)).astype(jnp.uint8),
+            0,
+        )
+        lut = jnp.where(denom == 0, ident, lut)
+        chans.append(lut[plane])
+    return jnp.stack(chans, axis=-1)
