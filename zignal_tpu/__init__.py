@@ -17,7 +17,11 @@ from .enums import BorderMode, DrawMode, Interpolation, ThresholdMode
 from .geometry import (
     AffineTransform, ConvexHull, ProjectiveTransform, SimilarityTransform,
 )
+from .fdm import FeatureDistributionMatching
 from .image import Image, PixelIterator
+from .matrix import Matrix
+from .pca import PCA
+from .stats import RunningStats
 from .rectangle import Rectangle
 
 __all__ = [
@@ -25,6 +29,7 @@ __all__ = [
     "Blending", "BorderMode", "DrawMode", "Interpolation", "ThresholdMode",
     "Gray", "Rgb", "Rgba", "Hsl", "Hsv", "Lab", "Lch", "Lms",
     "Oklab", "Oklch", "Xyb", "Xyz", "Ycbcr",
-    "Image", "PixelIterator", "Rectangle",
+    "Image", "PixelIterator", "Rectangle", "Matrix", "PCA",
+    "FeatureDistributionMatching", "RunningStats",
     "SimilarityTransform", "AffineTransform", "ProjectiveTransform", "ConvexHull",
 ]

@@ -1,0 +1,146 @@
+"""Feature Distribution Matching style transfer (reference: src/fdm.zig;
+paper: Abramov et al. 2020, fdm.zig:296-299).
+
+North-star MXU configuration (BASELINE.md): channel mean/covariance via
+device reductions (centered f32 einsum), the 3x3 SVD on host f64, and
+the per-pixel affine map X @ W + bias as one fused device kernel.
+Matches the reference pipeline: W = U_s diag(sqrt(lambda_t / lambda_s))
+U_t^T in [0,1] pixel space, then round + clamp to u8.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .image import Image
+
+__all__ = ["FeatureDistributionMatching"]
+
+
+def _mean_cov_device(arr_u8):
+    """Channel mean (3,) and sample covariance (3,3) of [H,W,3] u8 on
+    device (f32, centered two-pass for accuracy)."""
+    import jax.numpy as jnp
+
+    x = arr_u8.astype(jnp.float32).reshape(-1, 3) / 255.0
+    n = x.shape[0]
+    mean = jnp.mean(x, axis=0)
+    xc = x - mean
+    cov = (xc.T @ xc) / jnp.float32(max(n - 1, 1))
+    return np.asarray(mean, dtype=np.float64), np.asarray(cov, dtype=np.float64)
+
+
+def _gray_stats(img: Image):
+    """Luminance mean/variance in [0,1] (reference gray paths)."""
+    import jax.numpy as jnp
+
+    plane = img._gray_u8_plane().astype(jnp.float32) / 255.0
+    n = plane.size
+    mean = float(jnp.mean(plane))
+    var = float(jnp.sum((plane - mean) ** 2) / max(n - 1, 1))
+    return mean, var
+
+
+def _is_grayscale(img: Image) -> bool:
+    if img._space == "gray":
+        return True
+    a = img._host()
+    return bool(np.all(a[..., 0] == a[..., 1]) and np.all(a[..., 1] == a[..., 2]))
+
+
+class FeatureDistributionMatching:
+    """Stateful FDM: `set_target` once, re-use across sources
+    (reference: fdm.zig:19-299)."""
+
+    __slots__ = ("_target_mean", "_target_s", "_target_u",
+                 "_target_gray", "_source")
+
+    def __init__(self):
+        self._target_mean = None
+        self._target_s = None
+        self._target_u = None
+        self._target_gray = False
+        self._source = None
+
+    def set_target(self, target: Image) -> None:
+        if not isinstance(target, Image):
+            raise TypeError("target must be an Image")
+        if _is_grayscale(target):
+            mean, var = _gray_stats(target)
+            self._target_gray = True
+            self._target_mean = np.array([mean, mean, mean])
+            self._target_s = np.array([var, 0.0, 0.0])
+            self._target_u = None
+            return
+        mean, cov = _mean_cov_device(target._device()[..., :3])
+        u, s, _ = np.linalg.svd(cov)
+        self._target_gray = False
+        self._target_mean = mean
+        self._target_s = s
+        self._target_u = u
+
+    def set_source(self, source: Image) -> None:
+        if not isinstance(source, Image):
+            raise TypeError("source must be an Image")
+        self._source = source
+
+    def match(self, source: Image, target: Image) -> None:
+        """Match source's distribution to target's, in place."""
+        if not isinstance(source, Image) or not isinstance(target, Image):
+            raise TypeError("match expects two Images")
+        self.set_target(target)
+        self.set_source(source)
+        self.update()
+
+    def update(self) -> None:
+        """Apply the transform to the current source, in place
+        (reference: fdm.zig:141-272)."""
+        if self._target_mean is None:
+            raise RuntimeError("no target set")
+        if self._source is None:
+            raise RuntimeError("no source set")
+        import jax.numpy as jnp
+
+        src = self._source
+        if src._space == "gray" or self._target_gray:
+            mean_s, var_s = _gray_stats(src)
+            scale = (np.sqrt(self._target_s[0] / var_s)
+                     if var_s > 1e-10 else 1.0)
+            offset = self._target_mean[0] - mean_s * scale
+            if src._space == "gray":
+                plane = src._device()[..., 0].astype(jnp.float32) / 255.0
+                out = jnp.clip(plane * scale + offset, 0.0, 1.0)
+                res = jnp.floor(out * 255.0 + 0.5).astype(jnp.uint8)
+                src._host()[:] = np.asarray(res)[..., None]
+            else:
+                plane = src._gray_u8_plane().astype(jnp.float32) / 255.0
+                out = jnp.clip(plane * scale + offset, 0.0, 1.0)
+                res = jnp.floor(out * 255.0 + 0.5).astype(jnp.uint8)
+                res3 = jnp.repeat(res[..., None], 3, axis=-1)
+                host = src._host()
+                host[..., :3] = np.asarray(res3)
+            return
+
+        dev = src._device()[..., :3]
+        mean_s, cov_s = _mean_cov_device(dev)
+        u_s, s_s, _ = np.linalg.svd(cov_s)
+        sigma = np.zeros((3, 3))
+        for i in range(3):
+            if s_s[i] > 1e-10:
+                sigma[i, i] = np.sqrt(self._target_s[i] / s_s[i])
+        w = u_s @ sigma @ self._target_u.T
+        bias = self._target_mean - mean_s @ w
+
+        x = dev.astype(jnp.float32) / 255.0
+        res = jnp.clip(
+            jnp.einsum("hwc,cd->hwd", x, jnp.asarray(w, jnp.float32),
+                       precision="highest")
+            + jnp.asarray(bias, jnp.float32),
+            0.0, 1.0,
+        )
+        out = jnp.floor(res * 255.0 + 0.5).astype(jnp.uint8)
+        host = src._host()
+        host[..., :3] = np.asarray(out)
+
+    def __repr__(self):
+        return "FeatureDistributionMatching()"
