@@ -1,0 +1,203 @@
+"""Order-statistic blurs, motion blur, Canny, Shen-Castan
+(ported from reference test_image.py sections + oracles)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import zignal_tpu as zignal
+
+RNG = np.random.default_rng(9)
+
+
+class TestOrderStatBlurs:
+    def test_api(self):
+        img = zignal.Image(5, 5, (0, 0, 0, 255), dtype=zignal.Rgba)
+        assert isinstance(img.median_blur(1), zignal.Image)
+        assert isinstance(img.percentile_blur(1, 1.0), zignal.Image)
+        assert isinstance(
+            img.percentile_blur(1, 0.0, border=zignal.BorderMode.WRAP), zignal.Image
+        )
+        with pytest.raises(ValueError):
+            img.percentile_blur(1, 1.5)
+        for result in (img.min_blur(1), img.max_blur(1), img.midpoint_blur(1),
+                       img.alpha_trimmed_mean_blur(1, 0.1)):
+            assert isinstance(result, zignal.Image)
+        with pytest.raises(ValueError):
+            img.alpha_trimmed_mean_blur(1, 0.6)
+
+    def test_median_oracle(self):
+        plane = RNG.integers(0, 256, (9, 11), dtype=np.uint8)
+        img = zignal.Image.from_numpy(plane[..., None].copy())
+        got = img.median_blur(1).to_numpy()[..., 0]
+
+        def mirror(i, n):
+            if 0 <= i < n:
+                return i
+            period = 2 * (n - 1)
+            m = i % period
+            return period - m if m >= n else m
+
+        h, w = plane.shape
+        for r in range(h):
+            for c in range(w):
+                vals = sorted(
+                    plane[mirror(r + dr, h), mirror(c + dc, w)]
+                    for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                )
+                assert got[r, c] == vals[4], (r, c)
+
+    def test_min_max_equal_percentile(self):
+        plane = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+        img = zignal.Image.from_numpy(plane[..., None].copy())
+        assert img.min_blur(2) == img.percentile_blur(2, 0.0)
+        assert img.max_blur(2) == img.percentile_blur(2, 1.0)
+
+    def test_alpha_trimmed_oracle(self):
+        plane = RNG.integers(0, 256, (6, 7), dtype=np.uint8)
+        img = zignal.Image.from_numpy(plane[..., None].copy())
+        got = img.alpha_trimmed_mean_blur(1, 0.2).to_numpy()[..., 0]
+
+        def mirror(i, n):
+            if 0 <= i < n:
+                return i
+            period = 2 * (n - 1)
+            m = i % period
+            return period - m if m >= n else m
+
+        h, w = plane.shape
+        trim = min(int(np.floor(0.2 * 9)), 4)
+        for r in range(h):
+            for c in range(w):
+                vals = sorted(
+                    int(plane[mirror(r + dr, h), mirror(c + dc, w)])
+                    for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                )
+                kept = vals[trim:9 - trim]
+                want = min(255, (sum(kept) + len(kept) // 2) // len(kept))
+                assert got[r, c] == want, (r, c)
+
+
+class TestMotionBlur:
+    def test_linear(self):
+        img = zignal.Image(10, 10, (255, 0, 0), dtype=zignal.Rgb)
+        cfg = zignal.MotionBlur.linear(angle=0.0, distance=3)
+        out = img.motion_blur(cfg)
+        assert (out.rows, out.cols) == (10, 10)
+
+    def test_radial(self):
+        img = zignal.Image(10, 10, (255, 0, 0), dtype=zignal.Rgb)
+        z = img.motion_blur(zignal.MotionBlur.radial_zoom())
+        assert (z.rows, z.cols) == (10, 10)
+        s = img.motion_blur(
+            zignal.MotionBlur.radial_spin(center=(0.3, 0.7), strength=0.8)
+        )
+        assert (s.rows, s.cols) == (10, 10)
+
+    def test_diagonal_blurs_edge(self):
+        img = zignal.Image(16, 16, dtype=zignal.Gray)
+        img.to_numpy()[:, 8:] = 200
+        out = img.motion_blur(zignal.MotionBlur.linear(math.pi / 4, 6))
+        arr = out.to_numpy()[..., 0]
+        # the hard edge must be smeared
+        assert len(np.unique(arr[8, 6:10])) > 2
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            zignal.MotionBlur.radial_zoom(strength=2.0)
+        with pytest.raises(ValueError):
+            zignal.MotionBlur.radial_spin(center=(2.0, 0.5))
+        img = zignal.Image(4, 4)
+        with pytest.raises(TypeError):
+            img.motion_blur("linear")
+
+
+class TestCanny:
+    def test_canny_defaults_and_params(self):
+        img = zignal.Image(20, 20, dtype=zignal.Gray)
+        edges = img.canny()
+        assert (edges.rows, edges.cols) == (20, 20)
+        assert edges.dtype is zignal.Gray
+        assert img.canny(sigma=1.0, low=30, high=90) is not None
+        assert img.canny(sigma=0) is not None
+        with pytest.raises(ValueError):
+            img.canny(sigma=-1)
+
+    def test_canny_rejects_non_finite(self):
+        img = zignal.Image(20, 20, dtype=zignal.Gray)
+        for bad in (float("nan"), float("inf"), float("-inf")):
+            with pytest.raises(ValueError):
+                img.canny(sigma=bad)
+            with pytest.raises(ValueError):
+                img.canny(low=bad)
+            with pytest.raises(ValueError):
+                img.canny(high=bad)
+
+    def test_canny_finds_step_edge(self):
+        img = zignal.Image(32, 32, dtype=zignal.Gray)
+        img.to_numpy()[:, 16:] = 255
+        edges = img.canny(sigma=1.0, low=20, high=60).to_numpy()[..., 0]
+        assert edges[:, 14:18].max() == 255  # edge detected near column 16
+        assert edges[:, :10].max() == 0
+        assert edges[:, 22:].max() == 0
+
+
+class TestShenCastan:
+    def test_shen_castan_api(self):
+        img = zignal.Image(20, 20, (128, 128, 128), dtype=zignal.Rgb)
+        edges = img.shen_castan()
+        assert (edges.rows, edges.cols) == (20, 20)
+        assert edges.dtype is zignal.Gray
+        assert img.shen_castan(smooth=0.95, high_ratio=0.98) is not None
+        assert img.shen_castan(smooth=0.7, window_size=11) is not None
+        assert img.shen_castan(smooth=0.5, window_size=9, high_ratio=0.95) is not None
+        assert img.shen_castan(high_ratio=0.97, low_rel=0.4) is not None
+        assert img.shen_castan(use_nms=True) is not None
+        assert img.shen_castan(hysteresis=False) is not None
+        with pytest.raises(ValueError):
+            img.shen_castan(smooth=1.5)
+        with pytest.raises(ValueError):
+            img.shen_castan(window_size=4)
+        with pytest.raises(ValueError):
+            img.shen_castan(high_ratio=0.0)
+
+    def test_shen_castan_finds_edge(self):
+        # full-contrast step: gradient bins hit 255 where the percentile
+        # threshold clamps (min(idx, 255)), so the edge survives — a
+        # uniform mid-contrast step is legitimately thresholded away by
+        # the reference's ratio rule (edges.zig:166-178)
+        img = zignal.Image(32, 32, dtype=zignal.Gray)
+        img.to_numpy()[:, 16:] = 255
+        edges = img.shen_castan().to_numpy()[..., 0]
+        assert edges[:, 13:19].max() == 255
+        assert edges[:, :8].max() == 0
+
+
+def test_isef_matches_sequential():
+    """Associative-scan ISEF vs direct sequential transcription."""
+    from zignal_tpu.ops.edges import isef_filter
+
+    x = RNG.random((12, 15)).astype(np.float32) * 255
+    b = 0.8
+    a = 1.0 - b
+
+    def isef1d(data):
+        n = len(data)
+        temp = np.empty_like(data)
+        temp[0] = b * data[0]
+        for i in range(1, n):
+            temp[i] = b * data[i] + a * temp[i - 1]
+        out = np.empty_like(data)
+        out[n - 1] = temp[n - 1]
+        for i in range(n - 2, -1, -1):
+            out[i] = b * temp[i] + a * out[i + 1]
+        return out
+
+    want = x.copy()
+    for r in range(want.shape[0]):
+        want[r] = isef1d(want[r])
+    for c in range(want.shape[1]):
+        want[:, c] = isef1d(want[:, c])
+    got = np.asarray(isef_filter(x, b))
+    assert np.max(np.abs(got - want)) < 1e-2

@@ -20,6 +20,7 @@ from .geometry import (
 from .fdm import FeatureDistributionMatching
 from .image import Image, PixelIterator
 from .matrix import Matrix
+from .motion_blur import MotionBlur
 from .pca import PCA
 from .stats import RunningStats
 from .rectangle import Rectangle
@@ -30,6 +31,6 @@ __all__ = [
     "Gray", "Rgb", "Rgba", "Hsl", "Hsv", "Lab", "Lch", "Lms",
     "Oklab", "Oklch", "Xyb", "Xyz", "Ycbcr",
     "Image", "PixelIterator", "Rectangle", "Matrix", "PCA",
-    "FeatureDistributionMatching", "RunningStats",
+    "FeatureDistributionMatching", "RunningStats", "MotionBlur",
     "SimilarityTransform", "AffineTransform", "ProjectiveTransform", "ConvexHull",
 ]

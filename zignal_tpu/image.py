@@ -615,6 +615,73 @@ class Image:
 
         return Image._from_device(op(self._device(), sigma), self._space)
 
+    def _order_stat(self, op_name, radius, border, **kw):
+        radius = int(radius)
+        if radius < 0:
+            raise ValueError("radius must be non-negative")
+        if radius == 0:
+            return self.copy()
+        from .ops import order_stat as O
+
+        fn = {"median": O.median_blur, "percentile": O.percentile_blur,
+              "min": O.min_blur, "max": O.max_blur,
+              "midpoint": O.midpoint_blur,
+              "alpha_trimmed": O.alpha_trimmed_mean_blur}[op_name]
+        if op_name == "median":
+            out = fn(self._device(), radius)
+        elif op_name == "percentile":
+            out = fn(self._device(), radius, kw["percentile"], BorderMode(border))
+        elif op_name == "alpha_trimmed":
+            out = fn(self._device(), radius, kw["trim_fraction"], BorderMode(border))
+        else:
+            out = fn(self._device(), radius, BorderMode(border))
+        return Image._from_device(out, self._space)
+
+    def median_blur(self, radius: int) -> "Image":
+        """Median filter (reference: image.zig:653)."""
+        return self._order_stat("median", radius, BorderMode.MIRROR)
+
+    def percentile_blur(self, radius: int, percentile: float,
+                        border: BorderMode = BorderMode.MIRROR) -> "Image":
+        """Percentile filter (reference: image.zig:672)."""
+        percentile = float(percentile)
+        if not 0.0 <= percentile <= 1.0:
+            raise ValueError("percentile must be in [0, 1]")
+        return self._order_stat("percentile", radius, border, percentile=percentile)
+
+    def min_blur(self, radius: int, border: BorderMode = BorderMode.MIRROR) -> "Image":
+        return self._order_stat("min", radius, border)
+
+    def max_blur(self, radius: int, border: BorderMode = BorderMode.MIRROR) -> "Image":
+        return self._order_stat("max", radius, border)
+
+    def midpoint_blur(self, radius: int,
+                      border: BorderMode = BorderMode.MIRROR) -> "Image":
+        return self._order_stat("midpoint", radius, border)
+
+    def alpha_trimmed_mean_blur(self, radius: int, trim_fraction: float,
+                                border: BorderMode = BorderMode.MIRROR) -> "Image":
+        trim_fraction = float(trim_fraction)
+        if not np.isfinite(trim_fraction) or not 0.0 <= trim_fraction < 0.5:
+            raise ValueError("trim_fraction must be in [0, 0.5)")
+        return self._order_stat("alpha_trimmed", radius, border,
+                                trim_fraction=trim_fraction)
+
+    def motion_blur(self, config) -> "Image":
+        """Linear or radial motion blur (reference: image.zig:1077)."""
+        from .motion_blur import MotionBlur
+        from .ops.motion_blur_ops import linear_motion_blur, radial_blur
+
+        if not isinstance(config, MotionBlur):
+            raise TypeError("motion_blur expects a MotionBlur configuration")
+        dev = self._device()
+        if config.kind == "linear":
+            out = linear_motion_blur(dev, config.angle, config.distance)
+        else:
+            out = radial_blur(dev, config.center_x, config.center_y,
+                              config.strength, config.kind == "zoom")
+        return Image._from_device(out, self._space)
+
     def sobel(self) -> "Image":
         """Sobel gradient magnitude as a grayscale image
         (reference: image.zig:999; edges.zig:29)."""
@@ -622,6 +689,47 @@ class Image:
 
         gray = self._gray_f32()
         out = sobel_magnitude(gray)
+        return Image._from_device(out[..., None], "gray")
+
+    def canny(self, sigma: float = 1.4, low: float = 50, high: float = 150) -> "Image":
+        """Canny edge detection -> binary gray image
+        (reference: image.zig:1047; edges.zig:212)."""
+        sigma, low, high = float(sigma), float(low), float(high)
+        for v in (sigma, low, high):
+            if not np.isfinite(v):
+                raise ValueError("parameters must be finite numbers")
+        if sigma < 0:
+            raise ValueError("sigma must be non-negative")
+        if low < 0 or high < 0 or low >= high:
+            raise ValueError("thresholds must satisfy 0 <= low < high")
+        from .ops.edges import canny as op
+
+        out = op(self._gray_f32(), sigma, low, high)
+        return Image._from_device(out[..., None], "gray")
+
+    def shen_castan(self, smooth: float = 0.9, window_size: int = 7,
+                    high_ratio: float = 0.99, low_rel: float = 0.5,
+                    hysteresis: bool = True, use_nms: bool = False) -> "Image":
+        """Shen-Castan (ISEF) edge detection -> binary gray image
+        (reference: image.zig:1015; ShenCastan.zig)."""
+        smooth = float(smooth)
+        window_size = int(window_size)
+        high_ratio = float(high_ratio)
+        low_rel = float(low_rel)
+        if not 0 < smooth < 1:
+            raise ValueError("smooth must be in (0, 1)")
+        if window_size % 2 == 0:
+            raise ValueError("window_size must be odd")
+        if window_size < 3:
+            raise ValueError("window_size must be >= 3")
+        if not 0 < high_ratio < 1:
+            raise ValueError("high_ratio must be in (0, 1)")
+        if not 0 < low_rel < 1:
+            raise ValueError("low_rel must be in (0, 1)")
+        from .ops.edges import shen_castan as op
+
+        out = op(self._gray_f32(), smooth, window_size, high_ratio, low_rel,
+                 bool(hysteresis), bool(use_nms))
         return Image._from_device(out[..., None], "gray")
 
     def _gray_f32(self):

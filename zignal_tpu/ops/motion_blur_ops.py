@@ -1,0 +1,114 @@
+"""Motion blur kernels (reference: src/image/motion_blur.zig).
+
+All three modes are gather-accumulate over a static set of sample
+offsets with in-bounds masking and clamped bilinear taps — one fused
+device program per configuration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..enums import BorderMode
+from .convolution import convolve_separable
+
+__all__ = ["linear_motion_blur", "radial_blur"]
+
+
+def _bilinear_clamped(a, xs, ys, h, w):
+    """Reference's clamped bilinear tap (motion_blur.zig:140-157):
+    x1 = min(x0+1, w-1), x0 from floor (assumed in-bounds by mask)."""
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0)[..., None]
+    fy = (ys - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    v00 = a[y0i, x0i]
+    v10 = a[y0i, x1i]
+    v01 = a[y1i, x0i]
+    v11 = a[y1i, x1i]
+    v0 = v00 * (1 - fx) + v10 * fx
+    v1 = v01 * (1 - fx) + v11 * fx
+    return v0 * (1 - fy) + v1 * fy
+
+
+def _accumulate(arr, sample_fn, n_samples):
+    """Average in-bounds samples; fall back to the source pixel."""
+    h, w = arr.shape[0], arr.shape[1]
+    a = arr.astype(jnp.float32)
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    total = jnp.zeros_like(a)
+    count = jnp.zeros((h, w, 1), jnp.float32)
+    for s in range(n_samples):
+        sx, sy = sample_fn(s, xs, ys)
+        inside = ((sx >= 0) & (sx < w) & (sy >= 0) & (sy < h))[..., None]
+        val = _bilinear_clamped(a, sx, sy, h, w)
+        total = total + jnp.where(inside, val, 0.0)
+        count = count + inside
+    result = jnp.where(count > 0, total / jnp.maximum(count, 1), a)
+    if arr.dtype == jnp.uint8:
+        return jnp.clip(jnp.trunc(jnp.floor(result + 0.5)), 0, 255).astype(jnp.uint8)
+    return result.astype(arr.dtype)
+
+
+@partial(jax.jit, static_argnames=("angle", "distance"))
+def linear_motion_blur(arr, angle: float, distance: int):
+    """Average along a motion line (motion_blur.zig:65-175)."""
+    if distance == 0:
+        return arr
+    cos_a = float(np.cos(np.float32(angle)))
+    sin_a = float(np.sin(np.float32(angle)))
+    eps = 0.001
+    if abs(sin_a) < eps or abs(cos_a) < eps:
+        # separable uniform kernel fast path (replicate border)
+        kern = tuple([1.0 / distance] * distance)
+        ident = (1.0,)
+        kx, ky = (kern, ident) if abs(sin_a) < eps else (ident, kern)
+        return convolve_separable(arr, kx, ky, BorderMode.REPLICATE)
+    half = distance / 2.0
+    # t walks -half, -half+1, ... while t <= half
+    ts = [-half + i for i in range(distance + 2) if -half + i <= half]
+
+    def sample_fn(s, xs, ys):
+        t = ts[s]
+        return xs + t * cos_a, ys + t * sin_a
+
+    return _accumulate(arr, sample_fn, len(ts))
+
+
+@partial(jax.jit, static_argnames=("center_x", "center_y", "strength", "zoom"))
+def radial_blur(arr, center_x: float, center_y: float, strength: float,
+                zoom: bool):
+    """Radial zoom/spin blur (motion_blur.zig radial:240+)."""
+    if strength == 0:
+        return arr
+    h, w = arr.shape[0], arr.shape[1]
+    cx = center_x * (w - 1)
+    cy = center_y * (h - 1)
+    s_cl = min(max(strength, 0.0), 1.0)
+    n_samples = 8 + int(np.trunc(s_cl * 24))
+    max_distance = float(np.sqrt(cx * cx + cy * cy))
+
+    def sample_fn(s, xs, ys):
+        t = (s - (n_samples - 1) / 2.0) / (n_samples - 1)
+        dx = xs - cx
+        dy = ys - cy
+        dist = jnp.sqrt(dx * dx + dy * dy)
+        if zoom:
+            blur_amount = (dist / max(max_distance, 1e-6)) * s_cl * 20.0
+            scale = 1.0 + t * blur_amount * 0.1
+            return cx + dx * scale, cy + dy * scale
+        blur_amount = s_cl * 0.5
+        angle = jnp.arctan2(dy, dx)
+        new_angle = angle + t * blur_amount
+        return cx + dist * jnp.cos(new_angle), cy + dist * jnp.sin(new_angle)
+
+    return _accumulate(arr, sample_fn, n_samples)

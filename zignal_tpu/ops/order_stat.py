@@ -1,0 +1,129 @@
+"""Order-statistic blurs: median / percentile / min / max / midpoint /
+alpha-trimmed mean (reference: src/image/order_statistic_blur.zig).
+
+The reference slides a per-column histogram (inherently sequential); the
+TPU formulation gathers each (2r+1)^2 window into a lane axis and sorts
+it (SURVEY.md "hard parts": sorting networks for small windows). Rank
+selection over the sorted window is bit-identical to the reference's
+histogram rank walk. min/max skip the sort via separable pools.
+
+Border rule: every tap contributes a value; out-of-bounds taps under
+ZERO contribute 0 (order_statistic_blur.zig getPixel:338).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..enums import BorderMode
+from .interpolation import resolve_index_np
+
+__all__ = ["percentile_blur", "median_blur", "min_blur", "max_blur",
+           "midpoint_blur", "alpha_trimmed_mean_blur"]
+
+
+def _window_stack(arr, radius: int, border: BorderMode):
+    """[H, W, C] -> [H, W, C, k*k] window samples (0 for OOB under ZERO)."""
+    h, w = arr.shape[0], arr.shape[1]
+    k = 2 * radius + 1
+    offs = np.arange(k) - radius
+    ys = resolve_index_np(np.arange(h)[:, None] + offs[None, :], h, border)
+    xs = resolve_index_np(np.arange(w)[:, None] + offs[None, :], w, border)
+    parts = []
+    for i in range(k):
+        yi = np.where(ys[:, i] >= 0, ys[:, i], 0).astype(np.int32)
+        yv = jnp.asarray((ys[:, i] >= 0).astype(np.uint8))
+        rows = jnp.take(arr, yi, axis=0) * yv[:, None, None]
+        for j in range(k):
+            xi = np.where(xs[:, j] >= 0, xs[:, j], 0).astype(np.int32)
+            xv = jnp.asarray((xs[:, j] >= 0).astype(np.uint8))
+            parts.append(jnp.take(rows, xi, axis=1) * xv[None, :, None])
+    return jnp.stack(parts, axis=-1)
+
+
+def _rank_of(percentile: float, total: int) -> int:
+    """reference: histogram.zig percentile():586-610."""
+    rank_f = percentile * float(total - 1)
+    rank = int(np.trunc(np.floor(rank_f + 1e-12)))
+    return min(max(rank, 0), total - 1)
+
+
+@partial(jax.jit, static_argnames=("radius", "percentile", "border"))
+def percentile_blur(arr, radius: int, percentile: float,
+                    border: BorderMode = BorderMode.MIRROR):
+    k = 2 * radius + 1
+    total = k * k
+    rank = _rank_of(percentile, total)
+    win = _window_stack(arr, radius, BorderMode(border))
+    sorted_win = jnp.sort(win, axis=-1)
+    return sorted_win[..., rank]
+
+
+def median_blur(arr, radius: int):
+    return percentile_blur(arr, radius, 0.5, BorderMode.MIRROR)
+
+
+def _sep_pool(arr, radius: int, border: BorderMode, is_max: bool):
+    """Separable window min/max with the same border-resolved taps."""
+    h, w = arr.shape[0], arr.shape[1]
+    k = 2 * radius + 1
+    offs = np.arange(k) - radius
+
+    def pool_axis(a, n, axis):
+        idx = resolve_index_np(np.arange(n)[:, None] + offs[None, :], n, border)
+        acc = None
+        for i in range(k):
+            ii = np.where(idx[:, i] >= 0, idx[:, i], 0).astype(np.int32)
+            valid = jnp.asarray((idx[:, i] >= 0).astype(np.uint8))
+            shape = [1] * a.ndim
+            shape[axis] = -1
+            part = jnp.take(a, ii, axis=axis) * valid.reshape(shape)
+            if acc is None:
+                acc = part
+            elif is_max:
+                acc = jnp.maximum(acc, part)
+            else:
+                acc = jnp.minimum(acc, part)
+        return acc
+
+    return pool_axis(pool_axis(arr, h, 0), w, 1)
+
+
+@partial(jax.jit, static_argnames=("radius", "border"))
+def min_blur(arr, radius: int, border: BorderMode = BorderMode.MIRROR):
+    return _sep_pool(arr, radius, BorderMode(border), is_max=False)
+
+
+@partial(jax.jit, static_argnames=("radius", "border"))
+def max_blur(arr, radius: int, border: BorderMode = BorderMode.MIRROR):
+    return _sep_pool(arr, radius, BorderMode(border), is_max=True)
+
+
+@partial(jax.jit, static_argnames=("radius", "border"))
+def midpoint_blur(arr, radius: int, border: BorderMode = BorderMode.MIRROR):
+    """(window_min + window_max + 1) / 2 (MidpointReducer:357-364)."""
+    border = BorderMode(border)
+    lo = _sep_pool(arr, radius, border, is_max=False).astype(jnp.int32)
+    hi = _sep_pool(arr, radius, border, is_max=True).astype(jnp.int32)
+    return ((lo + hi + 1) // 2).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("radius", "trim_fraction", "border"))
+def alpha_trimmed_mean_blur(arr, radius: int, trim_fraction: float,
+                            border: BorderMode = BorderMode.MIRROR):
+    """Mean of the window after trimming `trim_each` samples per side
+    (AlphaTrimmedMeanReducer:366-410), symmetric integer rounding."""
+    k = 2 * radius + 1
+    total = k * k
+    trim_each = min(int(np.trunc(np.floor(trim_fraction * total))), total // 2)
+    win = _window_stack(arr, radius, BorderMode(border))
+    sorted_win = jnp.sort(win, axis=-1).astype(jnp.int32)
+    kept = sorted_win[..., trim_each:total - trim_each]
+    kept_count = kept.shape[-1]
+    kept_sum = jnp.sum(kept, axis=-1)
+    rounded = (kept_sum + kept_count // 2) // kept_count
+    return jnp.minimum(rounded, 255).astype(jnp.uint8)
