@@ -20,7 +20,9 @@ from .geometry import (
 from .fdm import FeatureDistributionMatching
 from .image import Image, PixelIterator
 from .matrix import Matrix
+from .colormaps import Colormap
 from .motion_blur import MotionBlur
+from .perlin import perlin, perlin_array
 from .pca import PCA
 from .stats import RunningStats
 from .rectangle import Rectangle
@@ -31,6 +33,7 @@ __all__ = [
     "Gray", "Rgb", "Rgba", "Hsl", "Hsv", "Lab", "Lch", "Lms",
     "Oklab", "Oklch", "Xyb", "Xyz", "Ycbcr",
     "Image", "PixelIterator", "Rectangle", "Matrix", "PCA",
-    "FeatureDistributionMatching", "RunningStats", "MotionBlur",
+    "FeatureDistributionMatching", "RunningStats", "MotionBlur", "Colormap",
+    "perlin", "perlin_array",
     "SimilarityTransform", "AffineTransform", "ProjectiveTransform", "ConvexHull",
 ]

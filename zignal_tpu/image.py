@@ -743,6 +743,77 @@ class Image:
 
         return rgb_to_gray_u8(dev[..., :3])[..., 0].astype(jnp.float32)
 
+    def apply_colormap(self, colormap) -> "Image":
+        """Map intensities through a colormap -> RGB image
+        (reference: image.zig:1190; colormaps.zig)."""
+        from .colormaps import Colormap
+
+        if not isinstance(colormap, Colormap):
+            raise TypeError("apply_colormap expects a Colormap")
+        out = colormap.apply_plane(self._gray_u8_plane())
+        return Image._from_device(out, "rgb")
+
+    def flood_fill(self, row: int, col: int, fill_value, threshold: float = 0.0,
+                   connectivity: int = 4, mode=None) -> None:
+        """In-place flood fill from a seed pixel
+        (reference: image.zig:831; flood_fill.zig)."""
+        from .enums import ThresholdMode
+
+        row, col = int(row), int(col)
+        if not (0 <= row < self.rows and 0 <= col < self.cols):
+            raise ValueError("seed coordinates out of bounds")
+        if connectivity not in (4, 8):
+            raise ValueError("connectivity must be 4 or 8")
+        mode = ThresholdMode.SEED if mode is None else ThresholdMode(mode)
+        threshold = float(threshold)
+        fill_px = np.array(_parse_color(fill_value, self._space), dtype=np.uint8)
+
+        arr = self._host()
+        img = arr.astype(np.float64)
+        offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if connectivity == 8:
+            offsets += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+
+        def shifted(a, dr, dc, fill=np.inf):
+            out = np.full_like(a, fill)
+            h, w = a.shape[:2]
+            rs = slice(max(dr, 0), h + min(dr, 0))
+            rd = slice(max(-dr, 0), h + min(-dr, 0))
+            cs = slice(max(dc, 0), w + min(dc, 0))
+            cd = slice(max(-dc, 0), w + min(-dc, 0))
+            out[rd, cd] = a[rs, cs]
+            return out
+
+        region = np.zeros(arr.shape[:2], dtype=bool)
+        region[row, col] = True
+        if mode == ThresholdMode.SEED:
+            seed_val = img[row, col]
+            dist = np.sqrt(((img - seed_val) ** 2).sum(axis=-1))
+            candidates = dist <= threshold
+            candidates[row, col] = True
+            while True:
+                grown = region.copy()
+                for dr, dc in offsets:
+                    grown |= shifted(region.astype(np.float64)[..., None],
+                                     dr, dc, 0.0)[..., 0] > 0
+                grown &= candidates
+                if (grown == region).all():
+                    break
+                region = grown
+        else:  # NEIGHBOR: compare against the neighbor spread from
+            while True:
+                grown = region.copy()
+                for dr, dc in offsets:
+                    nb_in_region = shifted(region.astype(np.float64)[..., None],
+                                           dr, dc, 0.0)[..., 0] > 0
+                    nb_val = shifted(img, dr, dc)
+                    dist = np.sqrt(((img - nb_val) ** 2).sum(axis=-1))
+                    grown |= nb_in_region & (dist <= threshold)
+                if (grown == region).all():
+                    break
+                region = grown
+        arr[region] = fill_px
+
     # -- thresholding & morphology -----------------------------------------
 
     def threshold_otsu(self):
