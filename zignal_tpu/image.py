@@ -743,6 +743,13 @@ class Image:
 
         return rgb_to_gray_u8(dev[..., :3])[..., 0].astype(jnp.float32)
 
+    def display(self, format: str = "auto") -> str:
+        """Terminal rendering escape sequence (reference: image.zig:462;
+        image/display.zig). Formats: auto/kitty/iterm2/sixel/sgr/braille."""
+        from .terminal.display import format_image
+
+        return format_image(self, format)
+
     def apply_colormap(self, colormap) -> "Image":
         """Map intensities through a colormap -> RGB image
         (reference: image.zig:1190; colormaps.zig)."""

@@ -62,5 +62,15 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
         ]
+        lib.zt_gif_lzw_encode.restype = ctypes.c_int64
+        lib.zt_gif_lzw_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.zt_dither_error_diffusion.restype = ctypes.c_int
+        lib.zt_dither_error_diffusion.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ]
         _lib = lib
     return _lib

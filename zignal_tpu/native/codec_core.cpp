@@ -10,6 +10,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <vector>
+#include <algorithm>
 
 extern "C" {
 
@@ -150,6 +152,128 @@ int64_t zt_gif_lzw_decode(const uint8_t* src, int64_t src_len,
 done:
     std::free(prefix); std::free(suffix); std::free(stack);
     return result;
+}
+
+// Error-diffusion dithering (reference behavior: src/image/dither.zig).
+// img: interleaved RGB u8 (h*w*3), modified in place to palette colors.
+// palette: pal_n*3 u8. lut: 32768 entries (5-bit RGB -> palette index).
+// mode: 0 = Floyd-Steinberg, 1 = Atkinson.
+int zt_dither_error_diffusion(uint8_t* img, int64_t h, int64_t w,
+                              const uint8_t* palette, int pal_n,
+                              const uint8_t* lut, int mode) {
+    (void)pal_n;
+    struct Tap { int dx, dy, weight, shift; };
+    static const Tap fs[] = {{1, 0, 7, 4}, {-1, 1, 3, 4}, {0, 1, 5, 4}, {1, 1, 1, 4}};
+    static const Tap at[] = {{1, 0, 1, 3}, {2, 0, 1, 3}, {-1, 1, 1, 3},
+                             {0, 1, 1, 3}, {1, 1, 1, 3}, {0, 2, 1, 3}};
+    const Tap* taps = mode == 0 ? fs : at;
+    const int ntaps = mode == 0 ? 4 : 6;
+
+    auto div_trunc_pow2 = [](int v, int s) {
+        if (s == 0) return v;
+        if (v >= 0) return v >> s;
+        const int d = 1 << s;
+        return (v + d - 1) >> s;
+    };
+    auto clamp8 = [](int v) -> uint8_t {
+        return (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+    };
+
+    for (int64_t r = 0; r < h; ++r) {
+        for (int64_t c = 0; c < w; ++c) {
+            uint8_t* p = img + (r * w + c) * 3;
+            const int r5 = p[0] >> 3, g5 = p[1] >> 3, b5 = p[2] >> 3;
+            const uint8_t idx = lut[(r5 << 10) | (g5 << 5) | b5];
+            const uint8_t* q = palette + idx * 3;
+            const int re = (int)p[0] - q[0];
+            const int ge = (int)p[1] - q[1];
+            const int be = (int)p[2] - q[2];
+            p[0] = q[0]; p[1] = q[1]; p[2] = q[2];
+            for (int t = 0; t < ntaps; ++t) {
+                const int64_t nc = c + taps[t].dx;
+                const int64_t nr = r + taps[t].dy;
+                if (nr < 0 || nr >= h || nc < 0 || nc >= w) continue;
+                uint8_t* n = img + (nr * w + nc) * 3;
+                n[0] = clamp8((int)n[0] + div_trunc_pow2(re * taps[t].weight, taps[t].shift));
+                n[1] = clamp8((int)n[1] + div_trunc_pow2(ge * taps[t].weight, taps[t].shift));
+                n[2] = clamp8((int)n[2] + div_trunc_pow2(be * taps[t].weight, taps[t].shift));
+            }
+        }
+    }
+    return 0;
+}
+
+// GIF LZW encode (reference behavior: src/codecs/gif/lzw.zig encoder).
+// Variable-width LSB-first codes with CLEAR/END, dictionary reset at 4096.
+// Returns bytes written to dst, or -1 on overflow.
+int64_t zt_gif_lzw_encode(const uint8_t* src, int64_t src_len,
+                          uint8_t* dst, int64_t dst_cap,
+                          int min_code_size) {
+    const int clear_code = 1 << min_code_size;
+    const int end_code = clear_code + 1;
+    static const int MAX_CODES = 4096;
+
+    // hash-based dictionary: key = (prefix << 8) | byte
+    std::vector<int32_t> table((size_t)MAX_CODES * 256, -1);
+
+    uint32_t bitbuf = 0;
+    int bitcnt = 0;
+    int64_t di = 0;
+    int code_size = min_code_size + 1;
+    int next_code = end_code + 1;
+
+    auto emit = [&](int code) -> bool {
+        bitbuf |= (uint32_t)code << bitcnt;
+        bitcnt += code_size;
+        while (bitcnt >= 8) {
+            if (di >= dst_cap) return false;
+            dst[di++] = (uint8_t)(bitbuf & 0xFF);
+            bitbuf >>= 8;
+            bitcnt -= 8;
+        }
+        return true;
+    };
+
+    if (!emit(clear_code)) return -1;
+    if (src_len == 0) {
+        if (!emit(end_code)) return -1;
+        if (bitcnt > 0) {
+            if (di >= dst_cap) return -1;
+            dst[di++] = (uint8_t)(bitbuf & 0xFF);
+        }
+        return di;
+    }
+
+    int prefix = src[0];
+    for (int64_t i = 1; i < src_len; ++i) {
+        const int byte = src[i];
+        const size_t key = (size_t)prefix * 256 + byte;
+        if (table[key] >= 0) {
+            prefix = table[key];
+            continue;
+        }
+        if (!emit(prefix)) return -1;
+        if (next_code < MAX_CODES) {
+            table[key] = next_code++;
+            if (next_code - 1 == (1 << code_size) && code_size < 12) {
+                // widen when the next emitted code could need more bits
+            }
+            if (next_code > (1 << code_size) && code_size < 12) code_size++;
+        } else {
+            if (!emit(clear_code)) return -1;
+            std::fill(table.begin(), table.end(), -1);
+            code_size = min_code_size + 1;
+            next_code = end_code + 1;
+        }
+        prefix = byte;
+    }
+    if (!emit(prefix)) return -1;
+    if (!emit(end_code)) return -1;
+    if (bitcnt > 0) {
+        if (di >= dst_cap) return -1;
+        dst[di++] = (uint8_t)(bitbuf & 0xFF);
+    }
+    return di;
 }
 
 }  // extern "C"

@@ -1,0 +1,159 @@
+"""Color quantization: median-cut adaptive palettes, fixed palettes, and
+the 32x32x32 5-bit RGB lookup table (reference: src/image/quantize.zig).
+
+Host-side (display/GIF path): the LUT build is fully vectorized numpy —
+all 32768 cells compute distances to the palette at once with the
+reference's tie-break score ``(dist << 8) | index``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["ColorLookupTable", "median_cut", "build_palette",
+           "fixed_6x7x6_palette", "web216_palette", "VGA16_PALETTE",
+           "PaletteMode"]
+
+QUANTIZE_BITS = 5
+
+VGA16_PALETTE = np.array([
+    (0, 0, 0), (128, 0, 0), (0, 128, 0), (128, 128, 0),
+    (0, 0, 128), (128, 0, 128), (0, 128, 128), (192, 192, 192),
+    (128, 128, 128), (255, 0, 0), (0, 255, 0), (255, 255, 0),
+    (0, 0, 255), (255, 0, 255), (0, 255, 255), (255, 255, 255),
+], dtype=np.uint8)
+
+
+def fixed_6x7x6_palette() -> np.ndarray:
+    """252-color 6x7x6 palette (quantize.zig fixed6x7x6Palette)."""
+    out = np.empty((252, 3), dtype=np.uint8)
+    i = 0
+    for r in range(6):
+        for g in range(7):
+            for b in range(6):
+                out[i] = ((r * 255 + 2) // 5, (g * 255 + 3) // 6, (b * 255 + 2) // 5)
+                i += 1
+    return out
+
+
+def web216_palette() -> np.ndarray:
+    out = np.empty((216, 3), dtype=np.uint8)
+    i = 0
+    for r in range(6):
+        for g in range(6):
+            for b in range(6):
+                out[i] = (r * 51, g * 51, b * 51)
+                i += 1
+    return out
+
+
+class PaletteMode:
+    """Palette strategy names (quantize.zig PaletteMode)."""
+
+    FIXED_6X7X6 = "fixed_6x7x6"
+    FIXED_VGA16 = "fixed_vga16"
+    FIXED_WEB216 = "fixed_web216"
+    ADAPTIVE = "adaptive"
+
+
+class ColorLookupTable:
+    """5-bit RGB cube -> nearest palette index
+    (quantize.zig ColorLookupTable:62-168)."""
+
+    __slots__ = ("palette", "table")
+
+    def __init__(self, palette: np.ndarray):
+        self.palette = np.asarray(palette, dtype=np.uint8)
+        q = np.arange(32, dtype=np.int64)
+        c8 = (q << 3) | (q >> 2)  # cell center reconstruction to 8-bit
+        rr, gg, bb = np.meshgrid(c8, c8, c8, indexing="ij")
+        cells = np.stack([rr, gg, bb], axis=-1).reshape(-1, 1, 3)
+        pal = self.palette.astype(np.int64).reshape(1, -1, 3)
+        dist = ((cells - pal) ** 2).sum(axis=-1)
+        score = (dist.astype(np.uint64) << np.uint64(8)) | np.arange(
+            pal.shape[1], dtype=np.uint64
+        )
+        self.table = (score.min(axis=1) & np.uint64(0xFF)).astype(np.uint8).reshape(32, 32, 32)
+
+    def lookup(self, rgb) -> int:
+        r, g, b = int(rgb[0]) >> 3, int(rgb[1]) >> 3, int(rgb[2]) >> 3
+        return int(self.table[r, g, b])
+
+    def lookup_array(self, arr: np.ndarray) -> np.ndarray:
+        """[.., 3] u8 -> [..] palette indices."""
+        return self.table[arr[..., 0] >> 3, arr[..., 1] >> 3, arr[..., 2] >> 3]
+
+
+def median_cut(arr: np.ndarray, max_colors: int) -> np.ndarray:
+    """Adaptive palette from [H, W, 3] u8 (quantize.zig medianCut:175-410).
+
+    Colors are first binned to the 5-bit cube; boxes split at the weighted
+    median of their largest dimension, prioritized by volume*population.
+    """
+    a = arr.reshape(-1, 3)
+    keys = ((a[:, 0].astype(np.int64) >> 3) << 10) | \
+           ((a[:, 1].astype(np.int64) >> 3) << 5) | (a[:, 2].astype(np.int64) >> 3)
+    uniq, counts = np.unique(keys, return_counts=True)
+    r5 = (uniq >> 10) & 0x1F
+    g5 = (uniq >> 5) & 0x1F
+    b5 = uniq & 0x1F
+    colors = np.stack([(r5 << 3) | (r5 >> 2), (g5 << 3) | (g5 >> 2),
+                       (b5 << 3) | (b5 >> 2)], axis=-1).astype(np.int64)
+    palette_size = min(len(colors), max_colors, 256)
+    if palette_size == 0:
+        raise ValueError("no colors to quantize")
+    if len(colors) == 1:
+        return colors.astype(np.uint8)
+
+    boxes = [(colors, counts)]
+
+    def box_stats(cols, cnts):
+        lo = cols.min(axis=0)
+        hi = cols.max(axis=0)
+        vol = int(np.prod(hi - lo + 1))
+        return lo, hi, vol, int(cnts.sum())
+
+    while len(boxes) < palette_size:
+        best, best_score = None, 0
+        for i, (cols, cnts) in enumerate(boxes):
+            if len(cols) <= 1:
+                continue
+            lo, hi, vol, pop = box_stats(cols, cnts)
+            if (hi <= lo).all():
+                continue
+            score = vol * pop
+            if score > best_score:
+                best_score, best = score, i
+        if best is None:
+            break
+        cols, cnts = boxes.pop(best)
+        lo, hi, _, _ = box_stats(cols, cnts)
+        dim = int(np.argmax(hi - lo))
+        order = np.argsort(cols[:, dim], kind="stable")
+        cols, cnts = cols[order], cnts[order]
+        half = cnts.sum() // 2
+        acc = np.cumsum(cnts)
+        cut = int(np.argmax(acc >= half)) + 1
+        cut = max(1, min(cut, len(cols) - 1))
+        boxes.append((cols[:cut], cnts[:cut]))
+        boxes.append((cols[cut:], cnts[cut:]))
+
+    palette = np.zeros((len(boxes), 3), dtype=np.uint8)
+    for i, (cols, cnts) in enumerate(boxes):
+        w = cnts.astype(np.uint64)
+        palette[i] = (cols.astype(np.uint64) * w[:, None]).sum(axis=0) // w.sum()
+    return palette
+
+
+def build_palette(arr: np.ndarray, mode: str = PaletteMode.ADAPTIVE,
+                  max_colors: int = 256) -> np.ndarray:
+    """Palette per mode (quantize.zig buildPalette:502-530)."""
+    if mode == PaletteMode.FIXED_6X7X6:
+        return fixed_6x7x6_palette()
+    if mode == PaletteMode.FIXED_VGA16:
+        return VGA16_PALETTE.copy()
+    if mode == PaletteMode.FIXED_WEB216:
+        return web216_palette()
+    if mode == PaletteMode.ADAPTIVE:
+        return median_cut(arr, max_colors)
+    raise ValueError(f"unknown palette mode {mode!r}")
