@@ -1,0 +1,180 @@
+"""Feature detection/matching tests (reference strategy:
+src/features/test_orb_integration.zig — synthetic imagery end-to-end)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import zignal_tpu as zignal
+from zignal_tpu.features import (
+    BinaryDescriptor, BruteForceMatcher, Fast, Orb, Tracer,
+)
+from zignal_tpu.ops.hough import HoughTransform
+from zignal_tpu.ops.pyramid import ImagePyramid
+
+
+def _corner_image(n=64):
+    """White square on black: four strong corners."""
+    a = np.zeros((n, n), dtype=np.uint8)
+    a[16:48, 16:48] = 255
+    return a
+
+
+class TestFast:
+    def test_detects_square_corners(self):
+        kps = Fast(threshold=30).detect(_corner_image())
+        assert len(kps) >= 4
+        corners = {(16, 16), (16, 47), (47, 16), (47, 47)}
+        for cx, cy in corners:
+            assert any(abs(k.x - cx) <= 2 and abs(k.y - cy) <= 2 for k in kps), (cx, cy)
+
+    def test_flat_image_no_corners(self):
+        assert Fast().detect(np.full((32, 32), 128, np.uint8)) == []
+
+    def test_oracle_is_corner(self):
+        """Vectorized detector vs the per-pixel reference criterion."""
+        from zignal_tpu.features.fast import CIRCLE_OFFSETS, fast_response_map
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+        thr = 20
+        got = np.asarray(fast_response_map(img, thr, 9))
+
+        def is_corner(r, c):
+            center = int(img[r, c])
+            ring = [int(img[r + dy, c + dx]) for dx, dy in CIRCLE_OFFSETS]
+            for mask_fn in (lambda p: p > min(center + thr, 255),
+                            lambda p: p < max(center - thr, 0)):
+                bits = [mask_fn(p) for p in ring] * 2
+                run = best = 0
+                for b in bits:
+                    run = run + 1 if b else 0
+                    best = max(best, run)
+                if best >= 9:
+                    return True
+            return False
+
+        for r in range(3, 21):
+            for c in range(3, 21):
+                assert (got[r, c] > 0) == is_corner(r, c), (r, c)
+
+
+class TestPyramid:
+    def test_build_and_coords(self):
+        import jax.numpy as jnp
+
+        pyr = ImagePyramid.build(jnp.asarray(_corner_image(100)), 4, 1.5)
+        assert pyr.n_levels == 4
+        assert pyr.levels[1].shape == (66, 66)
+        x, y = pyr.to_original(2, 10, 10)
+        assert x == pytest.approx(10 * 1.5**2)
+        lx, ly = pyr.to_level(2, x, y)
+        assert lx == pytest.approx(10)
+
+
+class TestOrb:
+    def test_detect_and_compute(self):
+        img = _corner_image(96)
+        orb = Orb(n_features=100, n_levels=4)
+        kps, descs = orb.detect_and_compute(img)
+        assert len(kps) >= 4
+        assert len(descs) == len(kps)
+        assert all(isinstance(d, BinaryDescriptor) for d in descs)
+        assert all(-180.0 <= k.angle <= 180.0 for k in kps)
+
+    def test_matching_identical_images(self):
+        img = _corner_image(96)
+        orb = Orb(n_features=50, n_levels=3)
+        kps1, d1 = orb.detect_and_compute(img)
+        kps2, d2 = orb.detect_and_compute(img)
+        matches = BruteForceMatcher(cross_check=True).match(d1, d2)
+        assert len(matches) >= 4
+        # identical images -> zero distances
+        assert all(m.distance == 0 for m in matches)
+
+    def test_matching_translated(self):
+        rng = np.random.default_rng(8)
+        base = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+        import jax.numpy as jnp
+
+        from zignal_tpu.ops.convolution import gaussian_blur
+
+        base = np.asarray(gaussian_blur(jnp.asarray(base)[..., None], 2.0))[..., 0]
+        shifted = np.roll(base, (0, 7), axis=(0, 1))
+        orb = Orb(n_features=80, n_levels=3)
+        k1, d1 = orb.detect_and_compute(base)
+        k2, d2 = orb.detect_and_compute(shifted)
+        if not d1 or not d2:
+            pytest.skip("not enough texture")
+        matches = BruteForceMatcher(cross_check=True, max_distance=40).match(d1, d2)
+        good = 0
+        for m in matches:
+            dx = k2[m.train_idx].x - k1[m.query_idx].x
+            dy = k2[m.train_idx].y - k1[m.query_idx].y
+            if abs(dx - 7) <= 2 and abs(dy) <= 2:
+                good += 1
+        assert good >= max(2, len(matches) // 3)
+
+
+class TestMatcher:
+    def test_knn_and_radius(self):
+        d = []
+        for val in (0x00, 0xFF, 0x0F):
+            b = BinaryDescriptor()
+            b.bits[:] = val
+            d.append(b)
+        m = BruteForceMatcher()
+        knn = m.knn_match([d[0]], d, k=2)
+        assert knn[0][0].train_idx == 0
+        assert knn[0][0].distance == 0
+        rad = m.radius_match([d[0]], d, max_distance=130)
+        assert {mm.train_idx for mm in rad[0]} == {0, 2}
+        stats = m.stats(m.match(d, d))
+        assert stats.count == 3 and stats.mean_distance == 0
+
+
+class TestHough:
+    def test_horizontal_and_tilted_lines(self):
+        n = 128
+        edges = np.zeros((n, n), dtype=np.uint8)
+        edges[90, :] = 255                     # horizontal line (angle 0)
+        for i in range(n):                     # near-vertical tilted line
+            c = 40 + i // 8
+            edges[i, c] = 255
+        ht = HoughTransform(n)
+        acc = ht.compute(edges)
+        lines = ht.find_lines(acc, threshold=n // 2)
+        assert len(lines) >= 2
+        assert any(abs(ln.angle) < 3 for ln in lines[:3])          # horizontal
+        assert any(abs(abs(ln.angle) - 83) < 6 for ln in lines[:3])  # tilted
+
+    def test_diagonal(self):
+        n = 96
+        edges = np.zeros((n, n), dtype=np.uint8)
+        for i in range(n):
+            edges[i, i] = 255
+        ht = HoughTransform(n)
+        lines = ht.find_lines(ht.compute(edges), threshold=n // 2)
+        assert lines
+        assert abs(abs(lines[0].angle) - 45) < 5
+
+
+class TestTracer:
+    def test_traces_line(self):
+        edges = np.zeros((32, 32), dtype=np.uint8)
+        edges[5, 2:30] = 255
+        polys = Tracer(min_length=8).trace(edges)
+        assert len(polys) == 1
+        poly = polys[0]
+        assert len(poly) == 2  # straight line simplifies to endpoints
+        xs = sorted([poly[0][0], poly[-1][0]])
+        assert xs[0] <= 3 and xs[1] >= 28
+
+    def test_rdp_simplifies_l_shape(self):
+        edges = np.zeros((32, 32), dtype=np.uint8)
+        edges[5, 5:20] = 255
+        edges[5:20, 19] = 255
+        polys = Tracer(min_length=8).trace(edges)
+        assert len(polys) == 1
+        assert 2 <= len(polys[0]) <= 4  # corner kept, straights simplified

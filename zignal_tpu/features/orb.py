@@ -1,0 +1,180 @@
+"""ORB: FAST on an image pyramid + intensity-centroid orientation +
+rotated BRIEF descriptors from the learned pattern
+(reference: src/features/orb.zig)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..ops.pyramid import ImagePyramid
+from ._orb_pattern import ORB_PATTERN
+from .descriptor import BinaryDescriptor
+from .fast import Fast, KeyPoint
+
+__all__ = ["Orb"]
+
+PATCH_SIZE = 31
+_HALF = PATCH_SIZE // 2
+
+# circular orientation mask (orb.zig orientation_weights)
+_YY, _XX = np.mgrid[-_HALF:_HALF + 1, -_HALF:_HALF + 1]
+_CIRC = (_XX**2 + _YY**2 <= _HALF * _HALF).astype(np.float32)
+
+_PAT = np.asarray(ORB_PATTERN, dtype=np.float32)  # [256, 4]
+
+
+@dataclasses.dataclass
+class Orb:
+    """ORB detector/descriptor (reference: orb.zig:85-110 options)."""
+
+    n_features: int = 500
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    edge_threshold: int = _HALF
+    first_level: int = 0
+    fast_threshold: int = 20
+    score_type: str = "harris_score"
+
+    def _pyramid(self, plane):
+        return ImagePyramid.build(plane, self.n_levels, self.scale_factor, 1.6)
+
+    def _features_per_level(self):
+        """Geometric distribution of the feature budget (orb.zig)."""
+        factor = 1.0 / self.scale_factor
+        n_desired = []
+        total = self.n_features * (1 - factor) / (1 - factor**self.n_levels)
+        for lvl in range(self.n_levels):
+            n_desired.append(int(round(total * factor**lvl)))
+        return n_desired
+
+    def detect(self, image) -> list:
+        plane = self._plane(image)
+        return self._detect_with_pyramid(self._pyramid(plane))
+
+    def compute(self, image, keypoints) -> list:
+        plane = self._plane(image)
+        return self._compute_with_pyramid(self._pyramid(plane), keypoints)
+
+    def detect_and_compute(self, image):
+        plane = self._plane(image)
+        pyr = self._pyramid(plane)
+        kps = self._detect_with_pyramid(pyr)
+        return kps, self._compute_with_pyramid(pyr, kps)
+
+    def _plane(self, image):
+        from ..image import Image
+
+        if isinstance(image, Image):
+            return image._gray_u8_plane()
+        import jax.numpy as jnp
+
+        a = jnp.asarray(np.asarray(image))
+        return a[..., 0] if a.ndim == 3 else a
+
+    def _detect_with_pyramid(self, pyr: ImagePyramid) -> list:
+        per_level = self._features_per_level()
+        out = []
+        for level in range(self.first_level, self.n_levels):
+            n_desired = per_level[level]
+            if n_desired == 0:
+                continue
+            lvl_plane = pyr.levels[level]
+            if min(lvl_plane.shape) < 16:
+                continue
+            thr = max(5, int(self.fast_threshold * (0.9 ** level)))
+            fast = Fast(threshold=thr, nonmax_suppression=True)
+            corners = fast.detect(lvl_plane)
+            arr = np.asarray(lvl_plane)
+            if self.score_type == "harris_score":
+                for kp in corners:
+                    kp.response = _harris_response(arr, kp)
+            corners.sort(key=lambda k: -k.response)
+            corners = corners[:n_desired]
+
+            scale = pyr.scale_of(level)
+            margin = max(3.0, self.edge_threshold / scale)
+            h, w = arr.shape
+            for kp in corners:
+                if (kp.x < margin or kp.x >= w - margin
+                        or kp.y < margin or kp.y >= h - margin):
+                    continue
+                kp.angle = _orientation(arr, kp)
+                kp.octave = level
+                kp.x *= scale
+                kp.y *= scale
+                kp.size *= scale
+                out.append(kp)
+        return out
+
+    def _compute_with_pyramid(self, pyr: ImagePyramid, keypoints) -> list:
+        planes = [np.asarray(lvl) for lvl in pyr.levels]
+        descs = []
+        for kp in keypoints:
+            level = min(max(kp.octave, 0), self.n_levels - 1)
+            scale = pyr.scale_of(level)
+            lk = KeyPoint(kp.x / scale, kp.y / scale, kp.size / scale,
+                          kp.angle, kp.response, kp.octave, kp.class_id)
+            descs.append(_brief_descriptor(planes[level], lk))
+        return descs
+
+
+def _orientation(arr: np.ndarray, kp: KeyPoint) -> float:
+    """Intensity centroid in a circular 31x31 patch (orb.zig
+    computeOrientation) -> angle in degrees."""
+    h, w = arr.shape
+    x = int(np.trunc(kp.x))
+    y = int(np.trunc(kp.y))
+    r0, r1 = y - _HALF, y + _HALF + 1
+    c0, c1 = x - _HALF, x + _HALF + 1
+    pr0, pc0 = max(r0, 0), max(c0, 0)
+    pr1, pc1 = min(r1, h), min(c1, w)
+    patch = np.zeros((PATCH_SIZE, PATCH_SIZE), np.float32)
+    patch[pr0 - r0:pr1 - r0, pc0 - c0:pc1 - c0] = arr[pr0:pr1, pc0:pc1]
+    weighted = patch * _CIRC
+    m00 = weighted.sum()
+    if m00 < 0.001:
+        return 0.0
+    m10 = (weighted * _XX).sum()
+    m01 = (weighted * _YY).sum()
+    return float(np.degrees(np.arctan2(m01 / m00, m10 / m00)))
+
+
+def _brief_descriptor(arr: np.ndarray, kp: KeyPoint) -> BinaryDescriptor:
+    """Rotated BRIEF from the learned pattern (orb.zig
+    computeBriefDescriptor); out-of-bounds points leave bits at 0."""
+    h, w = arr.shape
+    cos_a = np.cos(np.radians(kp.angle))
+    sin_a = np.sin(np.radians(kp.angle))
+    x1, y1, x2, y2 = _PAT[:, 0], _PAT[:, 1], _PAT[:, 2], _PAT[:, 3]
+    rx1 = np.round(kp.x + cos_a * x1 - sin_a * y1).astype(int)
+    ry1 = np.round(kp.y + sin_a * x1 + cos_a * y1).astype(int)
+    rx2 = np.round(kp.x + cos_a * x2 - sin_a * y2).astype(int)
+    ry2 = np.round(kp.y + sin_a * x2 + cos_a * y2).astype(int)
+    valid = ((rx1 >= 0) & (rx1 < w) & (ry1 >= 0) & (ry1 < h)
+             & (rx2 >= 0) & (rx2 < w) & (ry2 >= 0) & (ry2 < h))
+    p1 = arr[np.clip(ry1, 0, h - 1), np.clip(rx1, 0, w - 1)]
+    p2 = arr[np.clip(ry2, 0, h - 1), np.clip(rx2, 0, w - 1)]
+    bits = valid & (p1 < p2)
+    d = BinaryDescriptor(np.packbits(bits, bitorder="little"))
+    return d
+
+
+def _harris_response(arr: np.ndarray, kp: KeyPoint, k: float = 0.04) -> float:
+    """Harris score over a 7x7 window (orb.zig computeHarrisResponse)."""
+    h, w = arr.shape
+    x = int(np.trunc(kp.x))
+    y = int(np.trunc(kp.y))
+    half = 3
+    if x < half + 1 or x >= w - half - 1 or y < half + 1 or y >= h - half - 1:
+        return 0.0
+    win = arr[y - half - 1:y + half + 2, x - half - 1:x + half + 2].astype(np.float32)
+    ix = (win[1:-1, 2:] - win[1:-1, :-2]) * 0.5
+    iy = (win[2:, 1:-1] - win[:-2, 1:-1]) * 0.5
+    ixx = (ix * ix).sum()
+    iyy = (iy * iy).sum()
+    ixy = (ix * iy).sum()
+    det = ixx * iyy - ixy * ixy
+    trace = ixx + iyy
+    return float(det - k * trace * trace)
