@@ -20,8 +20,14 @@ from .geometry import (
 from .fdm import FeatureDistributionMatching
 from .image import Image, PixelIterator
 from .matrix import Matrix
+from .canvas import Canvas
+from .codecs.gif import AnimatedImage
 from .colormaps import Colormap
+from .font import BitmapFont
 from .motion_blur import MotionBlur
+from .optimization import (
+    Assignment, OptimizationPolicy, optimize, solve_assignment_problem,
+)
 from .perlin import perlin, perlin_array
 from .pca import PCA
 from .stats import RunningStats
@@ -34,6 +40,8 @@ __all__ = [
     "Oklab", "Oklch", "Xyb", "Xyz", "Ycbcr",
     "Image", "PixelIterator", "Rectangle", "Matrix", "PCA",
     "FeatureDistributionMatching", "RunningStats", "MotionBlur", "Colormap",
+    "Canvas", "BitmapFont", "AnimatedImage",
     "perlin", "perlin_array",
+    "OptimizationPolicy", "Assignment", "solve_assignment_problem", "optimize",
     "SimilarityTransform", "AffineTransform", "ProjectiveTransform", "ConvexHull",
 ]

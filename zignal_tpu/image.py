@@ -178,6 +178,11 @@ class Image:
             raise TypeError("from_numpy expects a numpy.ndarray")
         if array.dtype != np.uint8:
             raise TypeError("from_numpy requires a uint8 array")
+        if not array.flags.writeable:
+            raise ValueError(
+                "from_numpy borrows the array and requires it to be writable "
+                "(pass array.copy() for read-only data)"
+            )
         if array.ndim == 3 and array.shape[2] in _CHANNELS_SPACE:
             return cls._from_host(array, _CHANNELS_SPACE[array.shape[2]])
         raise ValueError(

@@ -1,0 +1,8 @@
+"""Optimization: global MaxLIPO+TR search and the Hungarian assignment
+solver (reference: src/optimization/)."""
+
+from .assignment import Assignment, OptimizationPolicy, solve_assignment_problem
+from .global_search import optimize
+
+__all__ = ["OptimizationPolicy", "Assignment", "solve_assignment_problem",
+           "optimize"]
