@@ -904,6 +904,12 @@ class Image:
 
         return Image._from_device(op(self._device()), self._space)
 
+    def histogram(self):
+        """Per-channel 256-bin histogram (reference: image.zig:1161)."""
+        from .histogram import Histogram
+
+        return Histogram.from_image(self)
+
     # -- metrics ------------------------------------------------------------
 
     def ssim(self, other: "Image") -> float:
