@@ -1,0 +1,47 @@
+"""Input pipeline tests (double-buffered host->device loader)."""
+
+import numpy as np
+
+import zignal_tpu as zignal
+from zignal_tpu.io_pipeline import BatchLoader, load_image_batch
+
+
+def _write_images(tmp_path, n, size=(24, 32)):
+    paths = []
+    rng = np.random.default_rng(1)
+    for i in range(n):
+        arr = rng.integers(0, 256, (*size, 3), dtype=np.uint8)
+        p = str(tmp_path / f"img_{i}.png")
+        zignal.Image.from_numpy(arr).save(p)
+        paths.append(p)
+    return paths
+
+
+def test_load_image_batch(tmp_path):
+    paths = _write_images(tmp_path, 4)
+    batch = load_image_batch(paths, shape=(16, 16))
+    assert batch.shape == (4, 16, 16, 3)
+    assert batch.dtype == np.uint8
+
+
+def test_batch_loader_iterates_with_prefetch(tmp_path):
+    paths = _write_images(tmp_path, 7)
+    loader = BatchLoader(paths, batch_size=3, shape=(16, 16))
+    assert len(loader) == 3
+    shapes = [b.shape for b in loader]
+    assert shapes == [(3, 16, 16, 3), (3, 16, 16, 3), (1, 16, 16, 3)]
+
+
+def test_batch_loader_drop_remainder(tmp_path):
+    paths = _write_images(tmp_path, 7)
+    loader = BatchLoader(paths, batch_size=3, shape=(8, 8), drop_remainder=True)
+    assert len(loader) == 2
+    assert sum(1 for _ in loader) == 2
+
+
+def test_batch_loader_propagates_errors(tmp_path):
+    import pytest
+
+    loader = BatchLoader([str(tmp_path / "missing.png")], batch_size=1)
+    with pytest.raises(FileNotFoundError):
+        list(loader)

@@ -13,7 +13,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["BmpInfo", "get_info", "decode", "load", "load_from_bytes",
+__all__ = ["DecodeLimits", "BmpInfo", "get_info", "decode", "load", "load_from_bytes",
            "encode", "save", "SIGNATURE"]
 
 SIGNATURE = b"BM"
@@ -21,6 +21,14 @@ SIGNATURE = b"BM"
 
 class BmpError(ValueError):
     pass
+
+
+@dataclasses.dataclass
+class DecodeLimits:
+    """Anti-bomb resource limits (reference: bmp.zig:37)."""
+
+    max_width: int = 1 << 16
+    max_height: int = 1 << 16
 
 
 @dataclasses.dataclass
@@ -141,12 +149,15 @@ def _mask_shift(mask: int):
     return shift, width, max(1, maxval)
 
 
-def decode(data: bytes):
+def decode(data: bytes, limits: DecodeLimits | None = None):
     """Decode BMP bytes -> (uint8 [H,W,C] array with C in 1/3/4, BmpInfo)."""
+    limits = limits or DecodeLimits()
     info, data_offset, pal_off, pal_entry, clr_used, masks = _parse_header(data)
     w, h, bpp = info.width, info.height, info.bit_count
     if w <= 0 or h == 0:
         raise BmpError("invalid BMP dimensions")
+    if w > limits.max_width or abs(h) > limits.max_height:
+        raise BmpError("image exceeds decode limits")
     comp = info.compression
 
     palette = None

@@ -21,7 +21,7 @@ from ..native import get_lib
 from ..ops.dither import DitherMode, apply_dither
 from ..ops.quantize import ColorLookupTable, median_cut
 
-__all__ = ["GifInfo", "AnimatedImage", "get_info", "decode", "decode_animated",
+__all__ = ["DecodeLimits", "GifInfo", "AnimatedImage", "get_info", "decode", "decode_animated",
            "load", "load_from_bytes", "load_animated", "encode",
            "encode_animated", "save", "SIGNATURES"]
 
@@ -30,6 +30,15 @@ SIGNATURES = (b"GIF87a", b"GIF89a")
 
 class GifError(ValueError):
     pass
+
+
+@dataclasses.dataclass
+class DecodeLimits:
+    """Anti-bomb resource limits (reference: gif.zig:48)."""
+
+    max_width: int = 1 << 16
+    max_height: int = 1 << 16
+    max_frames: int = 4096
 
 
 @dataclasses.dataclass
@@ -171,10 +180,13 @@ def get_info(data: bytes) -> GifInfo:
     return GifInfo(p.width, p.height, count, p.loop_count)
 
 
-def decode_animated(data: bytes) -> AnimatedImage:
+def decode_animated(data: bytes, limits: DecodeLimits | None = None) -> AnimatedImage:
     """Decode + compose all frames -> RGBA arrays
     (reference: gif.zig loadAnimated/compose)."""
+    limits = limits or DecodeLimits()
     p = _Parser(data)
+    if p.width > limits.max_width or p.height > limits.max_height:
+        raise GifError("image exceeds decode limits")
     canvas = np.zeros((p.height, p.width, 4), dtype=np.uint8)
     frames = []
     delays = []
@@ -190,6 +202,8 @@ def decode_animated(data: bytes) -> AnimatedImage:
         region[mask] = np.concatenate([rgb, alpha[..., None]], axis=-1)[mask]
         frames.append(canvas.copy())
         delays.append(delay)
+        if len(frames) > limits.max_frames:
+            raise GifError("frame count exceeds decode limits")
         if disposal == 2:  # restore to background (transparent)
             canvas[t:t + h, l:l + w] = 0
         elif disposal == 3 and prev is not None:  # restore to previous

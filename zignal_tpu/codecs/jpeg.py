@@ -17,7 +17,7 @@ import numpy as np
 
 from ..native import get_lib
 
-__all__ = ["JpegInfo", "get_info", "decode", "load", "load_from_bytes",
+__all__ = ["DecodeLimits", "JpegInfo", "get_info", "decode", "load", "load_from_bytes",
            "encode", "save", "SIGNATURE"]
 
 SIGNATURE = b"\xff\xd8\xff"
@@ -25,6 +25,15 @@ SIGNATURE = b"\xff\xd8\xff"
 
 class JpegError(ValueError):
     pass
+
+
+@dataclasses.dataclass
+class DecodeLimits:
+    """Anti-bomb resource limits (reference: jpeg.zig:19-39)."""
+
+    max_width: int = 1 << 16
+    max_height: int = 1 << 16
+    max_pixels: int = 1 << 30
 
 
 @dataclasses.dataclass
@@ -67,12 +76,14 @@ def get_info(data: bytes) -> JpegInfo:
     return JpegInfo(w.value, h.value, n.value)
 
 
-def decode(data: bytes):
+def decode(data: bytes, limits: DecodeLimits | None = None):
     """Decode JPEG bytes -> (uint8 [H,W,C] array with C in 1/3, JpegInfo)."""
+    limits = limits or DecodeLimits()
     info = get_info(data)
     if info.width <= 0 or info.height <= 0:
         raise JpegError("invalid JPEG dimensions")
-    if info.width * info.height > (1 << 30):
+    if (info.width > limits.max_width or info.height > limits.max_height
+            or info.width * info.height > limits.max_pixels):
         raise JpegError("image exceeds decode limits")
     out_ncomp = 1 if info.components == 1 else 3
     out = np.empty((info.height, info.width, out_ncomp), dtype=np.uint8)

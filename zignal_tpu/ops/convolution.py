@@ -54,18 +54,37 @@ def _axis_taps(n: int, ksize: int, border: BorderMode):
     return np.where(mask, idx, 0).astype(np.int32), mask
 
 
-def _sep_pass(arr, taps, mask, weights, axis):
-    """One separable pass: sum_k take(arr, taps[:,k], axis) * w[k]."""
+_PAD_MODE = {
+    BorderMode.ZERO: "constant",
+    BorderMode.REPLICATE: "edge",
+    BorderMode.MIRROR: "reflect",   # reflect-without-edge = resolveIndex mirror
+    BorderMode.WRAP: "wrap",
+}
+
+
+def _sep_pass(arr, n: int, ksize: int, border: BorderMode, weights, axis):
+    """One separable pass: pad + static shifted slices (cheap on TPU —
+    gathers would serialize; slices fuse) accumulated with the weights."""
+    half = ksize // 2
+    if 0 < half < n:  # pad modes need pad width < axis length
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (half, half)
+        padded = jnp.pad(arr, pad, mode=_PAD_MODE[border])
+        total = None
+        for k in range(ksize):
+            w = weights[k]
+            if float(w) == 0.0:
+                continue
+            part = jax.lax.slice_in_dim(padded, k, k + n, axis=axis)
+            term = part * w
+            total = term if total is None else total + term
+        return total
+    # tiny-axis mirror fallback: explicit resolved-index gathers
+    taps, mask = _axis_taps(n, ksize, border)
     total = None
-    for k in range(taps.shape[1]):
+    for k in range(ksize):
         part = jnp.take(arr, taps[:, k], axis=axis)
-        w = weights[k]
-        if mask is not None and not mask[:, k].all():
-            m = jnp.asarray(mask[:, k])
-            shape = [1] * arr.ndim
-            shape[axis] = -1
-            part = part * m.reshape(shape)
-        term = part * w
+        term = part * weights[k]
         total = term if total is None else total + term
     return total
 
@@ -78,22 +97,21 @@ def convolve_separable(arr, kernel_x: tuple, kernel_y: tuple,
     uint8 input -> bit-exact fixed-point path; float input -> float path.
     """
     border = BorderMode(border)
-    h, w = arr.shape[0], arr.shape[1]
-    x_taps, x_mask = _axis_taps(w, len(kernel_x), border)
-    y_taps, y_mask = _axis_taps(h, len(kernel_y), border)
-    x_mask = None if x_mask.all() else x_mask
-    y_mask = None if y_mask.all() else y_mask
+    h, w = arr.shape[-3], arr.shape[-2]
+    ax_w = arr.ndim - 2
+    ax_h = arr.ndim - 3
 
     if arr.dtype == jnp.uint8:
         kx = _kernel_to_int(kernel_x)
         ky = _kernel_to_int(kernel_y)
-        temp = _sep_pass(arr.astype(jnp.int32), x_taps, x_mask, kx, axis=1)
-        accum = _sep_pass(temp, y_taps, y_mask, ky, axis=0)
+        temp = _sep_pass(arr.astype(jnp.int32), w, len(kernel_x), border, kx,
+                         axis=ax_w)
+        accum = _sep_pass(temp, h, len(kernel_y), border, ky, axis=ax_h)
         return _div_clamp_u8(accum, _SCALE * _SCALE)
     kx = np.asarray(kernel_x, dtype=np.float32)
     ky = np.asarray(kernel_y, dtype=np.float32)
-    temp = _sep_pass(arr, x_taps, x_mask, kx, axis=1)
-    return _sep_pass(temp, y_taps, y_mask, ky, axis=0)
+    temp = _sep_pass(arr, w, len(kernel_x), border, kx, axis=ax_w)
+    return _sep_pass(temp, h, len(kernel_y), border, ky, axis=ax_h)
 
 
 @partial(jax.jit, static_argnames=("kernel", "border"))

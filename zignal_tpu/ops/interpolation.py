@@ -61,6 +61,24 @@ def _axis_coords(src_n: int, dst_n: int):
     return src_f, i0, frac
 
 
+def _take_axis(arr, idx, axis):
+    """take() that lowers to a strided slice when the index vector is an
+    arithmetic sequence (the common integer-factor resize case) — strided
+    slices are far cheaper than gathers on TPU."""
+    idx = np.asarray(idx)
+    if len(idx) > 1:
+        step = int(idx[1]) - int(idx[0])
+        if step > 0 and np.all(np.diff(idx) == step):
+            start = int(idx[0])
+            limit = start + step * (len(idx) - 1) + 1
+            if limit <= arr.shape[axis]:
+                return jax.lax.slice_in_dim(arr, start, limit, stride=step,
+                                            axis=axis)
+    elif len(idx) == 1:
+        return jax.lax.slice_in_dim(arr, int(idx[0]), int(idx[0]) + 1, axis=axis)
+    return jnp.take(arr, idx, axis=axis)
+
+
 def _cubic_kernel_i32(t):
     """Bicubic a=-0.5 kernel in 8.8 fixed point (channel_ops.zig:228-244)."""
     at = np.abs(t).astype(np.int64)
@@ -148,7 +166,7 @@ def _resize_nearest(arr, rows, cols):
     # Zig @round = half away from zero; inputs are > -0.5 so floor(x+0.5)
     y = np.clip(np.floor(src_y + np.float32(0.5)), 0, src_rows - 1).astype(np.int32)
     x = np.clip(np.floor(src_x + np.float32(0.5)), 0, src_cols - 1).astype(np.int32)
-    return jnp.take(jnp.take(arr, y, axis=0), x, axis=1)
+    return _take_axis(_take_axis(arr, y, axis=0), x, axis=1)
 
 
 def _resize_bilinear_u8(arr, rows, cols):
@@ -164,12 +182,12 @@ def _resize_bilinear_u8(arr, rows, cols):
     xb = resolve_index_np(x0 + 1, src_cols).astype(np.int32)
 
     a = arr.astype(jnp.int32)
-    top_rows = jnp.take(a, ya, axis=0)
-    bot_rows = jnp.take(a, yb, axis=0)
-    tl = jnp.take(top_rows, xa, axis=1)
-    tr = jnp.take(top_rows, xb, axis=1)
-    bl = jnp.take(bot_rows, xa, axis=1)
-    br = jnp.take(bot_rows, xb, axis=1)
+    top_rows = _take_axis(a, ya, axis=0)
+    bot_rows = _take_axis(a, yb, axis=0)
+    tl = _take_axis(top_rows, xa, axis=1)
+    tr = _take_axis(top_rows, xb, axis=1)
+    bl = _take_axis(bot_rows, xa, axis=1)
+    br = _take_axis(bot_rows, xb, axis=1)
 
     top = tl * (_SCALE - fx_i) + tr * fx_i
     bottom = bl * (_SCALE - fx_i) + br * fx_i
@@ -188,9 +206,9 @@ def _resize_cubic_family_u8(arr, rows, cols, kernel):
     total = jnp.zeros((rows, cols, arr.shape[2]), dtype=jnp.int32)
     wsum = jnp.zeros((rows, cols), dtype=jnp.int32)
     for ky in range(4):
-        row_gather = jnp.take(a, y_idx[:, ky], axis=0)  # [rows, srcW, C]
+        row_gather = _take_axis(a, y_idx[:, ky], axis=0)  # [rows, srcW, C]
         for kx in range(4):
-            px = jnp.take(row_gather, x_idx[:, kx], axis=1)  # [rows, cols, C]
+            px = _take_axis(row_gather, x_idx[:, kx], axis=1)  # [rows, cols, C]
             w = _divtrunc(
                 jnp.asarray(wy[:, ky, None]) * jnp.asarray(wx[None, :, kx]), _SCALE
             )  # [rows, cols]
@@ -210,9 +228,9 @@ def _resize_lanczos_u8(arr, rows, cols):
     total = jnp.zeros((rows, cols, arr.shape[2]), dtype=jnp.float32)
     wsum = jnp.zeros((rows, cols), dtype=jnp.float32)
     for ky in range(6):
-        row_gather = jnp.take(a, y_idx[:, ky], axis=0)
+        row_gather = _take_axis(a, y_idx[:, ky], axis=0)
         for kx in range(6):
-            px = jnp.take(row_gather, x_idx[:, kx], axis=1)
+            px = _take_axis(row_gather, x_idx[:, kx], axis=1)
             w = jnp.asarray(wy[:, ky, None]) * jnp.asarray(wx[None, :, kx])
             total = total + px * w[..., None]
             wsum = wsum + w
@@ -234,12 +252,12 @@ def _resize_float(arr, rows, cols, method):
         yb = resolve_index_np(y0 + 1, src_rows)
         xa = resolve_index_np(x0, src_cols)
         xb = resolve_index_np(x0 + 1, src_cols)
-        top_rows = jnp.take(arr, ya, axis=0)
-        bot_rows = jnp.take(arr, yb, axis=0)
-        tl = jnp.take(top_rows, xa, axis=1)
-        tr = jnp.take(top_rows, xb, axis=1)
-        bl = jnp.take(bot_rows, xa, axis=1)
-        br = jnp.take(bot_rows, xb, axis=1)
+        top_rows = _take_axis(arr, ya, axis=0)
+        bot_rows = _take_axis(arr, yb, axis=0)
+        tl = _take_axis(top_rows, xa, axis=1)
+        tr = _take_axis(top_rows, xb, axis=1)
+        bl = _take_axis(bot_rows, xa, axis=1)
+        br = _take_axis(bot_rows, xb, axis=1)
         fyv = fy[:, None, None]
         fxv = fx[None, :, None]
         top = tl * (1 - fxv) + tr * fxv
@@ -264,9 +282,9 @@ def _resize_float(arr, rows, cols, method):
     total = jnp.zeros((rows, cols, arr.shape[2]), dtype=arr.dtype)
     wsum = jnp.zeros((rows, cols), dtype=arr.dtype)
     for ky in range(k):
-        row_gather = jnp.take(arr, y_idx[:, ky], axis=0)
+        row_gather = _take_axis(arr, y_idx[:, ky], axis=0)
         for kx in range(k):
-            px = jnp.take(row_gather, x_idx[:, kx], axis=1)
+            px = _take_axis(row_gather, x_idx[:, kx], axis=1)
             w = jnp.asarray(wy[:, ky, None] * wx[None, :, kx])
             total = total + px * w[..., None]
             wsum = wsum + w

@@ -31,7 +31,7 @@ def batched_resize(batch, rows: int, cols: int,
 
 def batched_gaussian_blur(batch, sigma: float):
     k = gaussian_kernel(sigma)
-    return jax.vmap(lambda a: convolve_separable(a, k, k))(batch)
+    return convolve_separable(batch, k, k)  # kernels broadcast over batch dims
 
 
 @partial(jax.jit, static_argnames=("out_rows", "out_cols", "sigma", "method"))
