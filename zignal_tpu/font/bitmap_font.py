@@ -14,6 +14,7 @@ import struct
 import numpy as np
 
 from ._font8x8_data import FONT8X8_BASIC
+from .unicode import codepoint_in, normalize_filter
 
 __all__ = ["BitmapFont"]
 
@@ -54,18 +55,28 @@ class BitmapFont:
         return cls._font8x8_cache
 
     @classmethod
-    def load(cls, path: str) -> "BitmapFont":
-        """Load a BDF or PCF font, optionally gzip-compressed."""
+    def load(cls, path: str, filter=None) -> "BitmapFont":
+        """Load a BDF or PCF font, optionally gzip-compressed.
+
+        `filter` restricts which codepoints are kept: None (all), a
+        `unicode.Range` / (start, end) tuple, or a list of them
+        (reference: bdf.zig:65 / pcf.zig:189 LoadFilter).
+        """
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         with open(path, "rb") as f:
             data = f.read()
+        return cls.load_from_bytes(data, filter)
+
+    @classmethod
+    def load_from_bytes(cls, data: bytes, filter=None) -> "BitmapFont":
+        filt = normalize_filter(filter)
         if data[:2] == b"\x1f\x8b":
             data = gzip.decompress(data)
         if data[:9] == b"STARTFONT":
-            return cls._parse_bdf(data.decode("latin-1"))
+            return cls._parse_bdf(data.decode("latin-1"), filt)
         if data[:4] == b"\x01fcp":
-            return cls._parse_pcf(data)
+            return cls._parse_pcf(data, filt)
         raise ValueError("unrecognized font format (expected BDF or PCF)")
 
     # -- metrics ------------------------------------------------------------
@@ -115,7 +126,7 @@ class BitmapFont:
     # -- BDF ----------------------------------------------------------------
 
     @classmethod
-    def _parse_bdf(cls, text: str) -> "BitmapFont":
+    def _parse_bdf(cls, text: str, filt=None) -> "BitmapFont":
         font = cls("bdf")
         lines = iter(text.splitlines())
         cp = None
@@ -144,7 +155,8 @@ class BitmapFont:
                     if bl.strip() == "ENDCHAR":
                         break
                     rows.append(bl.strip())
-                if cp is not None and cp >= 0 and bbx is not None:
+                if cp is not None and cp >= 0 and bbx is not None \
+                        and codepoint_in(cp, filt):
                     w, h = bbx[0], bbx[1]
                     g = np.zeros((h, w), dtype=bool)
                     for r, hexrow in enumerate(rows[:h]):
@@ -161,6 +173,15 @@ class BitmapFont:
         return font
 
     def save(self, path: str) -> None:
+        """Write the font; format picked by extension: .pcf[.gz] -> PCF,
+        otherwise BDF (reference: bdf.zig:828, pcf.zig:1329)."""
+        base = path[:-3] if path.endswith(".gz") else path
+        if base.endswith(".pcf"):
+            self.save_pcf(path)
+        else:
+            self.save_bdf(path)
+
+    def save_bdf(self, path: str) -> None:
         """Write the font as BDF (reference: BitmapFont.zig:310)."""
         out = []
         out.append("STARTFONT 2.1")
@@ -198,13 +219,14 @@ class BitmapFont:
 
     # -- PCF ----------------------------------------------------------------
 
+    _PCF_PROPERTIES = 1 << 0
     _PCF_METRICS = 1 << 2
     _PCF_BITMAPS = 1 << 3
     _PCF_ENCODINGS = 1 << 5
     _PCF_ACCELERATORS = 1 << 1
 
     @classmethod
-    def _parse_pcf(cls, data: bytes) -> "BitmapFont":
+    def _parse_pcf(cls, data: bytes, filt=None) -> "BitmapFont":
         """Minimal PCF reader: metrics + bitmaps + encodings
         (reference: src/font/pcf.zig)."""
         (count,) = struct.unpack_from("<I", data, 4)
@@ -284,6 +306,8 @@ class BitmapFont:
                 gi = glyph_indices[row * ncols + col]
                 if gi == 0xFFFF or gi >= len(metrics):
                     continue
+                if not codepoint_in(cp, filt):
+                    continue
                 lsb, rsb, width, asc, desc = metrics[gi][:5]
                 gh = asc + desc
                 gw = max(rsb - lsb, width, 1)
@@ -301,6 +325,108 @@ class BitmapFont:
         if not font.glyphs:
             raise ValueError("PCF file contains no glyphs")
         return font
+
+    def save_pcf(self, path: str) -> None:
+        """Write the font as PCF (reference: pcf.zig:1329 save).
+
+        Tables: properties, accelerators, metrics (uncompressed),
+        bitmaps, BDF encodings, swidths. Big-endian data, MSB-first
+        bits, 1-byte glyph row padding (format dword 0x0C).
+        """
+        FMT = 0x0C  # byte order=big (bit 2), bit order=MSB (bit 3), pad=1
+        cps = sorted(cp for cp in self.glyphs if 0 <= cp <= 0xFFFF)
+        if not cps:
+            raise ValueError("font has no glyphs to save")
+
+        metrics = []     # (lsb, rsb, width, ascent, descent)
+        offsets = []
+        bitmap = bytearray()
+        for cp in cps:
+            g = self.glyphs[cp]
+            h, w = g.shape
+            adv = self.advances.get(cp, w)
+            metrics.append((0, w, adv, h - self.descent, self.descent))
+            offsets.append(len(bitmap))
+            gw = max(w, adv, 1)  # row length mirrors the reader's glyph width
+            if gw > w:
+                g = np.pad(g, ((0, 0), (0, gw - w)))
+            packed = np.packbits(g, axis=1)  # MSB-first, rows padded to bytes
+            bitmap += packed.tobytes()
+
+        def metric_bytes(m):
+            lsb, rsb, width, asc, desc = m
+            return struct.pack(">5hH", lsb, rsb, width, asc, desc, 0)
+
+        # metrics table (uncompressed)
+        t_metrics = struct.pack("<I", FMT) + struct.pack(">I", len(metrics))
+        t_metrics += b"".join(metric_bytes(m) for m in metrics)
+
+        # bitmaps table
+        t_bitmaps = struct.pack("<I", FMT) + struct.pack(">I", len(cps))
+        t_bitmaps += struct.pack(f">{len(cps)}I", *offsets)
+        n = len(bitmap)
+        t_bitmaps += struct.pack(">4I", n, n, n, n)  # sizes for pad 1/2/4/8
+        t_bitmaps += bytes(bitmap)
+
+        # BDF encodings table
+        if cps[-1] > 0xFF:
+            min_c1, max_c1 = min(cp >> 8 for cp in cps), max(cp >> 8 for cp in cps)
+            min_c2, max_c2 = min(cp & 0xFF for cp in cps), max(cp & 0xFF for cp in cps)
+        else:
+            min_c1 = max_c1 = 0
+            min_c2, max_c2 = cps[0], cps[-1]
+        ncols = max_c2 - min_c2 + 1
+        nrows = max_c1 - min_c1 + 1
+        table = [0xFFFF] * (ncols * nrows)
+        for gi, cp in enumerate(cps):
+            c1, c2 = cp >> 8, cp & 0xFF
+            table[(c1 - min_c1) * ncols + (c2 - min_c2)] = gi
+        t_enc = struct.pack("<I", FMT) + struct.pack(
+            ">5H", min_c2, max_c2, min_c1, max_c1, 0
+        ) + struct.pack(f">{len(table)}H", *table)
+
+        # accelerators table
+        widths = {m[2] for m in metrics}
+        minb = tuple(min(m[i] for m in metrics) for i in range(5))
+        maxb = tuple(max(m[i] for m in metrics) for i in range(5))
+        t_accel = struct.pack("<I", FMT)
+        t_accel += struct.pack(
+            "8B", 0, int(len(widths) == 1 and len({g.shape for g in self.glyphs.values()}) == 1),
+            0, int(len(widths) == 1), 1, 0, 0, 0
+        )
+        t_accel += struct.pack(">3i", self.ascent, self.descent, 0)
+        t_accel += metric_bytes(minb) + metric_bytes(maxb)
+
+        # properties table (empty) + swidths
+        t_props = struct.pack("<I", FMT) + struct.pack(">3I", 0, 0, 0)
+        t_swidths = struct.pack("<I", FMT) + struct.pack(">I", len(cps))
+        t_swidths += struct.pack(f">{len(cps)}i", *(m[2] * 1000 // max(self.line_height, 1)
+                                                    for m in metrics))
+
+        entries = [
+            (self._PCF_PROPERTIES, t_props),
+            (self._PCF_ACCELERATORS, t_accel),
+            (self._PCF_METRICS, t_metrics),
+            (self._PCF_BITMAPS, t_bitmaps),
+            (self._PCF_ENCODINGS, t_enc),
+            (1 << 6, t_swidths),  # PCF_SWIDTHS
+        ]
+        header = bytearray(b"\x01fcp" + struct.pack("<I", len(entries)))
+        offset = 8 + 16 * len(entries)
+        body = bytearray()
+        for ttype, blob in entries:
+            if offset % 4:  # tables are 32-bit aligned
+                pad = 4 - offset % 4
+                body += b"\x00" * pad
+                offset += pad
+            header += struct.pack("<IIII", ttype, FMT, len(blob), offset)
+            body += blob
+            offset += len(blob)
+        data = bytes(header + body)
+        if path.endswith(".gz"):
+            data = gzip.compress(data)
+        with open(path, "wb") as f:
+            f.write(data)
 
     def __repr__(self):
         return (f"BitmapFont(name={self.name!r}, glyphs={len(self.glyphs)}, "
