@@ -7,15 +7,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
-from .common import emit_display, log
+from .common import emit_display, log, resolve_output_target, run_batch
 
 description = "Apply a sequence of operations described by a .zon recipe file."
 
 
 def configure(parser):
     parser.add_argument("recipe", help="Recipe file (.zon or .json)")
-    parser.add_argument("input", nargs="?", help="Input image (overrides recipe)")
+    parser.add_argument("inputs", nargs="*", metavar="input",
+                        help="Input image(s) (override recipe .input; "
+                             "multiple inputs need a directory --output)")
     parser.add_argument("-o", "--output",
                         help="Output file (overrides recipe .output)")
     parser.add_argument("-d", "--display", action="store_true")
@@ -67,20 +70,35 @@ def run(args):
     from ..image import Image
 
     recipe = _load_recipe(args.recipe)
-    input_path = args.input or recipe.get("input")
-    if not input_path:
+    inputs = args.inputs or ([recipe["input"]] if recipe.get("input") else [])
+    if not inputs:
         raise ValueError("no input image (recipe .input or positional)")
     output = args.output or recipe.get("output")
+    steps = recipe.get("steps", [])
+    if not steps:
+        log.warning("recipe %s has no steps; output will equal input",
+                    args.recipe)
+    is_batch = len(inputs) > 1
+    if is_batch and output and not (
+            os.path.isdir(output) or output.endswith(os.sep)):
+        raise ValueError(
+            f"output path {output!r} is a file, but multiple input files "
+            "were provided. batch output requires a directory."
+        )
 
-    img = Image.load(input_path)
-    for i, step in enumerate(recipe.get("steps", [])):
-        if not isinstance(step, dict) or len(step) != 1:
-            raise ValueError(f"step {i} must be a single {{name: options}} struct")
-        (name, options), = step.items()
-        img = _apply_step(img, name, options or {})
-        log.info("step %d: %s -> %dx%d", i + 1, name, img.cols, img.rows)
-    if output:
-        img.save(output)
-    if args.display or not output:
-        emit_display(img, args.protocol, args.width, args.height)
-    return 0
+    def process(input_path):
+        img = Image.load(input_path)
+        for i, step in enumerate(steps):
+            if not isinstance(step, dict) or len(step) != 1:
+                raise ValueError(
+                    f"step {i} must be a single {{name: options}} struct")
+            (name, options), = step.items()
+            img = _apply_step(img, name, options or {})
+            log.info("step %d: %s -> %dx%d", i + 1, name, img.cols, img.rows)
+        target = resolve_output_target(output, input_path, "_processed")
+        if target:
+            img.save(target)
+        if args.display or not target:
+            emit_display(img, args.protocol, args.width, args.height)
+
+    return run_batch(inputs, process)

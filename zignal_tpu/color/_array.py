@@ -340,6 +340,30 @@ def oklab_to_oklch(a):
     return _cart_to_cyl(*_split(a))
 
 
+# Fused rgb<->oklab edges: the xyz hop's *100 and /100 cancel, so the two
+# 3x3 mixes collapse into one matrix composed in f64 at import time —
+# fewer VPU ops and slightly *more* accurate than chaining f32 mixes.
+def _np_compose(b_t, a_t):
+    import numpy as _np
+
+    return _T((_np.asarray(b_t, dtype=_np.float64).T
+               @ _np.asarray(a_t, dtype=_np.float64).T).tolist())
+
+
+_RGB2OKLMS = _np_compose(_XYZ2OKLMS, _RGB2XYZ)
+_OKLMS2RGB = _np_compose(_XYZ2RGB, _OKLMS2XYZ)
+
+
+def rgb_to_oklab_fused(a):
+    lms = _mix3(gamma_to_linear(a), _RGB2OKLMS)
+    return _mix3(_cbrt(lms), _OKLMS2LAB)
+
+
+def oklab_to_rgb_fused(a):
+    lms = _mix3(a, _OKLAB2LMS) ** 3
+    return jnp.clip(linear_to_gamma(_mix3(lms, _OKLMS2RGB)), 0.0, 1.0)
+
+
 def oklch_to_oklab(a):
     return _cyl_to_cart(*_split(a))
 
@@ -415,6 +439,12 @@ _EDGES = {
 }
 
 
+_FUSED_EDGES = {
+    ("rgb", "oklab"): rgb_to_oklab_fused,
+    ("oklab", "rgb"): oklab_to_rgb_fused,
+}
+
+
 @partial(jax.jit, static_argnames=("src", "dst"))
 def convert_array(arr, src: str, dst: str):
     """Convert a channel-last float array between color spaces.
@@ -424,6 +454,9 @@ def convert_array(arr, src: str, dst: str):
     [..., C_dst] float32.
     """
     out = arr.astype(jnp.float32)
+    fused = _FUSED_EDGES.get((src, dst))
+    if fused is not None:
+        return fused(out)
     for edge in conversion_path(src, dst):
         out = _EDGES[edge](out)
     return out

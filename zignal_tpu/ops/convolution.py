@@ -37,10 +37,18 @@ def _kernel_to_int(kernel) -> np.ndarray:
 
 
 def _div_clamp_u8(accum, scale: int):
-    """Symmetric-rounding divide + clamp (reference: convolution.zig:18-23)."""
+    """Symmetric-rounding divide + clamp (reference: convolution.zig:18-23).
+
+    Works for int32 accumulators and for f32 accumulators holding exact
+    integer values (|accum| + scale/2 < 2^24): / by a power of two and
+    trunc are exact in f32, so both dtypes produce identical u8.
+    """
     half = scale // 2
     rounded = jnp.where(accum >= 0, accum + half, accum - half)
-    q = jnp.abs(rounded) // scale
+    if jnp.issubdtype(accum.dtype, jnp.floating):
+        q = jnp.trunc(jnp.abs(rounded) * (1.0 / scale))
+    else:
+        q = jnp.abs(rounded) // scale
     q = jnp.where(rounded < 0, -q, q)
     return jnp.clip(q, 0, 255).astype(jnp.uint8)
 
@@ -104,9 +112,43 @@ def convolve_separable(arr, kernel_x: tuple, kernel_y: tuple,
     if arr.dtype == jnp.uint8:
         kx = _kernel_to_int(kernel_x)
         ky = _kernel_to_int(kernel_y)
-        temp = _sep_pass(arr.astype(jnp.int32), w, len(kernel_x), border, kx,
-                         axis=ax_w)
-        accum = _sep_pass(temp, h, len(kernel_y), border, ky, axis=ax_h)
+        # f32 arithmetic on integer values is exact while every partial
+        # sum stays below 2^24 — and int32 multiplies are emulated on the
+        # TPU VPU, so the f32 route is both bit-exact and much faster.
+        # Pass 2 may exceed 2^24 (e.g. a Gaussian whose int weights sum
+        # to 257); then taps are partitioned into chunks whose partial
+        # sums each stay exact, combined with cheap int32 adds.
+        limit = 2 ** 24
+        half_bias = (_SCALE * _SCALE) // 2
+        t_bound = 255 * int(np.abs(kx).sum())  # max |temp| after pass 1
+        ky_abs = [int(v) for v in np.abs(ky)]
+        if t_bound < limit and max(ky_abs, default=0) * t_bound < limit:
+            temp = _sep_pass(arr.astype(jnp.float32), w, len(kernel_x),
+                             border, kx.astype(np.float32), axis=ax_w)
+            kyf = ky.astype(np.float32)
+            if sum(ky_abs) * t_bound + half_bias < limit:
+                accum = _sep_pass(temp, h, len(kernel_y), border, kyf,
+                                  axis=ax_h)
+            else:
+                chunks, cur, cur_sum = [], [], 0
+                for i, wv in enumerate(ky_abs):
+                    if cur and (cur_sum + wv) * t_bound >= limit:
+                        chunks.append(cur)
+                        cur, cur_sum = [], 0
+                    cur.append(i)
+                    cur_sum += wv
+                chunks.append(cur)
+                accum = None
+                for chunk in chunks:
+                    wsub = np.zeros_like(kyf)
+                    wsub[chunk] = kyf[chunk]  # _sep_pass skips zero taps
+                    part = _sep_pass(temp, h, len(kernel_y), border, wsub,
+                                     axis=ax_h).astype(jnp.int32)
+                    accum = part if accum is None else accum + part
+        else:
+            temp = _sep_pass(arr.astype(jnp.int32), w, len(kernel_x), border,
+                             kx, axis=ax_w)
+            accum = _sep_pass(temp, h, len(kernel_y), border, ky, axis=ax_h)
         return _div_clamp_u8(accum, _SCALE * _SCALE)
     kx = np.asarray(kernel_x, dtype=np.float32)
     ky = np.asarray(kernel_y, dtype=np.float32)
@@ -127,7 +169,14 @@ def convolve2d(arr, kernel: tuple, border: BorderMode = BorderMode.MIRROR):
     is_u8 = arr.dtype == jnp.uint8
     if is_u8:
         kint = _kernel_to_int(k)
-        a = arr.astype(jnp.int32)
+        # single 8.8 scale: accum bound 255*sum|w| + 128 < 2^24 for any
+        # sane kernel -> exact in f32 (int32 multiplies are emulated on
+        # the TPU VPU, f32 is native)
+        if 255 * int(np.abs(kint).sum()) + _SCALE // 2 < 2 ** 24:
+            kint = kint.astype(np.float32)
+            a = arr.astype(jnp.float32)
+        else:
+            a = arr.astype(jnp.int32)
     else:
         kint = k
         a = arr

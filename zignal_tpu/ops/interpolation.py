@@ -159,19 +159,26 @@ def _lanczos_axis_table(src_n, dst_n):
 # ---------------------------------------------------------------------------
 
 
+def _hw_axes(arr):
+    """Row/col axes for [..., H, W, C] arrays (leading dims = batch)."""
+    return arr.ndim - 3, arr.ndim - 2
+
+
 def _resize_nearest(arr, rows, cols):
-    src_rows, src_cols = arr.shape[0], arr.shape[1]
+    ay, ax = _hw_axes(arr)
+    src_rows, src_cols = arr.shape[ay], arr.shape[ax]
     src_y, _, _ = _axis_coords(src_rows, rows)
     src_x, _, _ = _axis_coords(src_cols, cols)
     # Zig @round = half away from zero; inputs are > -0.5 so floor(x+0.5)
     y = np.clip(np.floor(src_y + np.float32(0.5)), 0, src_rows - 1).astype(np.int32)
     x = np.clip(np.floor(src_x + np.float32(0.5)), 0, src_cols - 1).astype(np.int32)
-    return _take_axis(_take_axis(arr, y, axis=0), x, axis=1)
+    return _take_axis(_take_axis(arr, y, axis=ay), x, axis=ax)
 
 
 def _resize_bilinear_u8(arr, rows, cols):
     """8-bit fixed-point bilinear (channel_ops.zig:144-191), bit-exact."""
-    src_rows, src_cols = arr.shape[0], arr.shape[1]
+    ay, ax = _hw_axes(arr)
+    src_rows, src_cols = arr.shape[ay], arr.shape[ax]
     _, y0, fy = _axis_coords(src_rows, rows)
     _, x0, fx = _axis_coords(src_cols, cols)
     fy_i = np.trunc(fy * np.float32(_SCALE)).astype(np.int32)[:, None, None]
@@ -181,34 +188,43 @@ def _resize_bilinear_u8(arr, rows, cols):
     xa = resolve_index_np(x0, src_cols).astype(np.int32)
     xb = resolve_index_np(x0 + 1, src_cols).astype(np.int32)
 
-    a = arr.astype(jnp.int32)
-    top_rows = _take_axis(a, ya, axis=0)
-    bot_rows = _take_axis(a, yb, axis=0)
-    tl = _take_axis(top_rows, xa, axis=1)
-    tr = _take_axis(top_rows, xb, axis=1)
-    bl = _take_axis(bot_rows, xa, axis=1)
-    br = _take_axis(bot_rows, xb, axis=1)
+    # Slice the u8 source first (4x less traffic than converting the full
+    # array), then do the fixed-point math in f32: every value here is a
+    # non-negative integer <= 255*256*256 < 2^24, so f32 multiply/add and
+    # trunc-divide by 2^16 are exact — and f32 is native on the TPU VPU
+    # where int32 multiplies are emulated.
+    top_rows = _take_axis(arr, ya, axis=ay)
+    bot_rows = _take_axis(arr, yb, axis=ay)
+    tl = _take_axis(top_rows, xa, axis=ax).astype(jnp.float32)
+    tr = _take_axis(top_rows, xb, axis=ax).astype(jnp.float32)
+    bl = _take_axis(bot_rows, xa, axis=ax).astype(jnp.float32)
+    br = _take_axis(bot_rows, xb, axis=ax).astype(jnp.float32)
 
-    top = tl * (_SCALE - fx_i) + tr * fx_i
-    bottom = bl * (_SCALE - fx_i) + br * fx_i
-    result = (top * (_SCALE - fy_i) + bottom * fy_i) // (_SCALE * _SCALE)
+    fx_f = fx_i.astype(np.float32)
+    fy_f = fy_i.astype(np.float32)
+    top = tl * (_SCALE - fx_f) + tr * fx_f
+    bottom = bl * (_SCALE - fx_f) + br * fx_f
+    result = jnp.trunc(
+        (top * (_SCALE - fy_f) + bottom * fy_f) * (1.0 / (_SCALE * _SCALE))
+    )
     return jnp.clip(result, 0, 255).astype(jnp.uint8)
 
 
 def _resize_cubic_family_u8(arr, rows, cols, kernel):
     """4x4 integer-weight resampling (bicubic/catmull-rom/mitchell),
     bit-exact with the reference's fixed-point planes."""
-    src_rows, src_cols = arr.shape[0], arr.shape[1]
+    ay, ax = _hw_axes(arr)
+    src_rows, src_cols = arr.shape[ay], arr.shape[ax]
     y_idx, wy = _cubic_axis_table(src_rows, rows, kernel)
     x_idx, wx = _cubic_axis_table(src_cols, cols, kernel)
 
     a = arr.astype(jnp.int32)
-    total = jnp.zeros((rows, cols, arr.shape[2]), dtype=jnp.int32)
+    total = jnp.zeros((rows, cols, arr.shape[-1]), dtype=jnp.int32)
     wsum = jnp.zeros((rows, cols), dtype=jnp.int32)
     for ky in range(4):
-        row_gather = _take_axis(a, y_idx[:, ky], axis=0)  # [rows, srcW, C]
+        row_gather = _take_axis(a, y_idx[:, ky], axis=ay)  # [..., rows, srcW, C]
         for kx in range(4):
-            px = _take_axis(row_gather, x_idx[:, kx], axis=1)  # [rows, cols, C]
+            px = _take_axis(row_gather, x_idx[:, kx], axis=ax)  # [..., rows, cols, C]
             w = _divtrunc(
                 jnp.asarray(wy[:, ky, None]) * jnp.asarray(wx[None, :, kx]), _SCALE
             )  # [rows, cols]
@@ -220,17 +236,18 @@ def _resize_cubic_family_u8(arr, rows, cols, kernel):
 
 def _resize_lanczos_u8(arr, rows, cols):
     """6x6 Lanczos3 with f32 weights (channel_ops.zig:438-494)."""
-    src_rows, src_cols = arr.shape[0], arr.shape[1]
+    ay, ax = _hw_axes(arr)
+    src_rows, src_cols = arr.shape[ay], arr.shape[ax]
     y_idx, wy = _lanczos_axis_table(src_rows, rows)
     x_idx, wx = _lanczos_axis_table(src_cols, cols)
 
     a = arr.astype(jnp.float32)
-    total = jnp.zeros((rows, cols, arr.shape[2]), dtype=jnp.float32)
+    total = jnp.zeros((rows, cols, arr.shape[-1]), dtype=jnp.float32)
     wsum = jnp.zeros((rows, cols), dtype=jnp.float32)
     for ky in range(6):
-        row_gather = _take_axis(a, y_idx[:, ky], axis=0)
+        row_gather = _take_axis(a, y_idx[:, ky], axis=ay)
         for kx in range(6):
-            px = _take_axis(row_gather, x_idx[:, kx], axis=1)
+            px = _take_axis(row_gather, x_idx[:, kx], axis=ax)
             w = jnp.asarray(wy[:, ky, None]) * jnp.asarray(wx[None, :, kx])
             total = total + px * w[..., None]
             wsum = wsum + w
@@ -242,7 +259,8 @@ def _resize_lanczos_u8(arr, rows, cols):
 def _resize_float(arr, rows, cols, method):
     """Float-plane resize with normalized float weights
     (channel_ops.zig resizePlaneF32)."""
-    src_rows, src_cols = arr.shape[0], arr.shape[1]
+    ay, ax = _hw_axes(arr)
+    src_rows, src_cols = arr.shape[ay], arr.shape[ax]
     if method == Interpolation.NEAREST:
         return _resize_nearest(arr, rows, cols)
     if method == Interpolation.BILINEAR:
@@ -252,12 +270,12 @@ def _resize_float(arr, rows, cols, method):
         yb = resolve_index_np(y0 + 1, src_rows)
         xa = resolve_index_np(x0, src_cols)
         xb = resolve_index_np(x0 + 1, src_cols)
-        top_rows = _take_axis(arr, ya, axis=0)
-        bot_rows = _take_axis(arr, yb, axis=0)
-        tl = _take_axis(top_rows, xa, axis=1)
-        tr = _take_axis(top_rows, xb, axis=1)
-        bl = _take_axis(bot_rows, xa, axis=1)
-        br = _take_axis(bot_rows, xb, axis=1)
+        top_rows = _take_axis(arr, ya, axis=ay)
+        bot_rows = _take_axis(arr, yb, axis=ay)
+        tl = _take_axis(top_rows, xa, axis=ax)
+        tr = _take_axis(top_rows, xb, axis=ax)
+        bl = _take_axis(bot_rows, xa, axis=ax)
+        br = _take_axis(bot_rows, xb, axis=ax)
         fyv = fy[:, None, None]
         fxv = fx[None, :, None]
         top = tl * (1 - fxv) + tr * fxv
@@ -279,12 +297,12 @@ def _resize_float(arr, rows, cols, method):
         wy = wy_i.astype(np.float32) / _SCALE
         wx = wx_i.astype(np.float32) / _SCALE
         k = 4
-    total = jnp.zeros((rows, cols, arr.shape[2]), dtype=arr.dtype)
+    total = jnp.zeros((rows, cols, arr.shape[-1]), dtype=arr.dtype)
     wsum = jnp.zeros((rows, cols), dtype=arr.dtype)
     for ky in range(k):
-        row_gather = _take_axis(arr, y_idx[:, ky], axis=0)
+        row_gather = _take_axis(arr, y_idx[:, ky], axis=ay)
         for kx in range(k):
-            px = _take_axis(row_gather, x_idx[:, kx], axis=1)
+            px = _take_axis(row_gather, x_idx[:, kx], axis=ax)
             w = jnp.asarray(wy[:, ky, None] * wx[None, :, kx])
             total = total + px * w[..., None]
             wsum = wsum + w
@@ -293,13 +311,15 @@ def _resize_float(arr, rows, cols, method):
 
 @partial(jax.jit, static_argnames=("rows", "cols", "method"))
 def resize(arr, rows: int, cols: int, method=Interpolation.BILINEAR):
-    """Resize a [H, W, C] array to [rows, cols, C].
+    """Resize a [..., H, W, C] array to [..., rows, cols, C] (leading
+    dims are batch; indexing the batched array directly lowers far
+    better on TPU than vmapping a per-image kernel).
 
     uint8 inputs use the reference's fixed-point paths (bit-exact);
     float inputs use normalized float weights.
     """
     method = Interpolation(method)
-    if arr.shape[0] == rows and arr.shape[1] == cols:
+    if arr.shape[-3] == rows and arr.shape[-2] == cols:
         return arr
     if arr.dtype != jnp.uint8:
         return _resize_float(arr, rows, cols, method)
