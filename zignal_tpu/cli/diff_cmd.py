@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import numpy as np
-
 from .common import emit_display
 
 description = "Compute the visual difference between two images."
@@ -25,24 +23,6 @@ def configure(parser):
     parser.add_argument("--protocol")
 
 
-def diff_arrays(a: np.ndarray, b: np.ndarray, scale=1.0, threshold=0,
-                binary=False):
-    """Difference visualization + stats (reference: image/diff.zig)."""
-    d = np.abs(a.astype(np.int32) - b.astype(np.int32))
-    d = np.where(d < threshold, 0, d)
-    stats = {
-        "max": int(d.max()),
-        "mean": float(d.mean()),
-        "differing": float((d.sum(axis=-1) > 0).mean()),
-    }
-    if binary:
-        vis = np.where(d.sum(axis=-1, keepdims=True) > 0, 255, 0
-                       ).astype(np.uint8).repeat(a.shape[-1], axis=-1)
-    else:
-        vis = np.clip(d * scale, 0, 255).astype(np.uint8)
-    return vis, stats
-
-
 def run(args):
     from ..image import Image
 
@@ -52,11 +32,12 @@ def run(args):
         raise ValueError("images must have the same dimensions")
     if a.dtype is not b.dtype:
         b = b.convert(a.dtype)
-    vis, stats = diff_arrays(a.to_numpy(), b.to_numpy(),
-                             args.scale, args.threshold, args.binary)
-    print(f"max diff: {stats['max']}  mean diff: {stats['mean']:.3f}  "
-          f"differing pixels: {stats['differing'] * 100:.2f}%")
-    out = Image.from_numpy(vis)
+    out, result = a.diff(b, threshold=args.threshold, scale=args.scale,
+                         binary=args.binary)
+    total = a.rows * a.cols
+    print(f"max diff: {result.stats.max:.0f}  "
+          f"mean diff: {result.stats.mean:.3f}  "
+          f"differing pixels: {result.diff_count / total * 100:.2f}%")
     if args.output:
         out.save(args.output)
     if args.display or not args.output:

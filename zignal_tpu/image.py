@@ -932,6 +932,20 @@ class Image:
             return float("inf")
         return float(10.0 * np.log10(255.0**2 / mse))
 
+    def diff(self, other: "Image", threshold: float = 0.0, scale: float = 1.0,
+             binary: bool = False, force_opaque: bool = False):
+        """Per-pixel difference visualization + stats -> (Image, DiffResult)
+        (reference: src/image.zig:1139 diff, src/image/diff.zig:27)."""
+        self._check_same(other)
+        from .ops.diff import DiffOptions, compute
+
+        vis, result = compute(
+            self._host(), other._host(),
+            DiffOptions(threshold=threshold, scale=scale, binary=binary,
+                        force_opaque=force_opaque),
+        )
+        return Image._from_host(vis, self._space), result
+
     def mean_pixel_error(self, other: "Image") -> float:
         """Mean absolute pixel error normalized to [0, 1]
         (reference: src/image/metrics.zig:114)."""

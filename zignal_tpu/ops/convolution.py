@@ -112,6 +112,26 @@ def convolve_separable(arr, kernel_x: tuple, kernel_y: tuple,
     if arr.dtype == jnp.uint8:
         kx = _kernel_to_int(kernel_x)
         ky = _kernel_to_int(kernel_y)
+        # Preferred lowering: each separable pass is a banded matmul with
+        # borders folded into the matrix — exact base-256 digit arithmetic
+        # on the MXU (see ops/mxu_resample.py).
+        from .mxu_resample import build_tap_matrix, exact_axis_apply, mxu_ok
+
+        if mxu_ok(w, w, kx) and mxu_ok(h, h, ky):
+            def _band(n, kint):
+                ksz = len(kint)
+                base = (np.arange(n, dtype=np.int64)[:, None]
+                        + np.arange(ksz)[None, :] - ksz // 2)
+                idx = resolve_index_np(base, n, border)
+                return build_tap_matrix(idx, kint, n, n)
+
+            temp, tb = exact_axis_apply(arr, _band(w, kx), 255, axis=ax_w)
+            accum, ab = exact_axis_apply(temp, _band(h, ky), tb, axis=ax_h)
+            if (accum.dtype == jnp.float32
+                    and ab + (_SCALE * _SCALE) // 2 >= 2 ** 24):
+                accum = accum.astype(jnp.int32)
+            return _div_clamp_u8(accum, _SCALE * _SCALE)
+
         # f32 arithmetic on integer values is exact while every partial
         # sum stays below 2^24 — and int32 multiplies are emulated on the
         # TPU VPU, so the f32 route is both bit-exact and much faster.

@@ -62,20 +62,53 @@ def _axis_coords(src_n: int, dst_n: int):
 
 
 def _take_axis(arr, idx, axis):
-    """take() that lowers to a strided slice when the index vector is an
-    arithmetic sequence (the common integer-factor resize case) — strided
-    slices are far cheaper than gathers on TPU."""
+    """take() specialized for resize index vectors (known at trace time).
+
+    Gathers are ~25x off the HBM roofline on TPU; strided slices are
+    near it. Two lowerings avoid the gather:
+    - exact arithmetic sequence -> one strided slice
+    - near-arithmetic (idx = start + s*i + d(i), d in a small set, the
+      common fractional-downscale case) -> one strided slice per distinct
+      residual, combined with trace-time-masked selects
+    """
     idx = np.asarray(idx)
-    if len(idx) > 1:
-        step = int(idx[1]) - int(idx[0])
-        if step > 0 and np.all(np.diff(idx) == step):
-            start = int(idx[0])
-            limit = start + step * (len(idx) - 1) + 1
-            if limit <= arr.shape[axis]:
-                return jax.lax.slice_in_dim(arr, start, limit, stride=step,
-                                            axis=axis)
-    elif len(idx) == 1:
-        return jax.lax.slice_in_dim(arr, int(idx[0]), int(idx[0]) + 1, axis=axis)
+    n = len(idx)
+    if n == 1:
+        return jax.lax.slice_in_dim(arr, int(idx[0]), int(idx[0]) + 1,
+                                    axis=axis)
+    step = int(idx[1]) - int(idx[0])
+    if step > 0 and np.all(np.diff(idx) == step):
+        start = int(idx[0])
+        limit = start + step * (n - 1) + 1
+        if limit <= arr.shape[axis]:
+            return jax.lax.slice_in_dim(arr, start, limit, stride=step,
+                                        axis=axis)
+    # near-arithmetic: fit s = round(mean step), residuals d(i) >= 0
+    s = max(1, int(round((int(idx[-1]) - int(idx[0])) / (n - 1))))
+    base = int(idx[0]) + s * np.arange(n, dtype=np.int64)
+    d = idx.astype(np.int64) - base
+    d -= d.min()
+    base = idx.astype(np.int64) - d
+    deltas = np.unique(d)
+    if len(deltas) <= 4:
+        start0 = int(base[0])
+        limit0 = start0 + s * (n - 1) + 1
+        ok = all(0 <= start0 + int(dv) and limit0 + int(dv) <= arr.shape[axis]
+                 for dv in deltas)
+        if ok:
+            out = None
+            shape = [1] * arr.ndim
+            shape[axis] = n
+            for dv in deltas:
+                part = jax.lax.slice_in_dim(
+                    arr, start0 + int(dv), limit0 + int(dv), stride=s,
+                    axis=axis)
+                if out is None:
+                    out = part
+                else:
+                    mask = jnp.asarray((d == dv).reshape(shape))
+                    out = jnp.where(mask, part, out)
+            return out
     return jnp.take(arr, idx, axis=axis)
 
 
@@ -188,11 +221,32 @@ def _resize_bilinear_u8(arr, rows, cols):
     xa = resolve_index_np(x0, src_cols).astype(np.int32)
     xb = resolve_index_np(x0 + 1, src_cols).astype(np.int32)
 
-    # Slice the u8 source first (4x less traffic than converting the full
-    # array), then do the fixed-point math in f32: every value here is a
-    # non-negative integer <= 255*256*256 < 2^24, so f32 multiply/add and
-    # trunc-divide by 2^16 are exact — and f32 is native on the TPU VPU
-    # where int32 multiplies are emulated.
+    # Preferred lowering: the separable weighted sum IS a banded matmul —
+    # run it on the MXU with exact base-256 digit arithmetic (bit-exact,
+    # ~2 orders of magnitude faster than gather/slice lowerings on TPU).
+    from .mxu_resample import build_tap_matrix, exact_axis_apply, mxu_ok
+
+    fy_flat = fy_i.reshape(-1)
+    fx_flat = fx_i.reshape(-1)
+    if mxu_ok(rows, src_rows, (0, 256)) and mxu_ok(cols, src_cols, (0, 256)):
+        Wy = build_tap_matrix(
+            np.stack([ya, yb], axis=1),
+            np.stack([_SCALE - fy_flat, fy_flat], axis=1), src_rows, rows)
+        Wx = build_tap_matrix(
+            np.stack([xa, xb], axis=1),
+            np.stack([_SCALE - fx_flat, fx_flat], axis=1), src_cols, cols)
+        temp, tb = exact_axis_apply(arr, Wy, 255, axis=ay)
+        res, _ = exact_axis_apply(temp, Wx, tb, axis=ax)
+        if res.dtype == jnp.float32:
+            out = jnp.trunc(res * (1.0 / (_SCALE * _SCALE)))
+        else:
+            out = res >> 16  # non-negative int32: shift == trunc-div
+        return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+    # Fallback (huge axes): gather + f32 fixed point. Slice the u8 source
+    # first, then f32 math: all values are non-negative integers
+    # <= 255*256*256 < 2^24, so multiply/add and trunc-divide by 2^16 are
+    # exact (int32 multiplies are emulated on the TPU VPU).
     top_rows = _take_axis(arr, ya, axis=ay)
     bot_rows = _take_axis(arr, yb, axis=ay)
     tl = _take_axis(top_rows, xa, axis=ax).astype(jnp.float32)

@@ -1,0 +1,144 @@
+"""Exact integer resampling on the MXU (bit-exact fixed point as matmuls).
+
+Separable resampling ops (resize, separable convolution) apply a per-axis
+weighted sum with trace-time weights — i.e. a banded matrix multiply.
+On TPU the MXU is ~2 orders of magnitude faster than gather/strided-slice
+lowerings of the same op, and it can be EXACT:
+
+- bf16 represents every integer in [0, 256]; the MXU multiplies bf16
+  exactly and accumulates in f32, so products of base-256 digits
+  (<= 255 * 255) and their row sums stay exact while partial sums are
+  below 2^24.
+- weights and inputs are therefore decomposed into base-256 digits,
+  one matmul per digit pair, recombined with power-of-256 shifts
+  (in f32 when the bound allows, else int32 adds — never int32
+  multiplies, which are emulated on the VPU).
+
+Border modes are folded into the matrix at trace time (mirror/replicate/
+wrap taps scatter-add onto the same source row), reproducing
+`resolveIndex` semantics exactly (reference: src/image/border.zig:46).
+"""
+
+from __future__ import annotations
+
+import string
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["build_tap_matrix", "exact_axis_apply", "mxu_ok"]
+
+_F32_EXACT = 1 << 24
+_MAX_MATRIX_ELEMS = 1 << 22  # gate: dense [dst, src] weight matrix size
+
+
+def mxu_ok(dst_n: int, src_n: int, weights) -> bool:
+    """MXU path applies when the matrix is affordable and all weights are
+    non-negative integers (negatives would need a signed split)."""
+    w = np.asarray(weights)
+    return (dst_n * src_n <= _MAX_MATRIX_ELEMS
+            and w.min() >= 0 and np.all(w == np.round(w)))
+
+
+def build_tap_matrix(idx, weights, src_n: int, dst_n: int) -> np.ndarray:
+    """Scatter-add tap (index, weight) tables into a dense [dst, src]
+    int64 matrix. idx: [dst, k] resolved source indices (-1 = ZERO-mode
+    out-of-bounds, skipped); weights: [k] or [dst, k] integer weights."""
+    idx = np.asarray(idx, dtype=np.int64)
+    w = np.asarray(weights, dtype=np.int64)
+    if w.ndim == 1:
+        w = np.broadcast_to(w[None, :], idx.shape)
+    M = np.zeros((dst_n, src_n), dtype=np.int64)
+    rows = np.repeat(np.arange(dst_n), idx.shape[1])
+    cols = idx.ravel()
+    vals = w.ravel()
+    keep = cols >= 0
+    np.add.at(M, (rows[keep], cols[keep]), vals[keep])
+    return M
+
+
+def _digits(M: np.ndarray):
+    """Base-256 digits of a non-negative integer matrix, least first.
+    Every digit is <= 255 except a value of exactly 256 is kept as a
+    single digit (bf16-exact) to avoid an extra matmul in the common
+    normalized-kernel case."""
+    out = []
+    M = M.astype(np.int64)
+    if M.max() <= 256:
+        return [M]
+    while M.any():
+        out.append(M % 256)
+        M = M // 256
+    return out
+
+
+def _einsum_sub(ndim: int, axis: int):
+    letters = string.ascii_lowercase[:ndim]
+    out = letters[:axis] + "z" + letters[axis + 1:]
+    return f"z{letters[axis]},{letters}->{out}"
+
+
+def exact_axis_apply(x, M: np.ndarray, x_bound: int, axis: int):
+    """Contract integer-valued `x` (f32/u8, values in [0, x_bound]) with
+    the non-negative integer matrix M [dst, src] along `axis`.
+
+    Returns (result, bound): result is exact and integer-valued, f32 if
+    every partial stays < 2^24, else int32.
+    """
+    sub = _einsum_sub(x.ndim, axis)
+    w_digits = _digits(M)
+    # input digits (base 256, least significant first)
+    n_digits = 1
+    b = x_bound
+    while b > 256:
+        b //= 256
+        n_digits += 1
+    if n_digits == 1:
+        x_digits = [x.astype(jnp.bfloat16)]
+        xd_max = [min(256, x_bound)]
+    else:
+        xf = x.astype(jnp.float32)
+        x_digits = []
+        for k in range(n_digits):
+            if k == n_digits - 1:
+                x_digits.append(xf.astype(jnp.bfloat16))
+            else:
+                hi = jnp.floor(xf * (1.0 / 256.0))
+                x_digits.append((xf - 256.0 * hi).astype(jnp.bfloat16))
+                xf = hi
+        xd_max = [min(255, x_bound // (256 ** j)) for j in range(n_digits)]
+
+    row_sums = [int(d.sum(axis=1).max()) for d in w_digits]
+
+    # per-term and total bounds decide the combine dtype
+    terms = []
+    total_bound = 0
+    f32_ok = True
+    for i, wd in enumerate(w_digits):
+        if not np.any(wd):
+            continue
+        wj = jnp.asarray(wd.astype(np.float32)).astype(jnp.bfloat16)
+        for j, xd in enumerate(x_digits):
+            term_bound = row_sums[i] * xd_max[j]
+            if term_bound >= _F32_EXACT:
+                raise ValueError("digit matmul bound exceeds f32 exactness")
+            shift = 256 ** (i + j)
+            terms.append((wj, xd, shift))
+            total_bound += term_bound * shift
+            if term_bound * shift >= _F32_EXACT:
+                f32_ok = False
+    if total_bound >= _F32_EXACT:
+        f32_ok = False
+
+    acc = None
+    for wj, xd, shift in terms:
+        part = jnp.einsum(sub, wj, xd,
+                          preferred_element_type=jnp.float32)
+        if f32_ok:
+            term = part * np.float32(shift) if shift != 1 else part
+        else:
+            term = part.astype(jnp.int32)
+            if shift != 1:
+                term = term << int(np.log2(shift))
+        acc = term if acc is None else acc + term
+    return acc, total_bound

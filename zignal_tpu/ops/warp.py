@@ -124,18 +124,20 @@ def sample(arr, xs, ys, method=Interpolation.BILINEAR,
         r1, vr1 = _resolve_dev(t_i + 1, h, border)
 
         if arr.dtype == jnp.uint8:
-            a = arr.astype(jnp.int32)
-            fxi = _round_half_away(fx * 256.0).astype(jnp.int32)[..., None]
-            fyi = _round_half_away(fy * 256.0).astype(jnp.int32)[..., None]
-            tl = _gather2d(a, r0, c0) * (vr0 & vc0)[..., None]
-            tr = _gather2d(a, r0, c1) * (vr0 & vc1)[..., None]
-            bl = _gather2d(a, r1, c0) * (vr1 & vc0)[..., None]
-            br = _gather2d(a, r1, c1) * (vr1 & vc1)[..., None]
+            # fixed-point in f32: all terms are non-negative integers and
+            # acc <= 255*2^16 + 2^15 < 2^24, so f32 mul/add and the
+            # trunc-divide by 2^16 are exact (int32 muls are emulated on
+            # the TPU VPU); bit-identical to the int32 formulation
+            fxi = jnp.trunc(_round_half_away(fx * 256.0))[..., None]
+            fyi = jnp.trunc(_round_half_away(fy * 256.0))[..., None]
+            tl = _gather2d(arr, r0, c0).astype(jnp.float32) * (vr0 & vc0)[..., None]
+            tr = _gather2d(arr, r0, c1).astype(jnp.float32) * (vr0 & vc1)[..., None]
+            bl = _gather2d(arr, r1, c0).astype(jnp.float32) * (vr1 & vc0)[..., None]
+            br = _gather2d(arr, r1, c1).astype(jnp.float32) * (vr1 & vc1)[..., None]
             topv = tl * (256 - fxi) + tr * fxi
             botv = bl * (256 - fxi) + br * fxi
             acc = topv * (256 - fyi) + botv * fyi + (256 * 256 // 2)
-            q = jnp.abs(acc) // (256 * 256)
-            q = jnp.where(acc < 0, -q, q)
+            q = jnp.trunc(acc * (1.0 / (256 * 256)))
             return jnp.clip(q, 0, 255).astype(jnp.uint8)
         tl = _gather2d(arr, r0, c0) * (vr0 & vc0)[..., None]
         tr = _gather2d(arr, r0, c1) * (vr0 & vc1)[..., None]
