@@ -21,10 +21,17 @@ wrap taps scatter-add onto the same source row), reproducing
 
 from __future__ import annotations
 
+import os
 import string
 
 import jax.numpy as jnp
 import numpy as np
+
+# layout strategy for the digit einsums (A/B-able at trace time):
+#   "sub"  — einsum on the array in place (XLA chooses transposes)
+#   "last" — move the contracted axis minor-most first (explicit
+#             transpose so the MXU sees K in the lane dimension)
+_LAYOUT = os.environ.get("ZT_MXU_LAYOUT", "sub")
 
 __all__ = ["build_tap_matrix", "exact_axis_apply", "mxu_ok"]
 
@@ -85,7 +92,20 @@ def exact_axis_apply(x, M: np.ndarray, x_bound: int, axis: int):
     Returns (result, bound): result is exact and integer-valued, f32 if
     every partial stays < 2^24, else int32.
     """
+    if _LAYOUT == "last":
+        y = jnp.moveaxis(x, axis, -1)
+        sub = "zw,...w->...z"
+        contract = lambda wj, xd: jnp.einsum(
+            sub, wj, xd, preferred_element_type=jnp.float32)
+        out, bound = _exact_core(y, M, x_bound, contract)
+        return jnp.moveaxis(out, -1, axis), bound
     sub = _einsum_sub(x.ndim, axis)
+    contract = lambda wj, xd: jnp.einsum(
+        sub, wj, xd, preferred_element_type=jnp.float32)
+    return _exact_core(x, M, x_bound, contract)
+
+
+def _exact_core(x, M, x_bound, contract):
     w_digits = _digits(M)
     # input digits (base 256, least significant first)
     n_digits = 1
@@ -132,8 +152,7 @@ def exact_axis_apply(x, M: np.ndarray, x_bound: int, axis: int):
 
     acc = None
     for wj, xd, shift in terms:
-        part = jnp.einsum(sub, wj, xd,
-                          preferred_element_type=jnp.float32)
+        part = contract(wj, xd)
         if f32_ok:
             term = part * np.float32(shift) if shift != 1 else part
         else:
