@@ -45,3 +45,29 @@ def test_batch_loader_propagates_errors(tmp_path):
     loader = BatchLoader([str(tmp_path / "missing.png")], batch_size=1)
     with pytest.raises(FileNotFoundError):
         list(loader)
+
+
+def test_profile_stages():
+    from zignal_tpu.profiling import Profile
+
+    p = Profile()
+    with p.stage("a"):
+        pass
+    with p.stage("b"):
+        pass
+    with p.stage("a"):
+        pass
+    assert p.counts["a"] == 2 and p.counts["b"] == 1
+    assert "total" in p.report()
+
+
+def test_measure_runs_on_cpu():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from zignal_tpu.profiling import measure
+
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.asarray(np.ones((64, 64), np.float32))
+    secs, gpix = measure(f, x, pixels=64 * 64, n_small=1, n_large=4)
+    assert gpix > 0
