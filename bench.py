@@ -4,11 +4,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GPix/s", "vs_baseline": N}
 
-Timing methodology: on the axon-tunneled TPU, `block_until_ready` does not
-force execution — only a host fetch does, and a fetch carries ~30 ms fixed
-RPC latency. So we chain N pipeline invocations into one device-side
-dependency chain, fetch a single scalar at the end, and difference two N
-values to cancel the fixed latency.
+Timing methodology (see CLAUDE.md "axon tunnel"): per-call dispatch
+through the axon tunnel costs ~6 ms — far more than the pipeline itself —
+and execution is deferred past block_until_ready, so the pipeline is
+repeated INSIDE one jitted lax.fori_loop (input perturbed per iteration
+so nothing hoists, one scalar consumed per iteration so iterations
+chain), a single scalar is fetched at the end, and two loop lengths are
+differenced to cancel the remaining fixed costs.
 
 vs_baseline compares against the reference's only published resize number
 (bilinear ~100 Mpix/s single CPU core, BASELINE.md).
@@ -17,24 +19,14 @@ vs_baseline compares against the reference's only published resize number
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
 
-def _timed_chain(pipeline_fn, batch, n_iter):
-    import jax.numpy as jnp
-
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    for _ in range(n_iter):
-        r = pipeline_fn(batch)
-        acc = acc + r.ravel()[0]
-    float(acc)  # host fetch forces the whole chain
-    return time.perf_counter() - t0
-
-
 def main():
     import jax
+    import jax.numpy as jnp
 
     from zignal_tpu.pipeline import resize_blur_oklab
 
@@ -43,15 +35,23 @@ def main():
     rng = np.random.default_rng(0)
     batch = jax.device_put(rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8))
 
-    def fn(b):
-        return resize_blur_oklab(b, out, out, 2.0)
+    @partial(jax.jit, static_argnames=("n",))
+    def looped(x, n):
+        def body(i, acc):
+            xi = jnp.bitwise_xor(x, i.astype(jnp.uint8))
+            r = resize_blur_oklab(xi, out, out, 2.0)
+            return acc + r.ravel()[0]
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    # warmup / compile
-    _timed_chain(fn, batch, 1)
+    def timed(n):
+        float(looped(batch, n))  # compile + run once
+        t0 = time.perf_counter()
+        float(looped(batch, n))
+        return time.perf_counter() - t0
 
     n_small, n_large = 2, 22
-    t_small = min(_timed_chain(fn, batch, n_small) for _ in range(2))
-    t_large = min(_timed_chain(fn, batch, n_large) for _ in range(2))
+    t_small = min(timed(n_small) for _ in range(2))
+    t_large = min(timed(n_large) for _ in range(2))
     per_iter = (t_large - t_small) / (n_large - n_small)
 
     gpix = B * H * W / per_iter / 1e9
