@@ -26,7 +26,8 @@ from ..ops.convolution import gaussian_kernel
 
 __all__ = [
     "make_mesh", "shard_batch", "replicate", "sharded_pipeline",
-    "spatial_gaussian_blur", "global_mean_cov",
+    "spatial_gaussian_blur", "global_mean_cov", "spatial_histogram",
+    "spatial_equalize",
 ]
 
 
@@ -142,3 +143,72 @@ def global_mean_cov(mesh: Mesh, axis_name: str = "batch"):
         out_specs=(P(), P()),
     )
     return jax.jit(fn)
+
+
+def spatial_histogram(mesh: Mesh, axis_name: str = "batch"):
+    """256-bin per-channel histogram of a single [H, W, C] u8 image with
+    H sharded across the mesh: local scatter-add + `psum` over ICI."""
+
+    def body(local):
+        one = jnp.ones(local.shape[:-1], dtype=jnp.int32)
+        hists = []
+        for c in range(local.shape[-1]):
+            h = jnp.zeros((256,), jnp.int32).at[
+                local[..., c].astype(jnp.int32)].add(one)
+            hists.append(h)
+        return jax.lax.psum(jnp.stack(hists), axis_name)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=P(axis_name, None, None),
+        out_specs=P(),
+    )
+    return jax.jit(fn)
+
+
+def spatial_equalize(mesh: Mesh, axis_name: str = "batch",
+                     skip_alpha: bool = True):
+    """Histogram equalization of a single H-sharded [H, W, C] u8 image:
+    global CDF via `psum`, then each chip remaps its rows through the
+    shared LUT. Matches ops.enhancement.equalize exactly
+    (reference: src/image/enhancement.zig:84-150)."""
+
+    def body(local, total):
+        ch = local.shape[-1]
+        one = jnp.ones(local.shape[:-1], dtype=jnp.int32)
+        outs = []
+        for c in range(ch):
+            if skip_alpha and ch == 4 and c == 3:
+                outs.append(local[..., c])
+                continue
+            plane = local[..., c]
+            hist = jnp.zeros((256,), jnp.int32).at[
+                plane.astype(jnp.int32)].add(one)
+            hist = jax.lax.psum(hist, axis_name)
+            cdf = jnp.cumsum(hist)
+            nonzero = cdf > 0
+            cdf_min = jnp.where(jnp.any(nonzero), cdf[jnp.argmax(nonzero)], 0)
+            denom = total - cdf_min
+            ident = jnp.arange(256, dtype=jnp.uint8)
+            lut = jnp.where(
+                cdf >= cdf_min,
+                ((cdf - cdf_min) * 255
+                 // jnp.maximum(denom, 1)).astype(jnp.uint8),
+                0,
+            )
+            lut = jnp.where(denom == 0, ident, lut)
+            outs.append(lut[plane])
+        return jnp.stack(outs, axis=-1)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis_name, None, None), P()),
+        out_specs=P(axis_name, None, None),
+    )
+
+    @jax.jit
+    def run(image):
+        total = jnp.int32(image.shape[0] * image.shape[1])
+        return fn(image, total)
+
+    return run
