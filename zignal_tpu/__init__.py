@@ -32,6 +32,30 @@ from .perlin import perlin, perlin_array
 from .pca import PCA
 from .stats import RunningStats
 from .rectangle import Rectangle
+from .qrcode import EcLevel, QrDecodeResult
+
+
+def qrcode_encode(data, ec_level=None, version=None, module_size: int = 8,
+                  quiet_zone: int = 4):
+    """Encode str/bytes as a QR code -> grayscale Image
+    (reference: bindings qrcode.zig:287 qrcode_encode)."""
+    from .qrcode import EcLevel as _E, encode_text
+
+    return encode_text(data, _E(ec_level) if ec_level is not None else _E.MEDIUM,
+                       version, module_size, quiet_zone)
+
+
+def qrcode_decode(image):
+    """Decode the first QR code in an Image -> QrDecodeResult or None
+    (reference: bindings qrcode.zig qrcode_decode)."""
+    from .image import Image as _Image
+    from .qrcode import decode_image
+
+    if not isinstance(image, _Image):
+        raise TypeError("qrcode_decode expects an Image")
+    results = decode_image(image)
+    return results[0] if results else None
+
 
 __all__ = [
     "__version__",
@@ -44,4 +68,5 @@ __all__ = [
     "perlin", "perlin_array",
     "OptimizationPolicy", "Assignment", "solve_assignment_problem", "optimize",
     "SimilarityTransform", "AffineTransform", "ProjectiveTransform", "ConvexHull",
+    "EcLevel", "QrDecodeResult", "qrcode_encode", "qrcode_decode",
 ]

@@ -28,6 +28,8 @@ class QrDecodeResult:
     ec_level: EcLevel
     mask: int
     corrected_errors: int = 0
+    data: bytes = b""
+    corners: list | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -108,12 +110,14 @@ def decode_matrix(mat: np.ndarray) -> QrDecodeResult:
             raise QrDecodeError(f"block {b}: {e}") from e
         payload.extend(blk[: lengths[b]])
 
-    text = _read_segments(bytes(payload), version)
-    return QrDecodeResult(text, version, level, mask, corrected)
+    raw = _read_segments(bytes(payload), version)
+    text = raw.decode("utf-8", errors="replace")
+    return QrDecodeResult(text, version, level, mask, corrected, data=raw)
 
 
-def _read_segments(data: bytes, version: int) -> str:
-    """Parse the data bitstream segments (reference: segment.zig:173)."""
+def _read_segments(data: bytes, version: int) -> bytes:
+    """Parse the data bitstream segments -> raw payload bytes
+    (reference: segment.zig:173)."""
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
     pos = 0
     out = []
@@ -142,29 +146,28 @@ def _read_segments(data: bytes, version: int) -> str:
         if mode == 1:  # numeric
             count = take(count_bits(1))
             while count >= 3:
-                out.append(f"{take(10):03d}")
+                out.append(f"{take(10):03d}".encode())
                 count -= 3
             if count == 2:
-                out.append(f"{take(7):02d}")
+                out.append(f"{take(7):02d}".encode())
             elif count == 1:
-                out.append(str(take(4)))
+                out.append(str(take(4)).encode())
         elif mode == 2:  # alphanumeric
             count = take(count_bits(2))
             while count >= 2:
                 v = take(11)
-                out.append(_ALPHANUMERIC[v // 45] + _ALPHANUMERIC[v % 45])
+                out.append((_ALPHANUMERIC[v // 45] + _ALPHANUMERIC[v % 45]).encode())
                 count -= 2
             if count:
-                out.append(_ALPHANUMERIC[take(6)])
+                out.append(_ALPHANUMERIC[take(6)].encode())
         elif mode == 4:  # byte
             count = take(count_bits(4))
-            raw = bytes(take(8) for _ in range(count))
-            out.append(raw.decode("utf-8", errors="replace"))
+            out.append(bytes(take(8) for _ in range(count)))
         elif mode == 7:  # ECI — skip designator
             take(8)
         else:
             raise QrDecodeError(f"unsupported segment mode {mode}")
-    return "".join(out)
+    return b"".join(out)
 
 
 # ---------------------------------------------------------------------------
@@ -377,9 +380,13 @@ def _try_sample(dark, tl, tr, bl, version):
     xs = np.clip(np.round(coords[:, 0]).astype(int), 0, dark.shape[1] - 1)
     ys = np.clip(np.round(coords[:, 1]).astype(int), 0, dark.shape[0] - 1)
     mat = dark[ys, xs].reshape(n, n)
+    corners = [tuple(float(v) for v in t.project(pt))
+               for pt in ((0.0, 0.0), (n, 0.0), (n, n), (0.0, n))]
     for candidate in (mat, mat.T):  # handle mirrored codes
         try:
-            return decode_matrix(candidate)
+            result = decode_matrix(candidate)
+            result.corners = corners
+            return result
         except QrDecodeError:
             continue
     return None

@@ -31,7 +31,9 @@ class _BitWriter:
         return len(self.bits)
 
 
-def _pick_mode(text: str) -> str:
+def _pick_mode(text) -> str:
+    if isinstance(text, (bytes, bytearray)):
+        return "byte"
     if text and all(c.isdigit() for c in text):
         return "numeric"
     if text and all(c in _ALPHA_IDX for c in text):
@@ -55,7 +57,7 @@ def _segment_bits(text: str, mode: str, version: int) -> _BitWriter:
     bw = _BitWriter()
     bw.write(_MODE_INDICATOR[mode], 4)
     if mode == "byte":
-        data = text.encode("utf-8")
+        data = bytes(text) if isinstance(text, (bytes, bytearray)) else text.encode("utf-8")
         bw.write(len(data), _count_bits(mode, version))
         for b in data:
             bw.write(b, 8)
@@ -75,8 +77,11 @@ def _segment_bits(text: str, mode: str, version: int) -> _BitWriter:
     return bw
 
 
-def _bits_needed(text: str, mode: str, version: int) -> int:
-    n = len(text.encode("utf-8")) if mode == "byte" else len(text)
+def _bits_needed(text, mode: str, version: int) -> int:
+    if mode == "byte":
+        n = len(text) if isinstance(text, (bytes, bytearray)) else len(text.encode("utf-8"))
+    else:
+        n = len(text)
     header = 4 + _count_bits(mode, version)
     if mode == "byte":
         return header + 8 * n
@@ -144,12 +149,20 @@ def encode_to_matrix(text: str, ec_level: EcLevel = EcLevel.MEDIUM,
     return best_mat, ver, best_mask
 
 
-def encode_text(text: str, ec_level: EcLevel = EcLevel.MEDIUM,
+def encode_text(text, ec_level: EcLevel = EcLevel.MEDIUM,
                 version: int | None = None, module_size: int = 8,
                 quiet_zone: int = 4):
-    """Encode text -> grayscale Image (0=dark, 255=light)
-    (reference: cli/qr.zig render path)."""
+    """Encode str/bytes -> grayscale Image (0=dark, 255=light)
+    (reference: bindings qrcode.zig:287 qrcode_encode; cli/qr.zig render)."""
     from ..image import Image
+
+    if not isinstance(text, (str, bytes, bytearray)):
+        raise TypeError("data must be str or bytes")
+    if module_size < 1:
+        raise ValueError("module_size must be >= 1")
+    if quiet_zone < 0:
+        raise ValueError("quiet_zone must be >= 0")
+    ec_level = EcLevel(ec_level)
 
     mat, ver, _ = encode_to_matrix(text, ec_level, version)
     n = dimension(ver)
