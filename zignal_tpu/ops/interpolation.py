@@ -197,6 +197,15 @@ def _hw_axes(arr):
     return arr.ndim - 3, arr.ndim - 2
 
 
+def _onehot(idx, src_n: int):
+    """[len(idx), src_n] 0/1 selector matrix — a gather expressed as an
+    exact MXU matmul (ops/mxu_resample.py)."""
+    from .mxu_resample import build_tap_matrix
+
+    return build_tap_matrix(np.asarray(idx)[:, None], np.ones(1, np.int64),
+                            src_n, len(idx))
+
+
 def _resize_nearest(arr, rows, cols):
     ay, ax = _hw_axes(arr)
     src_rows, src_cols = arr.shape[ay], arr.shape[ax]
@@ -205,6 +214,13 @@ def _resize_nearest(arr, rows, cols):
     # Zig @round = half away from zero; inputs are > -0.5 so floor(x+0.5)
     y = np.clip(np.floor(src_y + np.float32(0.5)), 0, src_rows - 1).astype(np.int32)
     x = np.clip(np.floor(src_x + np.float32(0.5)), 0, src_cols - 1).astype(np.int32)
+    if arr.dtype == jnp.uint8:
+        from .mxu_resample import exact_axis_apply, mxu_ok
+
+        if mxu_ok(rows, src_rows, (0, 1)) and mxu_ok(cols, src_cols, (0, 1)):
+            t, _ = exact_axis_apply(arr, _onehot(y, src_rows), 255, axis=ay)
+            r, _ = exact_axis_apply(t, _onehot(x, src_cols), 255, axis=ax)
+            return r.astype(jnp.uint8)
     return _take_axis(_take_axis(arr, y, axis=ay), x, axis=ax)
 
 
@@ -272,16 +288,33 @@ def _resize_cubic_family_u8(arr, rows, cols, kernel):
     y_idx, wy = _cubic_axis_table(src_rows, rows, kernel)
     x_idx, wx = _cubic_axis_table(src_cols, cols, kernel)
 
-    a = arr.astype(jnp.int32)
-    total = jnp.zeros((rows, cols, arr.shape[-1]), dtype=jnp.int32)
-    wsum = jnp.zeros((rows, cols), dtype=jnp.int32)
+    # All arithmetic in f32 holding exact integers (int32 multiplies are
+    # emulated on the TPU VPU): per-tap weights |wy*wx/256| <= 2^10 and
+    # totals <= 16*255*2^10 < 2^24 are exact; the final trunc-division is
+    # safe because wsum <= 2^14 keeps 1/wsum above ulp(|quotient|).
+    from .mxu_resample import exact_axis_apply, mxu_ok
+
+    use_mxu = mxu_ok(rows, src_rows, (0, 1)) and mxu_ok(cols, src_cols, (0, 1))
+    total = jnp.zeros((rows, cols, arr.shape[-1]), dtype=jnp.float32)
+    wsum = jnp.zeros((rows, cols), dtype=jnp.float32)
     for ky in range(4):
-        row_gather = _take_axis(a, y_idx[:, ky], axis=ay)  # [..., rows, srcW, C]
+        # one-hot MXU gather of the tap rows (exact); VPU gather fallback
+        if use_mxu:
+            row_gather, _ = exact_axis_apply(
+                arr, _onehot(y_idx[:, ky], src_rows), 255, axis=ay)
+        else:
+            row_gather = _take_axis(arr, y_idx[:, ky], axis=ay)
         for kx in range(4):
-            px = _take_axis(row_gather, x_idx[:, kx], axis=ax)  # [..., rows, cols, C]
-            w = _divtrunc(
-                jnp.asarray(wy[:, ky, None]) * jnp.asarray(wx[None, :, kx]), _SCALE
-            )  # [rows, cols]
+            if use_mxu:
+                px, _ = exact_axis_apply(
+                    row_gather, _onehot(x_idx[:, kx], src_cols), 255, axis=ax)
+            else:
+                px = _take_axis(row_gather, x_idx[:, kx],
+                                axis=ax).astype(jnp.float32)
+            w_np = _trunc_div_np(
+                wy[:, ky, None].astype(np.int64) * wx[None, :, kx], _SCALE
+            ).astype(np.float32)  # [rows, cols], exact at trace time
+            w = jnp.asarray(w_np)
             total = total + px * w[..., None]
             wsum = wsum + w
     result = jnp.where(wsum[..., None] != 0, _divtrunc(total, wsum[..., None]), 0)
@@ -295,13 +328,24 @@ def _resize_lanczos_u8(arr, rows, cols):
     y_idx, wy = _lanczos_axis_table(src_rows, rows)
     x_idx, wx = _lanczos_axis_table(src_cols, cols)
 
-    a = arr.astype(jnp.float32)
+    from .mxu_resample import exact_axis_apply, mxu_ok
+
+    use_mxu = mxu_ok(rows, src_rows, (0, 1)) and mxu_ok(cols, src_cols, (0, 1))
     total = jnp.zeros((rows, cols, arr.shape[-1]), dtype=jnp.float32)
     wsum = jnp.zeros((rows, cols), dtype=jnp.float32)
     for ky in range(6):
-        row_gather = _take_axis(a, y_idx[:, ky], axis=ay)
+        if use_mxu:
+            row_gather, _ = exact_axis_apply(
+                arr, _onehot(y_idx[:, ky], src_rows), 255, axis=ay)
+        else:
+            row_gather = _take_axis(arr, y_idx[:, ky], axis=ay)
         for kx in range(6):
-            px = _take_axis(row_gather, x_idx[:, kx], axis=ax)
+            if use_mxu:
+                px, _ = exact_axis_apply(
+                    row_gather, _onehot(x_idx[:, kx], src_cols), 255, axis=ax)
+            else:
+                px = _take_axis(row_gather, x_idx[:, kx],
+                                axis=ax).astype(jnp.float32)
             w = jnp.asarray(wy[:, ky, None]) * jnp.asarray(wx[None, :, kx])
             total = total + px * w[..., None]
             wsum = wsum + w
