@@ -118,3 +118,42 @@ def test_running_stats_combine_produces_new_instance():
     # original stats should remain untouched
     assert left.count == len(left_values)
     assert right.count == len(right_values)
+
+
+# ---------------------------------------------------------------------------
+# CovarianceStats (reference: src/stats.zig:234, test at stats.zig:509)
+# ---------------------------------------------------------------------------
+
+
+def test_covariance_stats_basic():
+    import numpy as np
+    from zignal_tpu.stats import CovarianceStats
+
+    stats = CovarianceStats(2)
+    stats.add([1.0, 2.0])
+    stats.add([2.0, 4.0])
+    stats.add([3.0, 6.0])
+    assert abs(stats.mean()[0] - 2.0) < 1e-10
+    assert abs(stats.mean()[1] - 4.0) < 1e-10
+    cov = np.asarray(stats.covariance_matrix().to_numpy())
+    assert abs(cov[0, 0] - 1.0) < 1e-10       # var of 1,2,3
+    assert abs(cov[0, 1] - 2.0) < 1e-10       # perfectly correlated 2x
+
+
+def test_covariance_stats_extend_matches_add():
+    import numpy as np
+    from zignal_tpu.stats import CovarianceStats
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((200, 4))
+    a = CovarianceStats(4)
+    for row in x:
+        a.add(row)
+    b = CovarianceStats(4)
+    b.extend(x[:37])
+    b.extend(x[37:])
+    assert np.allclose(a.mean(), b.mean())
+    assert np.allclose(np.asarray(a.covariance_matrix().to_numpy()),
+                       np.asarray(b.covariance_matrix().to_numpy()))
+    assert np.allclose(np.asarray(b.covariance_matrix().to_numpy()),
+                       np.cov(x.T, ddof=1))
