@@ -71,3 +71,25 @@ def test_measure_runs_on_cpu():
     x = jnp.asarray(np.ones((64, 64), np.float32))
     secs, gpix = measure(f, x, pixels=64 * 64, n_small=1, n_large=4)
     assert gpix > 0
+
+
+def test_bucket_shape():
+    from zignal_tpu.shapes import bucket_shape
+
+    assert bucket_shape(100, 200) == (128, 256)
+    assert bucket_shape(512, 512) == (512, 512)
+    assert bucket_shape(513, 100) == (768, 128)
+    assert bucket_shape(5000, 4097) == (8192, 8192)
+
+
+def test_pad_to_bucket():
+    import numpy as np
+    from zignal_tpu.shapes import pad_to_bucket
+
+    a = np.ones((100, 200, 3), np.uint8)
+    p, (h, w) = pad_to_bucket(a)
+    assert p.shape == (128, 256, 3) and (h, w) == (100, 200)
+    assert (p[:100, :200] == 1).all() and (p[100:] == 0).all()
+    b = np.ones((2, 512, 512, 3), np.uint8)
+    p2, _ = pad_to_bucket(b)
+    assert p2 is b  # already at bucket

@@ -12,7 +12,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .binary import histogram256
+from .binary import histogram256, lut_apply_u8
 
 __all__ = ["autocontrast", "equalize"]
 
@@ -84,5 +84,5 @@ def equalize(arr, skip_alpha: bool = True):
             0,
         )
         lut = jnp.where(denom == 0, ident, lut)
-        chans.append(lut[plane])
+        chans.append(lut_apply_u8(plane, lut))
     return jnp.stack(chans, axis=-1)

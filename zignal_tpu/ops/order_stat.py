@@ -26,10 +26,31 @@ __all__ = ["percentile_blur", "median_blur", "min_blur", "max_blur",
            "midpoint_blur", "alpha_trimmed_mean_blur"]
 
 
+_PAD_MODE = {
+    BorderMode.ZERO: "constant",       # OOB contributes value 0, as masked
+    BorderMode.REPLICATE: "edge",
+    BorderMode.MIRROR: "reflect",      # reflect-without-edge = resolveIndex
+    BorderMode.WRAP: "wrap",
+}
+
+
 def _window_stack(arr, radius: int, border: BorderMode):
-    """[H, W, C] -> [H, W, C, k*k] window samples (0 for OOB under ZERO)."""
+    """[H, W, C] -> [H, W, C, k*k] window samples (0 for OOB under ZERO).
+
+    Pad + k*k static stride-1 slices (cheap on TPU; gathers are ~25x off
+    the roofline). Falls back to resolved-index gathers when the window
+    exceeds the image (pad modes need pad < axis length)."""
     h, w = arr.shape[0], arr.shape[1]
     k = 2 * radius + 1
+    if 0 < radius < min(h, w):
+        padded = jnp.pad(arr, ((radius, radius), (radius, radius), (0, 0)),
+                         mode=_PAD_MODE[border])
+        parts = [
+            jax.lax.slice(padded, (i, j, 0),
+                          (i + h, j + w, arr.shape[2]))
+            for i in range(k) for j in range(k)
+        ]
+        return jnp.stack(parts, axis=-1)
     offs = np.arange(k) - radius
     ys = resolve_index_np(np.arange(h)[:, None] + offs[None, :], h, border)
     xs = resolve_index_np(np.arange(w)[:, None] + offs[None, :], w, border)
@@ -52,15 +73,46 @@ def _rank_of(percentile: float, total: int) -> int:
     return min(max(rank, 0), total - 1)
 
 
+def _sorted_window(arr, radius: int, border: BorderMode):
+    """Sorted window samples as a LIST of [H, W, C] arrays.
+
+    For windows up to 7x7 an odd-even transposition network of fused
+    jnp.minimum/maximum chains sorts in place — XLA fuses the whole
+    network into one elementwise kernel, far cheaper than jnp.sort over
+    a materialized [..., k*k] axis."""
+    k2 = (2 * radius + 1) ** 2
+    if k2 <= 49:
+        padded = None
+        if 0 < radius < min(arr.shape[0], arr.shape[1]):
+            padded = jnp.pad(
+                arr, ((radius, radius), (radius, radius), (0, 0)),
+                mode=_PAD_MODE[border])
+        if padded is not None:
+            h, w, c = arr.shape
+            k = 2 * radius + 1
+            parts = [jax.lax.slice(padded, (i, j, 0), (i + h, j + w, c))
+                     for i in range(k) for j in range(k)]
+        else:
+            win = _window_stack(arr, radius, border)
+            parts = [win[..., t] for t in range(k2)]
+        for rnd in range(k2):
+            for i in range(rnd % 2, k2 - 1, 2):
+                lo = jnp.minimum(parts[i], parts[i + 1])
+                hi = jnp.maximum(parts[i], parts[i + 1])
+                parts[i], parts[i + 1] = lo, hi
+        return parts
+    win = _window_stack(arr, radius, border)
+    sorted_win = jnp.sort(win, axis=-1)
+    return [sorted_win[..., t] for t in range(k2)]
+
+
 @partial(jax.jit, static_argnames=("radius", "percentile", "border"))
 def percentile_blur(arr, radius: int, percentile: float,
                     border: BorderMode = BorderMode.MIRROR):
     k = 2 * radius + 1
     total = k * k
     rank = _rank_of(percentile, total)
-    win = _window_stack(arr, radius, BorderMode(border))
-    sorted_win = jnp.sort(win, axis=-1)
-    return sorted_win[..., rank]
+    return _sorted_window(arr, radius, BorderMode(border))[rank]
 
 
 def median_blur(arr, radius: int):
@@ -120,10 +172,14 @@ def alpha_trimmed_mean_blur(arr, radius: int, trim_fraction: float,
     k = 2 * radius + 1
     total = k * k
     trim_each = min(int(np.trunc(np.floor(trim_fraction * total))), total // 2)
-    win = _window_stack(arr, radius, BorderMode(border))
-    sorted_win = jnp.sort(win, axis=-1).astype(jnp.int32)
-    kept = sorted_win[..., trim_each:total - trim_each]
-    kept_count = kept.shape[-1]
-    kept_sum = jnp.sum(kept, axis=-1)
-    rounded = (kept_sum + kept_count // 2) // kept_count
+    parts = _sorted_window(arr, radius, BorderMode(border))
+    kept = parts[trim_each:total - trim_each]
+    # exact f32 integer sum (<= 49*255 + bias < 2^24); floor-div by the
+    # count is safe: quotient <= 255.5 and the 1/count margin dwarfs ulp
+    kept_sum = None
+    for p in kept:
+        pf = p.astype(jnp.float32)
+        kept_sum = pf if kept_sum is None else kept_sum + pf
+    kept_count = len(kept)
+    rounded = jnp.floor((kept_sum + kept_count // 2) * (1.0 / kept_count))
     return jnp.minimum(rounded, 255).astype(jnp.uint8)

@@ -149,13 +149,10 @@ def spatial_histogram(mesh: Mesh, axis_name: str = "batch"):
     """256-bin per-channel histogram of a single [H, W, C] u8 image with
     H sharded across the mesh: local scatter-add + `psum` over ICI."""
 
+    from ..ops.binary import histogram256
+
     def body(local):
-        one = jnp.ones(local.shape[:-1], dtype=jnp.int32)
-        hists = []
-        for c in range(local.shape[-1]):
-            h = jnp.zeros((256,), jnp.int32).at[
-                local[..., c].astype(jnp.int32)].add(one)
-            hists.append(h)
+        hists = [histogram256(local[..., c]) for c in range(local.shape[-1])]
         return jax.lax.psum(jnp.stack(hists), axis_name)
 
     fn = shard_map(
@@ -173,18 +170,17 @@ def spatial_equalize(mesh: Mesh, axis_name: str = "batch",
     shared LUT. Matches ops.enhancement.equalize exactly
     (reference: src/image/enhancement.zig:84-150)."""
 
+    from ..ops.binary import histogram256
+
     def body(local, total):
         ch = local.shape[-1]
-        one = jnp.ones(local.shape[:-1], dtype=jnp.int32)
         outs = []
         for c in range(ch):
             if skip_alpha and ch == 4 and c == 3:
                 outs.append(local[..., c])
                 continue
             plane = local[..., c]
-            hist = jnp.zeros((256,), jnp.int32).at[
-                plane.astype(jnp.int32)].add(one)
-            hist = jax.lax.psum(hist, axis_name)
+            hist = jax.lax.psum(histogram256(plane), axis_name)
             cdf = jnp.cumsum(hist)
             nonzero = cdf > 0
             cdf_min = jnp.where(jnp.any(nonzero), cdf[jnp.argmax(nonzero)], 0)
