@@ -117,7 +117,9 @@ class Colormap:
         rng = jnp.where(hi > lo, hi - lo, 1.0)
         t = jnp.clip((x - lo) / rng, 0.0, 1.0)
         idx = jnp.floor(t * 255.0 + 0.5).astype(jnp.int32)
-        return jnp.asarray(self.lut())[idx]
+        from .ops.binary import lut_apply_u8
+
+        return lut_apply_u8(idx, jnp.asarray(self.lut()))
 
     def __repr__(self):
         return f"Colormap.{self.type}(min={self.min}, max={self.max})"

@@ -24,14 +24,11 @@ class Histogram:
     def from_image(cls, image) -> "Histogram":
         import jax.numpy as jnp
 
+        from .ops.binary import histogram256
+
         dev = image._device()
         c = dev.shape[-1]
-        flat = dev.reshape(-1, c).astype(jnp.int32)
-        counts = jnp.zeros((c, 256), jnp.int32)
-        for i in range(c):
-            counts = counts.at[i].set(
-                jnp.zeros(256, jnp.int32).at[flat[:, i]].add(1)
-            )
+        counts = jnp.stack([histogram256(dev[..., i]) for i in range(c)])
         names = {1: ("y",), 3: ("r", "g", "b"), 4: ("r", "g", "b", "a")}[c]
         return cls(np.asarray(counts), names)
 

@@ -18,8 +18,9 @@ __all__ = ["histogram256", "otsu_threshold", "threshold_apply",
            "close_morph"]
 
 
-def histogram256(plane):
-    """256-bin histogram of a u8 plane (any shape).
+def histogram256(plane, weights=None):
+    """256-bin histogram of a u8/int plane (any shape); `weights` (same
+    shape, values in {0,1} or small ints) turns it into a masked count.
 
     Lowered as a one-hot bf16 matmul on the MXU — ~100x faster than an
     XLA scatter-add on TPU (measured 0.09 ms vs 9.0 ms for 1024^2).
@@ -32,19 +33,27 @@ def histogram256(plane):
     rows = f.reshape(-1, 128).astype(jnp.int32)
     bins = jnp.arange(256, dtype=jnp.int32)
     onehot = (rows[:, :, None] == bins).astype(jnp.bfloat16)
-    ones = jnp.ones((128,), jnp.bfloat16)
-    part = jnp.einsum("rkb,k->rb", onehot, ones,
-                      preferred_element_type=jnp.float32)
+    if weights is None:
+        vec = jnp.ones((128,), jnp.bfloat16)
+        part = jnp.einsum("rkb,k->rb", onehot, vec,
+                          preferred_element_type=jnp.float32)
+    else:
+        wf = weights.reshape(-1)
+        if pad:
+            wf = jnp.concatenate([wf, jnp.zeros((pad,), wf.dtype)])
+        wrows = wf.reshape(-1, 128).astype(jnp.bfloat16)
+        part = jnp.einsum("rkb,rk->rb", onehot, wrows,
+                          preferred_element_type=jnp.float32)
     hist = part.astype(jnp.int32).sum(axis=0)
-    if pad:
+    if pad and weights is None:
         hist = hist.at[0].add(-pad)
     return hist
 
 
 def lut_apply_u8(plane, lut):
-    """``lut[plane]`` for a u8 plane and a 256-entry u8 LUT, lowered as a
-    one-hot bf16 matmul (per-pixel gathers are ~100x slower on TPU).
-    Exact: one entry fires per pixel and all values are <= 255."""
+    """``lut[plane]`` for a u8/int plane and a [256] or [256, C] u8 LUT,
+    lowered as a one-hot bf16 matmul (per-pixel gathers are ~100x slower
+    on TPU). Exact: one entry fires per pixel, values <= 255."""
     f = plane.reshape(-1)
     pad = (-f.size) % 128
     if pad:
@@ -52,12 +61,18 @@ def lut_apply_u8(plane, lut):
     rows = f.reshape(-1, 128).astype(jnp.int32)
     bins = jnp.arange(256, dtype=jnp.int32)
     onehot = (rows[:, :, None] == bins).astype(jnp.bfloat16)
-    out = jnp.einsum("rkb,b->rk", onehot, lut.astype(jnp.bfloat16),
+    if lut.ndim == 1:
+        out = jnp.einsum("rkb,b->rk", onehot, lut.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32).reshape(-1)
+        if pad:
+            out = out[: plane.size]
+        return out.reshape(plane.shape).astype(jnp.uint8)
+    out = jnp.einsum("rkb,bc->rkc", onehot, lut.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
-    out = out.reshape(-1)
+    out = out.reshape(-1, lut.shape[1])
     if pad:
         out = out[: plane.size]
-    return out.reshape(plane.shape).astype(jnp.uint8)
+    return out.reshape(*plane.shape, lut.shape[1]).astype(jnp.uint8)
 
 
 @jax.jit

@@ -212,9 +212,9 @@ def shen_castan(gray_f32, smooth: float = 0.9, window_size: int = 7,
 
     # percentile threshold over gradient histogram at edge pixels
     bins = jnp.floor(jnp.clip(gradients, 0, 255) + 0.5).astype(jnp.int32)
-    hist = jnp.zeros(256, jnp.int32).at[bins.reshape(-1)].add(
-        edges.reshape(-1).astype(jnp.int32)
-    )
+    from .binary import histogram256
+
+    hist = histogram256(bins, weights=edges.astype(jnp.int32))
     total = jnp.sum(hist)
     target = jnp.floor(total.astype(jnp.float32) * high_ratio)
     cum = jnp.cumsum(hist).astype(jnp.float32)
