@@ -147,3 +147,39 @@ def test_ycbcr_u8_fixed_point_roundtrip():
         back = c.to(zignal.Ycbcr).to(zignal.Rgb)
         for got, want in zip((back.r, back.g, back.b), rgb):
             assert abs(got - want) <= 2
+
+
+@pytest.mark.parametrize(
+    "factory",
+    [
+        lambda: zignal.Rgb(12, 34, 56),
+        lambda: zignal.Rgba(12, 34, 56, 78),
+        lambda: zignal.Hsl(200.0, 50.0, 40.0),
+        lambda: zignal.Hsv(200.0, 50.0, 40.0),
+        lambda: zignal.Lab(50.0, 10.0, -20.0),
+        lambda: zignal.Lch(60.0, 20.0, 120.0),
+        lambda: zignal.Lms(10.0, 20.0, 30.0),
+        lambda: zignal.Oklab(0.5, 0.1, -0.1),
+        lambda: zignal.Oklch(0.5, 0.2, 45.0),
+        lambda: zignal.Xyb(0.1, 0.2, 0.3),
+        lambda: zignal.Xyz(10.0, 20.0, 5.0),
+        lambda: zignal.Ycbcr(128, 140, 120),
+    ],
+)
+def test_color_invert_smoke(factory):
+    """(reference: bindings test_colors.py test_color_invert_smoke)"""
+    color = factory()
+    if isinstance(color, (zignal.Rgb, zignal.Rgba, zignal.Gray)):
+        inverted = color.invert()
+        assert isinstance(inverted, type(color))
+        original_rgb = color if isinstance(color, zignal.Rgb) else color.to(zignal.Rgb)
+        inverted_rgb = inverted if isinstance(inverted, zignal.Rgb) else inverted.to(zignal.Rgb)
+        expected_rgb = original_rgb.invert()
+        assert (inverted_rgb.r, inverted_rgb.g, inverted_rgb.b) == (
+            expected_rgb.r, expected_rgb.g, expected_rgb.b,
+        )
+    else:
+        original_rgb = color.to(zignal.Rgb)
+        inverted_rgb = original_rgb.invert()
+        roundtrip_rgb = inverted_rgb.to(zignal.Rgb)
+        assert isinstance(roundtrip_rgb, zignal.Rgb)

@@ -202,3 +202,19 @@ def test_solve_errors():
         good.solve(zignal.Matrix([[1], [2], [3]]))
     with pytest.raises(TypeError):
         good.solve([[1], [2]])
+
+
+def test_basic_methods():
+    """(reference: bindings test_matrix.py) basic methods return Matrix."""
+    m = zignal.Matrix([[1, 2], [3, 4]])
+    assert isinstance(m.copy(), zignal.Matrix)
+    assert isinstance(m.inv(), zignal.Matrix)
+    assert isinstance(m.dot(m), zignal.Matrix)
+
+
+def test_element_wise_operations():
+    """(reference: bindings test_matrix.py) element-wise pow."""
+    m = zignal.Matrix([[2, 3], [4, 5]])
+    result = m.pow(2)
+    assert isinstance(result, zignal.Matrix)
+    assert result.shape == (2, 2)
