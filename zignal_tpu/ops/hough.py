@@ -39,28 +39,56 @@ def _tables(size: int):
     return cos_t, sin_t, offset, even
 
 
+def _hist_n(values, valid, n_bins: int):
+    """Weighted histogram of int values in [0, n_bins) as factored
+    one-hot matmuls on the MXU (values = hi*256 + lo; the joint count is
+    einsum of the two one-hot factors — exact {0,1} bf16, counts < 2^24).
+    Scatter-adds are ~100x slower on TPU."""
+    f = values.reshape(-1)
+    v = valid.reshape(-1).astype(jnp.bfloat16)
+    lo_bins = jnp.arange(256, dtype=jnp.int32)
+    n_hi = (n_bins + 255) // 256
+    if n_hi == 1:
+        oh = (f[:, None] == lo_bins).astype(jnp.bfloat16)
+        counts = jnp.einsum("nl,n->l", oh, v,
+                            preferred_element_type=jnp.float32)
+        return counts.astype(jnp.int32)[:n_bins]
+    hi_bins = jnp.arange(n_hi, dtype=jnp.int32)
+    oh_hi = ((f[:, None] >> 8) == hi_bins).astype(jnp.bfloat16) * v[:, None]
+    oh_lo = ((f[:, None] & 255) == lo_bins).astype(jnp.bfloat16)
+    joint = jnp.einsum("nh,nl->hl", oh_hi, oh_lo,
+                       preferred_element_type=jnp.float32)
+    return joint.reshape(-1).astype(jnp.int32)[:n_bins]
+
+
 @partial(jax.jit, static_argnames=("size",))
 def _accumulate(edge_plane, size: int):
-    """[H, W] u8 edges (H = W = size) -> [size, size] int32 accumulator."""
+    """[H, W] u8 edges (H = W = size) -> [size, size] int32 accumulator.
+
+    One theta per lax.scan step; each step's rho votes are a weighted
+    histogram lowered onto the MXU (_hist_n)."""
     cos_t, sin_t, offset, _ = _tables(size)
     h, w = edge_plane.shape
     ys = jnp.arange(h, dtype=jnp.int32)
     xs = jnp.arange(w, dtype=jnp.int32)
     yv = (2 * ys - (size - 1))[:, None]                 # [H, 1]
     xv = (2 * xs - (size - 1))[None, :]                 # [1, W]
-    on = (edge_plane > 0).astype(jnp.int32)
+    on = edge_plane > 0
 
-    acc = jnp.zeros((size, size), jnp.int32)
     # rho = x*cos + y*sin in 16.16 fixed point fits int32 for size <= 2048
     cos_j = jnp.asarray(cos_t.astype(np.int32))
     sin_j = jnp.asarray(sin_t.astype(np.int32))
-    for t in range(size):
-        rho = xv * cos_j[t] + yv * sin_j[t]             # [H, W] i32
+
+    def body(_, ct_st):
+        ct, st = ct_st
+        rho = xv * ct + yv * st                          # [H, W] i32
         rr = ((rho >> 1) + (offset << 1)) >> 16
-        valid = (rr >= 0) & (rr < size) & (on > 0)
+        valid = (rr >= 0) & (rr < size) & on
         rr = jnp.clip(rr, 0, size - 1)
-        acc = acc.at[rr.reshape(-1), t].add(valid.reshape(-1).astype(jnp.int32))
-    return acc
+        return None, _hist_n(rr, valid, size)
+
+    _, cols = jax.lax.scan(body, None, (cos_j, sin_j))   # [theta, rho]
+    return cols.T.astype(jnp.int32)                      # [rho, theta]
 
 
 class HoughTransform:
