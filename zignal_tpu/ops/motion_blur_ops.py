@@ -30,10 +30,16 @@ def _bilinear_clamped(a, xs, ys, h, w):
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     x1i = jnp.minimum(x0i + 1, w - 1)
     y1i = jnp.minimum(y0i + 1, h - 1)
-    v00 = a[y0i, x0i]
-    v10 = a[y0i, x1i]
-    v01 = a[y1i, x0i]
-    v11 = a[y1i, x1i]
+    # one fused linear-index take instead of four 2-D gathers (see
+    # warp._gather2d: ~20% faster, and one dispatch instead of four)
+    flat = a.reshape(-1, a.shape[-1])
+    lin = jnp.stack([
+        (y0i * w + x0i).reshape(-1), (y0i * w + x1i).reshape(-1),
+        (y1i * w + x0i).reshape(-1), (y1i * w + x1i).reshape(-1),
+    ])
+    g = jnp.take(flat, lin.reshape(-1), axis=0).reshape(4, *x0.shape,
+                                                        a.shape[-1])
+    v00, v10, v01, v11 = g[0], g[1], g[2], g[3]
     v0 = v00 * (1 - fx) + v10 * fx
     v1 = v01 * (1 - fx) + v11 * fx
     return v0 * (1 - fy) + v1 * fy
@@ -77,11 +83,48 @@ def linear_motion_blur(arr, angle: float, distance: int):
     # t walks -half, -half+1, ... while t <= half
     ts = [-half + i for i in range(distance + 2) if -half + i <= half]
 
-    def sample_fn(s, xs, ys):
-        t = ts[s]
-        return xs + t * cos_a, ys + t * sin_a
+    # Constant-shift taps: the per-pixel f32 coordinate math is replicated
+    # at trace time in numpy (bit-identical to the jnp elementwise ops),
+    # so every corner index vector is an exact arithmetic sequence and
+    # each tap becomes 4 contiguous slices of an edge-padded array — no
+    # gathers. Outside-of-image taps are zeroed by the static mask, so
+    # unclamped indices are safe inside the padding.
+    h, w = arr.shape[0], arr.shape[1]
+    a = arr.astype(jnp.float32)
+    m = int(np.ceil(half * max(abs(cos_a), abs(sin_a)))) + 2
+    padded = jnp.pad(a, ((m, m), (m, m), (0, 0)), mode="edge")
+    f32 = np.float32
+    total = jnp.zeros_like(a)
+    count = jnp.zeros((h, w, 1), jnp.float32)
+    for t in ts:
+        xs = np.arange(w, dtype=f32) + f32(t * cos_a)
+        ys = np.arange(h, dtype=f32) + f32(t * sin_a)
+        x0 = np.floor(xs)
+        y0 = np.floor(ys)
+        fx = jnp.asarray((xs - x0).astype(f32))[None, :, None]
+        fy = jnp.asarray((ys - y0).astype(f32))[:, None, None]
+        from .interpolation import _take_axis
 
-    return _accumulate(arr, sample_fn, len(ts))
+        xiv = x0.astype(np.int64) + m   # arithmetic step 1 (f32 rounding
+        yiv = y0.astype(np.int64) + m   # deviations handled by _take_axis)
+
+        def corner(dy, dx):
+            return _take_axis(_take_axis(padded, yiv + dy, 0), xiv + dx, 1)
+
+        v00, v10 = corner(0, 0), corner(0, 1)
+        v01, v11 = corner(1, 0), corner(1, 1)
+        v0 = v00 * (1 - fx) + v10 * fx
+        v1 = v01 * (1 - fx) + v11 * fx
+        val = v0 * (1 - fy) + v1 * fy
+        inside = jnp.asarray(
+            (((xs >= 0) & (xs < w))[None, :]
+             & ((ys >= 0) & (ys < h))[:, None])[..., None])
+        total = total + jnp.where(inside, val, 0.0)
+        count = count + inside
+    result = jnp.where(count > 0, total / jnp.maximum(count, 1), a)
+    if arr.dtype == jnp.uint8:
+        return jnp.clip(jnp.trunc(jnp.floor(result + 0.5)), 0, 255).astype(jnp.uint8)
+    return result.astype(arr.dtype)
 
 
 @partial(jax.jit, static_argnames=("center_x", "center_y", "strength", "zoom"))
