@@ -202,6 +202,115 @@ def sample(arr, xs, ys, method=Interpolation.BILINEAR,
     return val.astype(arr.dtype)
 
 
+def _res_np(idx, n: int, border: BorderMode):
+    """numpy replica of _resolve_dev: (in-range index, valid mask)."""
+    from .interpolation import resolve_index_np
+
+    r = resolve_index_np(idx, n, border)
+    if border == BorderMode.ZERO:
+        return np.clip(idx, 0, n - 1).astype(np.int64), r >= 0
+    return r.astype(np.int64), np.ones(r.shape, bool)
+
+
+def _rha_np(x):
+    """numpy replica of _round_half_away (f32)."""
+    return (np.sign(x) * np.floor(np.abs(x) + np.float32(0.5))).astype(np.float32)
+
+
+def _sample_tile(arr, xs, ys, method, border):
+    """One output tile sampled from its (static) source bounding box via
+    a single fused take — the box fits VMEM, where random access is ~8x
+    faster than HBM gathers. Bit-identical to sample()."""
+    h, w = arr.shape[0], arr.shape[1]
+    c = arr.shape[2]
+    th, tw = xs.shape
+
+    if method == Interpolation.NEAREST:
+        cx = _rha_np(xs).astype(np.int64)
+        ry = _rha_np(ys).astype(np.int64)
+        cxr, vx = _res_np(cx, w, border)
+        ryr, vy = _res_np(ry, h, border)
+        rows_idx, cols_idx = (ryr, cxr)
+        by0, by1 = int(rows_idx.min()), int(rows_idx.max()) + 1
+        bx0, bx1 = int(cols_idx.min()), int(cols_idx.max()) + 1
+        box = jax.lax.slice(arr, (by0, bx0, 0), (by1, bx1, c))
+        lin = (rows_idx - by0) * (bx1 - bx0) + (cols_idx - bx0)
+        out = jnp.take(box.reshape(-1, c), jnp.asarray(lin.reshape(-1)),
+                       axis=0).reshape(th, tw, c)
+        valid = jnp.asarray((vx & vy)[..., None])
+        return jnp.where(valid, out, 0).astype(arr.dtype)
+
+    # bilinear
+    left = np.floor(xs.astype(np.float32))
+    top = np.floor(ys.astype(np.float32))
+    fx = (xs - left).astype(np.float32)
+    fy = (ys - top).astype(np.float32)
+    l_i = left.astype(np.int64)
+    t_i = top.astype(np.int64)
+    c0, vc0 = _res_np(l_i, w, border)
+    c1, vc1 = _res_np(l_i + 1, w, border)
+    r0, vr0 = _res_np(t_i, h, border)
+    r1, vr1 = _res_np(t_i + 1, h, border)
+    by0 = int(min(r0.min(), r1.min()))
+    by1 = int(max(r0.max(), r1.max())) + 1
+    bx0 = int(min(c0.min(), c1.min()))
+    bx1 = int(max(c0.max(), c1.max())) + 1
+    bw = bx1 - bx0
+    box = jax.lax.slice(arr, (by0, bx0, 0), (by1, bx1, c))
+    lin = np.stack([
+        (r0 - by0) * bw + (c0 - bx0), (r0 - by0) * bw + (c1 - bx0),
+        (r1 - by0) * bw + (c0 - bx0), (r1 - by0) * bw + (c1 - bx0),
+    ])
+    g = jnp.take(box.reshape(-1, c), jnp.asarray(lin.reshape(-1)),
+                 axis=0).reshape(4, th, tw, c)
+    m00 = jnp.asarray((vr0 & vc0)[..., None])
+    m01 = jnp.asarray((vr0 & vc1)[..., None])
+    m10 = jnp.asarray((vr1 & vc0)[..., None])
+    m11 = jnp.asarray((vr1 & vc1)[..., None])
+    if arr.dtype == jnp.uint8:
+        fxi = jnp.asarray(np.trunc(_rha_np(fx * np.float32(256.0))))[..., None]
+        fyi = jnp.asarray(np.trunc(_rha_np(fy * np.float32(256.0))))[..., None]
+        tl = g[0].astype(jnp.float32) * m00
+        tr = g[1].astype(jnp.float32) * m01
+        bl = g[2].astype(jnp.float32) * m10
+        br = g[3].astype(jnp.float32) * m11
+        topv = tl * (256 - fxi) + tr * fxi
+        botv = bl * (256 - fxi) + br * fxi
+        acc = topv * (256 - fyi) + botv * fyi + (256 * 256 // 2)
+        return jnp.clip(jnp.trunc(acc * (1.0 / (256 * 256))),
+                        0, 255).astype(jnp.uint8)
+    tl = g[0] * m00
+    tr = g[1] * m01
+    bl = g[2] * m10
+    br = g[3] * m11
+    fxv = jnp.asarray(fx)[..., None]
+    fyv = jnp.asarray(fy)[..., None]
+    return ((1 - fyv) * ((1 - fxv) * tl + fxv * tr)
+            + fyv * ((1 - fxv) * bl + fxv * br)).astype(arr.dtype)
+
+
+def _sample_static(arr, xs, ys, method, border, tile: int = 256):
+    """sample() for trace-time numpy f32 coordinates, tile-decomposed so
+    each tile's gather operand is its small source bounding box."""
+    method = Interpolation(method)
+    border = BorderMode(border)
+    oh, ow = xs.shape
+    if (method not in (Interpolation.NEAREST, Interpolation.BILINEAR)
+            or oh * ow > (1 << 22)):
+        return sample(arr, jnp.asarray(xs), jnp.asarray(ys), method, border)
+    out_rows = []
+    for i0 in range(0, oh, tile):
+        row = []
+        for j0 in range(0, ow, tile):
+            row.append(_sample_tile(
+                arr, xs[i0:i0 + tile, j0:j0 + tile],
+                ys[i0:i0 + tile, j0:j0 + tile], method, border))
+        out_rows.append(row[0] if len(row) == 1
+                        else jnp.concatenate(row, axis=1))
+    return out_rows[0] if len(out_rows) == 1 \
+        else jnp.concatenate(out_rows, axis=0)
+
+
 def rotate_bounds(rows: int, cols: int, angle: float):
     """Output size for auto-sized rotation (transforms.zig:112-149)."""
     f32 = np.float32
@@ -237,22 +346,24 @@ def rotate(arr, angle: float, out_rows: int, out_cols: int,
     if abs(na - 3 * np.pi / 2) < eps:
         return jnp.rot90(arr, k=-1, axes=(0, 1))
 
+    # angle is static, so the coordinates are trace-time numpy f32
+    # (bit-identical elementwise ops) -> tile-decomposed sampling
     cx = np.float32(w) / 2.0
     cy = np.float32(h) / 2.0
     off_x = (np.float32(out_cols) - np.float32(w)) / 2.0
     off_y = (np.float32(out_rows) - np.float32(h)) / 2.0
     cos = np.float32(np.cos(np.float32(angle)))
     sin = np.float32(np.sin(np.float32(angle)))
-    ys, xs = jnp.meshgrid(
-        jnp.arange(out_rows, dtype=jnp.float32),
-        jnp.arange(out_cols, dtype=jnp.float32),
+    ys, xs = np.meshgrid(
+        np.arange(out_rows, dtype=np.float32),
+        np.arange(out_cols, dtype=np.float32),
         indexing="ij",
     )
-    dx = xs - (cx + off_x)
-    dy = ys - (cy + off_y)
-    src_x = cos * dx - sin * dy + cx
-    src_y = sin * dx + cos * dy + cy
-    return sample(arr, src_x, src_y, method, border)
+    dx = (xs - np.float32(cx + off_x)).astype(np.float32)
+    dy = (ys - np.float32(cy + off_y)).astype(np.float32)
+    src_x = (cos * dx - sin * dy + cx).astype(np.float32)
+    src_y = (sin * dx + cos * dy + cy).astype(np.float32)
+    return _sample_static(arr, src_x, src_y, method, border)
 
 
 @partial(jax.jit, static_argnames=("method", "border", "out_rows", "out_cols",
@@ -269,18 +380,19 @@ def extract(arr, rect: tuple, angle: float, out_rows: int, out_cols: int,
     cos = np.float32(np.cos(np.float32(angle)))
     sin = np.float32(np.sin(np.float32(angle)))
 
-    ty = (jnp.arange(out_rows, dtype=jnp.float32) / np.float32(out_rows - 1)
-          if out_rows > 1 else jnp.full((1,), 0.5, jnp.float32))
-    tx = (jnp.arange(out_cols, dtype=jnp.float32) / np.float32(out_cols - 1)
-          if out_cols > 1 else jnp.full((1,), 0.5, jnp.float32))
-    y_rect = t + ty * height
-    x_rect = l + tx * width
-    yg, xg = jnp.meshgrid(y_rect, x_rect, indexing="ij")
-    dx = xg - cx
-    dy = yg - cy
-    src_x = cx + cos * dx - sin * dy
-    src_y = cy + sin * dx + cos * dy
-    return sample(arr, src_x, src_y, method, border)
+    # rect/angle are static -> trace-time numpy f32 coords, tiled sampling
+    ty = (np.arange(out_rows, dtype=np.float32) / np.float32(out_rows - 1)
+          if out_rows > 1 else np.full((1,), 0.5, np.float32))
+    tx = (np.arange(out_cols, dtype=np.float32) / np.float32(out_cols - 1)
+          if out_cols > 1 else np.full((1,), 0.5, np.float32))
+    y_rect = (t + ty * height).astype(np.float32)
+    x_rect = (l + tx * width).astype(np.float32)
+    yg, xg = np.meshgrid(y_rect, x_rect, indexing="ij")
+    dx = (xg - cx).astype(np.float32)
+    dy = (yg - cy).astype(np.float32)
+    src_x = (cx + cos * dx - sin * dy).astype(np.float32)
+    src_y = (cy + sin * dx + cos * dy).astype(np.float32)
+    return _sample_static(arr, src_x, src_y, method, border)
 
 
 @partial(jax.jit, static_argnames=("method", "out_rows", "out_cols"))
