@@ -430,20 +430,23 @@ def insert_region(arr, source, rect: tuple, angle: float,
     cos = float(np.cos(np.float32(angle)))
     sin = float(np.sin(np.float32(angle)))
 
-    ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
-        indexing="ij",
-    )
-    dx = xs - cx
-    dy = ys - cy
-    rect_x = cos * dx + sin * dy
-    rect_y = -sin * dx + cos * dy
-    inside = (jnp.abs(rect_x) <= width * 0.5) & (jnp.abs(rect_y) <= height * 0.5)
-    norm_x = (rect_x + width * 0.5) / width
-    norm_y = (rect_y + height * 0.5) / height
-    src_x = jnp.where(sw == 1, 0.0, norm_x * (sw - 1))
-    src_y = jnp.where(sh == 1, 0.0, norm_y * (sh - 1))
-    sampled = sample(source, src_x, src_y, method, BorderMode.MIRROR)
+    # static rect/angle -> trace-time numpy f32 coords (python-float
+    # scalars cast to f32 first, matching jnp's weak-type promotion),
+    # tile-decomposed sampling of the source
+    f32 = np.float32
+    ys, xs = np.meshgrid(np.arange(h, dtype=f32), np.arange(w, dtype=f32),
+                         indexing="ij")
+    dx = (xs - f32(cx)).astype(f32)
+    dy = (ys - f32(cy)).astype(f32)
+    rect_x = (f32(cos) * dx + f32(sin) * dy).astype(f32)
+    rect_y = (f32(-sin) * dx + f32(cos) * dy).astype(f32)
+    inside = jnp.asarray((np.abs(rect_x) <= f32(width * 0.5))
+                         & (np.abs(rect_y) <= f32(height * 0.5)))
+    norm_x = ((rect_x + f32(width * 0.5)) / f32(width)).astype(f32)
+    norm_y = ((rect_y + f32(height * 0.5)) / f32(height)).astype(f32)
+    src_x = np.zeros_like(norm_x) if sw == 1 else (norm_x * f32(sw - 1)).astype(f32)
+    src_y = np.zeros_like(norm_y) if sh == 1 else (norm_y * f32(sh - 1)).astype(f32)
+    sampled = _sample_static(source, src_x, src_y, method, BorderMode.MIRROR)
 
     if blend_mode and arr.shape[2] >= 3 and source.shape[2] == 4:
         from ..blending import blend_arrays
