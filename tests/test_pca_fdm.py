@@ -116,3 +116,35 @@ class TestFDM:
         b[...] = np.random.default_rng(1).integers(150, 250, b.shape).astype(np.uint8)
         zignal.FeatureDistributionMatching().match(src, tgt)
         assert abs(float(src.to_numpy().mean()) - float(b.mean())) < 5.0
+
+
+def test_fdm_match_batch_matches_single():
+    """Batched FDM equals per-image FDM exactly (same SVD + map math)."""
+    import numpy as np
+    import zignal_tpu as zignal
+
+    rng = np.random.default_rng(12)
+    batch = rng.integers(0, 256, (3, 24, 20, 3), dtype=np.uint8)
+    target = zignal.Image.from_numpy(
+        rng.integers(0, 256, (30, 30, 3), dtype=np.uint8))
+
+    fdm = zignal.FeatureDistributionMatching()
+    got = np.asarray(fdm.match_batch(batch, target))
+
+    for i in range(batch.shape[0]):
+        img = zignal.Image.from_numpy(batch[i].copy())
+        single = zignal.FeatureDistributionMatching()
+        single.match(img, target)
+        assert np.array_equal(got[i], img.to_numpy()[..., :3]), i
+
+
+def test_fdm_match_batch_validates():
+    import numpy as np
+    import pytest
+    import zignal_tpu as zignal
+
+    fdm = zignal.FeatureDistributionMatching()
+    target = zignal.Image.from_numpy(
+        np.random.default_rng(0).integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        fdm.match_batch(np.zeros((4, 4, 3), np.uint8), target)

@@ -142,5 +142,46 @@ class FeatureDistributionMatching:
         host = src._host()
         host[..., :3] = np.asarray(out)
 
+    def match_batch(self, batch, target: Image):
+        """Batched FDM: match every [H,W,3] u8 image of a [B,H,W,3]
+        device/numpy batch to `target` in one device pass per stage
+        (TPU-native extension of fdm.zig's single-image API: per-image
+        covariances via one einsum, 3x3 SVDs on host, batched pixel
+        map on the MXU). Returns a new [B,H,W,3] u8 array."""
+        import jax.numpy as jnp
+
+        self.set_target(target)
+        if self._target_gray:
+            raise ValueError("match_batch requires a color target")
+        x = jnp.asarray(batch)
+        if x.ndim != 4 or x.shape[-1] < 3:
+            raise ValueError("match_batch expects [B, H, W, 3] u8")
+        xf = x[..., :3].astype(jnp.float32).reshape(x.shape[0], -1, 3) / 255.0
+        n = xf.shape[1]
+        means = jnp.mean(xf, axis=1)                        # [B, 3]
+        xc = xf - means[:, None, :]
+        covs = jnp.einsum("bnc,bnd->bcd", xc, xc,
+                          precision="highest") / jnp.float32(max(n - 1, 1))
+        covs_np = np.asarray(covs, dtype=np.float64)
+        means_np = np.asarray(means, dtype=np.float64)
+        ws = np.zeros((len(covs_np), 3, 3))
+        biases = np.zeros((len(covs_np), 3))
+        for i, cov_s in enumerate(covs_np):
+            u_s, s_s, _ = np.linalg.svd(cov_s)
+            sigma = np.zeros((3, 3))
+            for j in range(3):
+                if s_s[j] > 1e-10:
+                    sigma[j, j] = np.sqrt(self._target_s[j] / s_s[j])
+            ws[i] = u_s @ sigma @ self._target_u.T
+            biases[i] = self._target_mean - means_np[i] @ ws[i]
+        res = jnp.clip(
+            jnp.einsum("bnc,bcd->bnd", xf, jnp.asarray(ws, jnp.float32),
+                       precision="highest")
+            + jnp.asarray(biases, jnp.float32)[:, None, :],
+            0.0, 1.0,
+        )
+        out = jnp.floor(res * 255.0 + 0.5).astype(jnp.uint8)
+        return out.reshape(x.shape[0], x.shape[1], x.shape[2], 3)
+
     def __repr__(self):
         return "FeatureDistributionMatching()"
