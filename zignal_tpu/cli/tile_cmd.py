@@ -11,7 +11,9 @@ description = "Combine multiple images into a single tiled image."
 
 def configure(parser):
     parser.add_argument("images", nargs="+", metavar="image")
-    parser.add_argument("--mode", choices=["grid", "horizontal", "vertical"],
+    parser.add_argument("--mode",
+                        choices=["square", "horizontal", "vertical", "grid",
+                                 "factors"],
                         default="grid", help="Layout mode")
     parser.add_argument("--rows", type=int, help="Rows (grid mode)")
     parser.add_argument("--cols", type=int, help="Columns (grid mode)")
@@ -35,6 +37,18 @@ def run(args):
         rows, cols = 1, n
     elif args.mode == "vertical":
         rows, cols = n, 1
+    elif args.mode == "square":
+        cols = math.ceil(math.sqrt(n))
+        rows = math.ceil(n / cols)
+    elif args.mode == "factors":
+        # largest factor pair closest to square (reference: tile.zig:98-109)
+        best_r = 1
+        i = 1
+        while i * i <= n:
+            if n % i == 0:
+                best_r = i
+            i += 1
+        rows, cols = best_r, n // best_r
     else:
         if args.rows and args.cols:
             rows, cols = args.rows, args.cols
