@@ -202,3 +202,27 @@ def test_spatial_blur_matches_single_chip():
     out = sum(ap[i:i + x.shape[0]] * w for i, w in enumerate(k))
     want = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
     assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 1
+
+
+def test_integral_golden_ones():
+    """SAT of an all-ones image is (r+1)*(c+1) — the reference's own
+    golden expectation (reference: src/image/tests/integral.zig)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from zignal_tpu.ops.integral import integral_image
+
+    ones = jnp.ones((21, 13, 1), jnp.uint8)
+    sat = np.asarray(integral_image(ones))[..., 0]
+    r, c = np.mgrid[0:21, 0:13]
+    assert np.array_equal(sat, ((r + 1) * (c + 1)).astype(np.float32))
+
+
+def test_box_blur_uniform_preserved():
+    """Box blur of a uniform image is unchanged (area-normalized window
+    sums; reference integral.zig boxBlur semantics)."""
+    import numpy as np
+    import zignal_tpu as zignal
+
+    img = zignal.Image.from_numpy(np.full((17, 23, 3), 77, np.uint8))
+    out = img.box_blur(3)
+    assert (out.to_numpy() == 77).all()

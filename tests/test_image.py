@@ -290,3 +290,30 @@ def test_resize_bit_exact_vs_oracle(method, shape):
     assert np.array_equal(got, want), (
         f"max diff {np.max(np.abs(got.astype(int) - want.astype(int)))}"
     )
+
+
+def test_letterbox_golden_geometry():
+    """Golden letterbox geometry from the reference's own unit tests
+    (reference: src/image/tests/resize.zig "letterbox maintains aspect
+    ratio with padding")."""
+    import numpy as np
+
+    # 8x4 (cols x rows 8 wide, 4 tall) gradient -> 6x6: content is 6 wide,
+    # 3 tall, at t=1; padding rows are zero
+    src = np.zeros((4, 8, 1), np.uint8)
+    for r in range(4):
+        for c in range(8):
+            src[r, c, 0] = r * 20 + c * 10
+    img = zignal.Image.from_numpy(src)
+    out = img.letterbox((6, 6))
+    a = out.to_numpy()[..., 0]
+    assert a.shape == (6, 6)
+    assert (a[0] == 0).all() and (a[4:] == 0).all()   # t=1, b=4
+    assert a[1:4].any()                               # content present
+
+    # 9 tall x 3 wide -> 6x6: content 2 wide at l=2, side padding zero
+    src2 = np.full((9, 3, 3), 200, np.uint8)
+    out2 = zignal.Image.from_numpy(src2).letterbox((6, 6))
+    b = out2.to_numpy()
+    assert (b[:, :2] == 0).all() and (b[:, 4:] == 0).all()
+    assert (b[:, 2:4] > 0).any()
