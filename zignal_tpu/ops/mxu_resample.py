@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import string
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,11 +41,11 @@ _MAX_MATRIX_ELEMS = 1 << 22  # gate: dense [dst, src] weight matrix size
 
 
 def mxu_ok(dst_n: int, src_n: int, weights) -> bool:
-    """MXU path applies when the matrix is affordable and all weights are
-    non-negative integers (negatives would need a signed split)."""
+    """MXU path applies for non-negative integer weights (negatives would
+    need a signed split). Arbitrarily large axes are handled by blocking
+    the dense matrix over dst rows (exact_axis_apply)."""
     w = np.asarray(weights)
-    return (dst_n * src_n <= _MAX_MATRIX_ELEMS
-            and w.min() >= 0 and np.all(w == np.round(w)))
+    return bool(w.min() >= 0 and np.all(w == np.round(w)))
 
 
 def build_tap_matrix(idx, weights, src_n: int, dst_n: int) -> np.ndarray:
@@ -92,6 +93,31 @@ def exact_axis_apply(x, M: np.ndarray, x_bound: int, axis: int):
     Returns (result, bound): result is exact and integer-valued, f32 if
     every partial stays < 2^24, else int32.
     """
+    M = np.asarray(M)
+    if M.size > _MAX_MATRIX_ELEMS and M.shape[0] > 1:
+        # block over dst rows: resampling bands are localized, so each
+        # block only reads a narrow source range — density (and memory)
+        # stay constant no matter how large the axes get
+        chunk = max(128, _MAX_MATRIX_ELEMS // max(M.shape[1], 1))
+        outs = []
+        bounds = []
+        for d0 in range(0, M.shape[0], chunk):
+            sub_m = M[d0:d0 + chunk]
+            nz = np.nonzero(sub_m.any(axis=0))[0]
+            if len(nz) == 0:
+                shape = list(x.shape)
+                shape[axis] = sub_m.shape[0]
+                outs.append(jnp.zeros(shape, jnp.float32))
+                bounds.append(0)
+                continue
+            c0, c1 = int(nz.min()), int(nz.max()) + 1
+            xs = jax.lax.slice_in_dim(x, c0, c1, axis=axis)
+            out, b = exact_axis_apply(xs, sub_m[:, c0:c1], x_bound, axis)
+            outs.append(out)
+            bounds.append(b)
+        if any(o.dtype == jnp.int32 for o in outs):
+            outs = [o.astype(jnp.int32) for o in outs]
+        return jnp.concatenate(outs, axis=axis), max(bounds)
     if _LAYOUT == "last":
         y = jnp.moveaxis(x, axis, -1)
         sub = "zw,...w->...z"
