@@ -23,7 +23,7 @@ from ._scalar import (
     SRGB_GAMMA_EXPONENT, SRGB_GAMMA_OFFSET, SRGB_GAMMA_SCALE,
     SRGB_GAMMA_THRESHOLD, SRGB_LINEAR_SLOPE, SRGB_LINEAR_THRESHOLD,
     XYB_BIAS, XYB_CBRT_BIAS_DECODE, XYB_CBRT_BIAS_ENCODE,
-    _FALLBACK, _SPECIAL, conversion_path,
+    conversion_path,
 )
 
 __all__ = ["convert_array", "convert_u8_array", "rgb_to_gray_u8", "NUM_CHANNELS"]

@@ -11,7 +11,7 @@ import dataclasses
 
 import numpy as np
 
-from .descriptor import BinaryDescriptor, stack_descriptors
+from .descriptor import stack_descriptors
 
 __all__ = ["Match", "BruteForceMatcher", "MatchStats"]
 

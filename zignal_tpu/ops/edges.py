@@ -18,7 +18,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..enums import BorderMode
 from .convolution import gaussian_kernel, convolve_separable, sobel_gradients

@@ -28,8 +28,6 @@ class ImagePyramid:
     def build(cls, plane, n_levels: int = 8, scale_factor: float = 1.2,
               blur_sigma: float = 1.6) -> "ImagePyramid":
         """plane: [H, W] u8 device array."""
-        import jax.numpy as jnp
-
         from ..enums import Interpolation
         from .convolution import gaussian_blur
         from .interpolation import resize
