@@ -464,40 +464,48 @@ def convert_array(arr, src: str, dst: str):
 
 # -- u8 fixed-point edges (bit-exact, int32 on VPU) -------------------------
 
-_GRAY_W = jnp.array(
-    [round(LUMA_R * 65536), round(LUMA_G * 65536), round(LUMA_B * 65536)],
-    dtype=jnp.int32,
-)
-
-
 def rgb_to_gray_u8(a):
-    """u8 [.,3] -> u8 [.,1], BT.709 16.16 fixed point (color.zig:1031)."""
-    v = a.astype(jnp.int32)
-    y = (v @ _GRAY_W + 32768) >> 16
+    """u8 [.,3] -> u8 [.,1], BT.709 16.16 fixed point (color.zig:1031).
+
+    Runs in f32: products (<= 38470*255) and the accumulated sum
+    (<= 65536*255 + 2^15 < 2^24) are exact integers, and floor-division
+    by 2^16 is exact — int32 multiplies are emulated on the TPU VPU."""
+    wr = float(round(LUMA_R * 65536))
+    wg = float(round(LUMA_G * 65536))
+    wb = float(round(LUMA_B * 65536))
+    r, g, b = (a[..., i].astype(jnp.float32) for i in range(3))
+    y = jnp.floor((r * wr + g * wg + b * wb + 32768.0) * (1.0 / 65536.0))
     return jnp.clip(y, 0, 255).astype(jnp.uint8)[..., None]
 
 
-_YCBCR_W = jnp.array(
-    [[19595, -11059, 32768],
-     [38470, -21710, -27439],
-     [7471, 32768, -5329]],
-    dtype=jnp.int32,
-)
-
-
 def rgb_to_ycbcr_u8(a):
-    v = a.astype(jnp.int32)
-    acc = (v @ _YCBCR_W + 32768) >> 16
-    out = acc + jnp.array([0, 128, 128], dtype=jnp.int32)
+    # f32-exact: per-channel |sums| <= 65536*255 + 2^15 < 2^24; int32
+    # arithmetic shift == floor, replicated by jnp.floor of the /2^16
+    r, g, b = (a[..., i].astype(jnp.float32) for i in range(3))
+
+    def fix(acc, off):
+        return jnp.floor((acc + 32768.0) * (1.0 / 65536.0)) + off
+
+    y = fix(r * 19595.0 + g * 38470.0 + b * 7471.0, 0.0)
+    cb = fix(r * -11059.0 + g * -21710.0 + b * 32768.0, 128.0)
+    cr = fix(r * 32768.0 + g * -27439.0 + b * -5329.0, 128.0)
+    out = jnp.stack([y, cb, cr], axis=-1)
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 def ycbcr_to_rgb_u8(a):
-    v = a.astype(jnp.int32)
-    y, cb, cr = v[..., 0], v[..., 1] - 128, v[..., 2] - 128
-    r = (65536 * y + 91881 * cr + 32768) >> 16
-    g = (65536 * y - 22554 * cb - 46802 * cr + 32768) >> 16
-    b = (65536 * y + 116130 * cb + 32768) >> 16
+    # 65536*y + chroma can reach ~28M > 2^24, so the chroma part runs in
+    # f32 (|sums| <= 15M, exact) and combines with the y<<16 luma term
+    # using int32 adds/shifts only (no emulated int32 multiplies)
+    y = a[..., 0].astype(jnp.int32) << 16
+    cb = a[..., 1].astype(jnp.float32) - 128.0
+    cr = a[..., 2].astype(jnp.float32) - 128.0
+    tr = (cr * 91881.0 + 32768.0).astype(jnp.int32)
+    tg = (cb * -22554.0 + cr * -46802.0 + 32768.0).astype(jnp.int32)
+    tb = (cb * 116130.0 + 32768.0).astype(jnp.int32)
+    r = (y + tr) >> 16
+    g = (y + tg) >> 16
+    b = (y + tb) >> 16
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255).astype(jnp.uint8)
 
 
