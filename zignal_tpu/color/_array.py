@@ -442,6 +442,8 @@ _EDGES = {
 _FUSED_EDGES = {
     ("rgb", "oklab"): rgb_to_oklab_fused,
     ("oklab", "rgb"): oklab_to_rgb_fused,
+    ("rgb", "oklch"): lambda a: oklab_to_oklch(rgb_to_oklab_fused(a)),
+    ("oklch", "rgb"): lambda a: oklab_to_rgb_fused(oklch_to_oklab(a)),
 }
 
 
