@@ -212,3 +212,27 @@ class TestQrCodeDecodeContract:
         result = zignal.qrcode_decode(zignal.qrcode_encode("repr"))
         assert result is not None
         assert "QrDecodeResult" in repr(result)
+
+
+def test_decode_with_spurious_finder_candidate():
+    """Data regions can emit false 1:1:3:1:1 finder hits; the detector
+    must pick the consistent triple (regression: fuzz-found failure where
+    a 4th candidate with a different module size broke ordering)."""
+    content = '6Xc7wH~6Pw:NkX^YrsOOqzUl[t_WX<!0r`T$gWVHZ2YsH:#*`9_JCU[zZA8n#'
+    res = zignal.qrcode_decode(
+        zignal.qrcode_encode(content, ec_level=zignal.EcLevel.QUARTILE))
+    assert res is not None and res.text == content
+
+
+def test_decode_random_content_sweep():
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    levels = (zignal.EcLevel.LOW, zignal.EcLevel.MEDIUM,
+              zignal.EcLevel.QUARTILE, zignal.EcLevel.HIGH)
+    for i in range(16):
+        n = int(rng.integers(1, 200))
+        content = "".join(chr(int(rng.integers(32, 127))) for _ in range(n))
+        res = zignal.qrcode_decode(
+            zignal.qrcode_encode(content, ec_level=levels[i % 4]))
+        assert res is not None and res.text == content, (i, n)

@@ -300,11 +300,46 @@ def _refine_center(dark, y, x):
     return (col[0], row[0], (row[1] + col[1]) / 2.0)
 
 
+def _best_finder_triple(centers):
+    """Choose the 3 candidates most likely to be the real finders: data
+    regions can produce spurious 1:1:3:1:1 hits, so score every triple by
+    module-size consistency and right-angle/equal-arm geometry
+    (reference detector.zig clusters by module size the same way)."""
+    import itertools
+
+    if len(centers) == 3:
+        return list(centers)
+    best = None
+    best_score = None
+    for tri in itertools.combinations(centers, 3):
+        units = [c[2] for c in tri]
+        u_mean = sum(units) / 3.0
+        u_spread = (max(units) - min(units)) / u_mean
+        pts = [(c[1], c[0]) for c in tri]
+        d2 = sorted(
+            (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
+            for i, j in itertools.combinations(range(3), 2)
+        )
+        if d2[0] == 0:
+            continue
+        # right isosceles: equal short arms, hypotenuse^2 = sum of arm^2
+        arm_ratio = d2[1] / d2[0]            # ~1 for equal arms
+        hyp_ratio = d2[2] / (d2[0] + d2[1])  # ~1 for a right angle
+        score = u_spread * 4 + abs(arm_ratio - 1.0) + abs(hyp_ratio - 1.0)
+        if best_score is None or score < best_score:
+            best_score = score
+            best = list(tri)
+    if best is None:
+        raise QrDecodeError("no consistent finder triple")
+    return best
+
+
 def _order_finders(centers):
     """Pick 3 finder centers and label (top-left, top-right, bottom-left)."""
     if len(centers) < 3:
         raise QrDecodeError("fewer than three finder patterns found")
-    pts = [(c[1], c[0]) for c in centers[:3]]  # (x, y)
+    chosen = _best_finder_triple(centers)
+    pts = [(c[1], c[0]) for c in chosen]  # (x, y)
 
     # top-left = corner where the two edges are longest/perpendicular:
     # the point NOT on the longest pairwise segment
@@ -322,7 +357,7 @@ def _order_finders(centers):
     bx, by = pts[b][0] - pts[tl][0], pts[b][1] - pts[tl][1]
     if ax * by - ay * bx < 0:
         a, b = b, a
-    unit = sum(c[2] for c in centers[:3]) / 3.0
+    unit = sum(c[2] for c in chosen) / 3.0
     return pts[tl], pts[a], pts[b], unit
 
 
