@@ -121,3 +121,35 @@ def test_zero_border_folds_to_dropped_taps():
         MR.mxu_ok = orig
         jax.clear_caches()
     assert np.array_equal(got, want)
+
+
+def test_pallas_separable_matches_xla():
+    """The Pallas fused-conv lowering is bit-identical to the XLA path
+    (interpret mode on CPU; hardware-validated in tpu_exactness_audit)."""
+    import jax
+    import numpy as np
+    from zignal_tpu.enums import BorderMode
+    from zignal_tpu.ops.convolution import (
+        _kernel_to_int, convolve_separable, gaussian_kernel,
+    )
+    from zignal_tpu.ops.interpolation import resolve_index_np
+    from zignal_tpu.ops.mxu_resample import build_tap_matrix
+    from zignal_tpu.ops.pallas_conv import pallas_separable_u8
+
+    rng = np.random.default_rng(15)
+
+    def band(n, kint, border):
+        base = (np.arange(n, dtype=np.int64)[:, None]
+                + np.arange(len(kint))[None, :] - len(kint) // 2)
+        return build_tap_matrix(resolve_index_np(base, n, border), kint, n, n)
+
+    x = rng.integers(0, 256, (2, 40, 56, 3), dtype=np.uint8)
+    for sigma in (1.0, 2.0):
+        k = gaussian_kernel(sigma)
+        ki = _kernel_to_int(k)
+        got = np.asarray(pallas_separable_u8(
+            jnp.asarray(x), band(56, ki, BorderMode.MIRROR),
+            band(40, ki, BorderMode.MIRROR), interpret=True))
+        want = np.asarray(convolve_separable(jnp.asarray(x), k, k,
+                                             BorderMode.MIRROR))
+        assert np.array_equal(got, want), sigma
