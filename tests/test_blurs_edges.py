@@ -201,3 +201,68 @@ def test_isef_matches_sequential():
         want[:, c] = isef1d(want[:, c])
     got = np.asarray(isef_filter(x, b))
     assert np.max(np.abs(got - want)) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# Golden expectations from the reference's own unit tests
+# (reference: src/image/tests/filters.zig)
+# ---------------------------------------------------------------------------
+
+
+def test_median_blur_removes_impulse_noise():
+    """filters.zig:817 'medianBlur removes impulse noise'"""
+    import numpy as np
+    import zignal_tpu as zignal
+
+    a = np.zeros((5, 5, 1), np.uint8)
+    a[2, 2, 0] = 255
+    out = zignal.Image.from_numpy(a).median_blur(1).to_numpy()[..., 0]
+    assert out[2, 2] == 0 and out[2, 1] == 0 and out[1, 2] == 0
+
+
+def test_percentile_blur_max_filter_golden():
+    """filters.zig:833 'percentileBlur max filter': gradient 0..8,
+    ZERO border, p=1.0 -> max of the window."""
+    import numpy as np
+    import zignal_tpu as zignal
+    from zignal_tpu.enums import BorderMode
+
+    a = np.arange(9, dtype=np.uint8).reshape(3, 3, 1)
+    out = zignal.Image.from_numpy(a).percentile_blur(
+        1, 1.0, border=BorderMode.ZERO).to_numpy()[..., 0]
+    assert out[1, 1] == 8
+    assert out[0, 0] == 4
+
+
+def test_box_blur_uniform_all_borders_golden():
+    """filters.zig:186 'boxBlur border area calculations': uniform stays
+    uniform at every pixel including corners (per-position areas)."""
+    import numpy as np
+    import zignal_tpu as zignal
+
+    a = np.full((12, 12, 1), 200, np.uint8)
+    out = zignal.Image.from_numpy(a).box_blur(3).to_numpy()[..., 0]
+    assert (out == 200).all()
+
+
+def test_sharpen_uniform_image_golden():
+    """filters.zig:327 'sharpen uniform image': 2*u - u == u."""
+    import numpy as np
+    import zignal_tpu as zignal
+
+    a = np.full((10, 10, 3), 123, np.uint8)
+    out = zignal.Image.from_numpy(a).sharpen(2).to_numpy()
+    assert (out == 123).all()
+
+
+def test_convolve_identity_kernel_golden():
+    """filters.zig:370 'convolve identity kernel': output == input."""
+    import numpy as np
+    import jax.numpy as jnp
+    from zignal_tpu.ops.convolution import convolve2d
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (12, 14, 3), dtype=np.uint8)
+    ident = ((0.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 0.0))
+    out = np.asarray(convolve2d(jnp.asarray(a), ident))
+    assert np.array_equal(out, a)
