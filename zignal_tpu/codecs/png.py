@@ -325,32 +325,73 @@ def encode(arr: np.ndarray, compression_level: int = 6) -> bytes:
         raise ValueError("encode expects a uint8 [H, W, {1,3,4}] array")
     h, w, ch = arr.shape
     color_type = {1: 0, 3: 2, 4: 6}[ch]
-    flat = arr.reshape(h, w * ch).astype(np.int16)
-    prev = np.vstack([np.zeros((1, w * ch), dtype=np.int16), flat[:-1]])
-    left = np.zeros_like(flat)
-    left[:, ch:] = flat[:, :-ch]
-    upleft = np.zeros_like(prev)
-    upleft[:, ch:] = prev[:, :-ch]
+    flat = arr.reshape(h, w * ch)  # uint8; subtraction wraps mod 256
 
-    # candidate filters, all rows at once (filtering uses original bytes)
-    f0 = flat
-    f1 = (flat - left) & 0xFF
-    f2 = (flat - prev) & 0xFF
-    f3 = (flat - ((left + prev) >> 1)) & 0xFF
-    p = left + prev - upleft
-    pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
-    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
-    f4 = (flat - pred) & 0xFF
+    # native per-row MSD filtering (single C++ pass; the numpy fallback
+    # below picks one global filter from sampled rows)
+    from ..native import get_lib
 
-    candidates = np.stack([f0, f1, f2, f3, f4])  # [5, h, w*ch]
-    # minimum-sum-of-absolute-differences heuristic
-    cost = np.abs(candidates.astype(np.int8).astype(np.int32)).sum(axis=2)
-    choice = np.argmin(cost, axis=0)  # [h]
-    rows = candidates[choice, np.arange(h)].astype(np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        out = np.empty(h * (w * ch + 1), dtype=np.uint8)
+        src = np.ascontiguousarray(flat)
+        rc = lib.zt_png_filter_msd(
+            src.ctypes.data_as(ctypes.c_char_p), h, w * ch, ch,
+            out.ctypes.data_as(ctypes.c_char_p),
+        )
+        if rc == 0:
+            scanlines = out.tobytes()
+            return _assemble_png(w, h, color_type, scanlines,
+                                 compression_level)
+
+    def filtered(rows_u8, prev_u8, which: int):
+        left = np.zeros_like(rows_u8)
+        left[:, ch:] = rows_u8[:, :-ch]
+        if which == 0:
+            return rows_u8
+        if which == 1:
+            return rows_u8 - left
+        if which == 2:
+            return rows_u8 - prev_u8
+        if which == 3:
+            avg = ((left.astype(np.uint16) + prev_u8) >> 1).astype(np.uint8)
+            return rows_u8 - avg
+        upleft = np.zeros_like(prev_u8)
+        upleft[:, ch:] = prev_u8[:, :-ch]
+        li, pi, ui = (left.astype(np.int16), prev_u8.astype(np.int16),
+                      upleft.astype(np.int16))
+        pp = li + pi - ui
+        pa, pb, pc = np.abs(pp - li), np.abs(pp - pi), np.abs(pp - ui)
+        pred = np.where((pa <= pb) & (pa <= pc), li,
+                        np.where(pb <= pc, pi, ui)).astype(np.uint8)
+        return rows_u8 - pred
+
+    # pick ONE filter from the minimum-sum-of-absolutes heuristic on a
+    # row subsample (full per-row MSD costs 5 full passes — too slow for
+    # a single-core host), then apply it in one full-size pass
+    sample_idx = np.arange(0, h, max(1, h // 32))
+    samp = flat[sample_idx]
+    samp_prev = flat[np.maximum(sample_idx - 1, 0)]
+    samp_prev = np.where((sample_idx == 0)[:, None], 0, samp_prev)
+    best, best_cost = 0, None
+    for which in range(5):
+        cand = filtered(samp, samp_prev, which).astype(np.int8)
+        cost = int(np.abs(cand.astype(np.int16)).sum())
+        if best_cost is None or cost < best_cost:
+            best, best_cost = which, cost
+    prev = np.vstack([np.zeros((1, w * ch), dtype=np.uint8), flat[:-1]])
+    rows = filtered(flat, prev, best)
     scanlines = np.concatenate(
-        [choice.astype(np.uint8)[:, None], rows], axis=1
+        [np.full((h, 1), best, np.uint8), rows], axis=1
     ).tobytes()
 
+    return _assemble_png(w, h, color_type, scanlines, compression_level)
+
+
+def _assemble_png(w, h, color_type, scanlines: bytes,
+                  compression_level: int) -> bytes:
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         return (
             struct.pack(">I", len(payload)) + ctype + payload

@@ -22,7 +22,7 @@ _tried = False
 
 def _build() -> bool:
     sources = [s for s in _SOURCES if os.path.exists(s)]
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
            "-o", _LIB_PATH + ".tmp", *sources]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
@@ -66,6 +66,11 @@ def get_lib():
         lib.zt_gif_lzw_encode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.zt_png_filter_msd.restype = ctypes.c_int64
+        lib.zt_png_filter_msd.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_char_p,
         ]
         lib.zt_dither_error_diffusion.restype = ctypes.c_int
         lib.zt_dither_error_diffusion.argtypes = [

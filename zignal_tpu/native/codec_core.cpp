@@ -276,4 +276,52 @@ int64_t zt_gif_lzw_encode(const uint8_t* src, int64_t src_len,
     return di;
 }
 
+// PNG encode: per-row filter selection by minimum sum of absolute
+// residuals (the standard MSD heuristic) + filtering, single pass.
+// src: [h][stride] raw rows; out: [h][1 + stride] filter byte + data.
+long zt_png_filter_msd(const uint8_t* src, long h, long stride, long bpp,
+                       uint8_t* out) {
+    std::vector<uint8_t> cand((size_t)5 * stride);
+    for (long r = 0; r < h; r++) {
+        const uint8_t* row = src + r * stride;
+        const uint8_t* prev = r > 0 ? src + (r - 1) * stride : nullptr;
+        uint8_t* c0 = cand.data();
+        uint8_t* c1 = c0 + stride;
+        uint8_t* c2 = c1 + stride;
+        uint8_t* c3 = c2 + stride;
+        uint8_t* c4 = c3 + stride;
+        for (long i = 0; i < stride; i++) {
+            int x = row[i];
+            int a = i >= bpp ? row[i - bpp] : 0;          // left
+            int b = prev ? prev[i] : 0;                   // up
+            int c = (prev && i >= bpp) ? prev[i - bpp] : 0;  // up-left
+            c0[i] = (uint8_t)x;
+            c1[i] = (uint8_t)(x - a);
+            c2[i] = (uint8_t)(x - b);
+            c3[i] = (uint8_t)(x - ((a + b) >> 1));
+            int p = a + b - c;
+            int pa = p > a ? p - a : a - p;
+            int pb = p > b ? p - b : b - p;
+            int pc = p > c ? p - c : c - p;
+            int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+            c4[i] = (uint8_t)(x - pred);
+        }
+        long best = 0;
+        long best_cost = -1;
+        for (int f = 0; f < 5; f++) {
+            const uint8_t* cf = cand.data() + (size_t)f * stride;
+            long cost = 0;
+            for (long i = 0; i < stride; i++) {
+                int v = (int8_t)cf[i];
+                cost += v < 0 ? -v : v;
+            }
+            if (best_cost < 0 || cost < best_cost) { best_cost = cost; best = f; }
+        }
+        uint8_t* dst = out + r * (stride + 1);
+        dst[0] = (uint8_t)best;
+        std::memcpy(dst + 1, cand.data() + (size_t)best * stride, stride);
+    }
+    return 0;
+}
+
 }  // extern "C"
