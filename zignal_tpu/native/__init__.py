@@ -72,6 +72,12 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_char_p,
         ]
+        lib.zt_jpeg_entropy_encode.restype = ctypes.c_int64
+        lib.zt_jpeg_entropy_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
         lib.zt_dither_error_diffusion.restype = ctypes.c_int
         lib.zt_dither_error_diffusion.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,

@@ -324,4 +324,84 @@ long zt_png_filter_msd(const uint8_t* src, long h, long stride, long bpp,
     return 0;
 }
 
+// JPEG baseline entropy coding for pre-ordered zigzag blocks.
+// blocks: [nblocks][64] int16; tbl_class: 0=luma,1=chroma tables;
+// pred_group: DC predictor chain id (component index).
+// dc_codes/dc_lens: [2*12]; ac_codes/ac_lens: [2*256].
+// Returns bytes written or -1 on overflow.
+long zt_jpeg_entropy_encode(const int16_t* blocks, long nblocks,
+                            const uint8_t* tbl_class,
+                            const uint8_t* pred_group,
+                            const uint32_t* dc_codes, const uint8_t* dc_lens,
+                            const uint32_t* ac_codes, const uint8_t* ac_lens,
+                            uint8_t* out, long cap) {
+    uint64_t acc = 0;
+    int nbits = 0;
+    long di = 0;
+    int pred[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    auto put = [&](uint32_t code, int len) -> bool {
+        acc = (acc << len) | (code & ((1u << len) - 1));
+        nbits += len;
+        while (nbits >= 8) {
+            nbits -= 8;
+            uint8_t b = (uint8_t)((acc >> nbits) & 0xFF);
+            if (di >= cap) return false;
+            out[di++] = b;
+            if (b == 0xFF) {
+                if (di >= cap) return false;
+                out[di++] = 0x00;
+            }
+        }
+        return true;
+    };
+    auto magnitude = [](int v) -> int {
+        unsigned u = v > 0 ? (unsigned)v : (unsigned)(-v);
+        int s = 0;
+        while (u) { s++; u >>= 1; }
+        return s;
+    };
+    for (long n = 0; n < nblocks; n++) {
+        const int16_t* blk = blocks + n * 64;
+        int cls = tbl_class[n];
+        const uint32_t* dct_c = dc_codes + cls * 12;
+        const uint8_t* dct_l = dc_lens + cls * 12;
+        const uint32_t* act_c = ac_codes + cls * 256;
+        const uint8_t* act_l = ac_lens + cls * 256;
+        int g = pred_group[n] & 7;
+        int dc = blk[0];
+        int diff = dc - pred[g];
+        pred[g] = dc;
+        int s = magnitude(diff);
+        if (!put(dct_c[s], dct_l[s])) return -1;
+        if (s && !put((uint32_t)(diff > 0 ? diff : diff + (1 << s) - 1), s))
+            return -1;
+        int last = 0;
+        for (int k = 63; k >= 1; k--) {
+            if (blk[k] != 0) { last = k; break; }
+        }
+        int run = 0;
+        for (int k = 1; k <= last; k++) {
+            int v = blk[k];
+            if (v == 0) { run++; continue; }
+            while (run >= 16) {
+                if (!put(act_c[0xF0], act_l[0xF0])) return -1;
+                run -= 16;
+            }
+            int sv = magnitude(v);
+            int sym = (run << 4) | sv;
+            if (!put(act_c[sym], act_l[sym])) return -1;
+            if (!put((uint32_t)(v > 0 ? v : v + (1 << sv) - 1), sv)) return -1;
+            run = 0;
+        }
+        if (last < 63) {
+            if (!put(act_c[0x00], act_l[0x00])) return -1;
+        }
+    }
+    if (nbits > 0) {
+        int pad = 8 - nbits;
+        if (!put((1u << pad) - 1, pad)) return -1;
+    }
+    return di;
+}
+
 }  // extern "C"
