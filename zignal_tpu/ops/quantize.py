@@ -64,16 +64,19 @@ class ColorLookupTable:
 
     def __init__(self, palette: np.ndarray):
         self.palette = np.asarray(palette, dtype=np.uint8)
-        q = np.arange(32, dtype=np.int64)
+        q = np.arange(32, dtype=np.int32)
         c8 = (q << 3) | (q >> 2)  # cell center reconstruction to 8-bit
         rr, gg, bb = np.meshgrid(c8, c8, c8, indexing="ij")
-        cells = np.stack([rr, gg, bb], axis=-1).reshape(-1, 1, 3)
-        pal = self.palette.astype(np.int64).reshape(1, -1, 3)
-        dist = ((cells - pal) ** 2).sum(axis=-1)
-        score = (dist.astype(np.uint64) << np.uint64(8)) | np.arange(
-            pal.shape[1], dtype=np.uint64
-        )
-        self.table = (score.min(axis=1) & np.uint64(0xFF)).astype(np.uint8).reshape(32, 32, 32)
+        cells = np.stack([rr, gg, bb], axis=-1).reshape(-1, 3)  # [32768, 3]
+        pal = self.palette.astype(np.int32)
+        # |c - p|^2 = |c|^2 + |p|^2 - 2 c.p — one small int32 matmul
+        # instead of a [32768, n, 3] broadcast (which thrashes memory);
+        # np.argmin takes the FIRST minimum, matching the reference's
+        # (dist << 8) | index lowest-index tie-break (quantize.zig:62)
+        cc = (cells * cells).sum(axis=1)[:, None]
+        pp = (pal * pal).sum(axis=1)[None, :]
+        dist = cc + pp - 2 * (cells @ pal.T)
+        self.table = np.argmin(dist, axis=1).astype(np.uint8).reshape(32, 32, 32)
 
     def lookup(self, rgb) -> int:
         r, g, b = int(rgb[0]) >> 3, int(rgb[1]) >> 3, int(rgb[2]) >> 3
@@ -105,29 +108,23 @@ def median_cut(arr: np.ndarray, max_colors: int) -> np.ndarray:
     if len(colors) == 1:
         return colors.astype(np.uint8)
 
-    boxes = [(colors, counts)]
-
-    def box_stats(cols, cnts):
+    def make_box(cols, cnts):
+        """Stats are cached per box — recomputing them for every box on
+        every iteration made the loop O(boxes^2) in numpy calls."""
         lo = cols.min(axis=0)
         hi = cols.max(axis=0)
-        vol = int(np.prod(hi - lo + 1))
-        return lo, hi, vol, int(cnts.sum())
+        splittable = len(cols) > 1 and bool((hi > lo).any())
+        score = (int(np.prod(hi - lo + 1)) * int(cnts.sum())
+                 if splittable else 0)
+        return (cols, cnts, lo, hi, score)
+
+    boxes = [make_box(colors, counts)]
 
     while len(boxes) < palette_size:
-        best, best_score = None, 0
-        for i, (cols, cnts) in enumerate(boxes):
-            if len(cols) <= 1:
-                continue
-            lo, hi, vol, pop = box_stats(cols, cnts)
-            if (hi <= lo).all():
-                continue
-            score = vol * pop
-            if score > best_score:
-                best_score, best = score, i
-        if best is None:
+        best = max(range(len(boxes)), key=lambda i: boxes[i][4])
+        if boxes[best][4] == 0:
             break
-        cols, cnts = boxes.pop(best)
-        lo, hi, _, _ = box_stats(cols, cnts)
+        cols, cnts, lo, hi, _ = boxes.pop(best)
         dim = int(np.argmax(hi - lo))
         order = np.argsort(cols[:, dim], kind="stable")
         cols, cnts = cols[order], cnts[order]
@@ -135,11 +132,11 @@ def median_cut(arr: np.ndarray, max_colors: int) -> np.ndarray:
         acc = np.cumsum(cnts)
         cut = int(np.argmax(acc >= half)) + 1
         cut = max(1, min(cut, len(cols) - 1))
-        boxes.append((cols[:cut], cnts[:cut]))
-        boxes.append((cols[cut:], cnts[cut:]))
+        boxes.append(make_box(cols[:cut], cnts[:cut]))
+        boxes.append(make_box(cols[cut:], cnts[cut:]))
 
     palette = np.zeros((len(boxes), 3), dtype=np.uint8)
-    for i, (cols, cnts) in enumerate(boxes):
+    for i, (cols, cnts, *_rest) in enumerate(boxes):
         w = cnts.astype(np.uint64)
         palette[i] = (cols.astype(np.uint64) * w[:, None]).sum(axis=0) // w.sum()
     return palette
