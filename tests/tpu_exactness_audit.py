@@ -109,6 +109,41 @@ def main():
     print("hough exact on TPU:", ok, flush=True)
     fails += not ok
 
+
+    # 6) tiled static rotate vs device sample()
+    from zignal_tpu.ops import warp as W
+    from zignal_tpu.enums import BorderMode as BM
+    a2 = rng.integers(0, 256, (300, 340, 3), dtype=np.uint8)
+    oh, ow = W.rotate_bounds(300, 340, 0.6)
+    got = np.asarray(W.rotate(jax.device_put(a2), 0.6, oh, ow))
+    cx = np.float32(340) / 2.0; cy = np.float32(300) / 2.0
+    off_x = (np.float32(ow) - np.float32(340)) / 2.0
+    off_y = (np.float32(oh) - np.float32(300)) / 2.0
+    cosv = np.float32(np.cos(np.float32(0.6)))
+    sinv = np.float32(np.sin(np.float32(0.6)))
+    ys, xs = jnp.meshgrid(jnp.arange(oh, dtype=jnp.float32),
+                          jnp.arange(ow, dtype=jnp.float32), indexing="ij")
+    dx = xs - (cx + off_x); dy = ys - (cy + off_y)
+    want = np.asarray(W.sample(jax.device_put(a2), cosv * dx - sinv * dy + cx,
+                               sinv * dx + cosv * dy + cy,
+                               Interpolation.BILINEAR, BM.ZERO))
+    ok = np.array_equal(got, want)
+    print("tiled rotate exact on TPU:", ok, flush=True)
+    fails += not ok
+
+    # 7) linear motion blur padded slices vs gather formulation
+    from zignal_tpu.ops.motion_blur_ops import linear_motion_blur, _accumulate
+    b2 = rng.integers(0, 256, (120, 130, 3), dtype=np.uint8)
+    got = np.asarray(linear_motion_blur(jax.device_put(b2), 0.7, 9))
+    cos_a = float(np.cos(np.float32(0.7))); sin_a = float(np.sin(np.float32(0.7)))
+    ts = [-4.5 + i for i in range(11) if -4.5 + i <= 4.5]
+    want = np.asarray(_accumulate(
+        jax.device_put(b2),
+        lambda s, xs_, ys_: (xs_ + ts[s] * cos_a, ys_ + ts[s] * sin_a), len(ts)))
+    ok = np.array_equal(got, want)
+    print("motion blur exact on TPU:", ok, flush=True)
+    fails += not ok
+
     print("TOTAL FAILS:", fails, flush=True)
 
 if __name__ == "__main__":
