@@ -169,13 +169,13 @@ def radial_blur(arr, center_x: float, center_y: float, strength: float,
         new_angle = np.arctan2(dy, dx) + t * blur_amount
         return cx + dist * np.cos(new_angle), cy + dist * np.sin(new_angle)
 
-    # NOTE: _accumulate_tiled (below) cuts the gather cost ~8x, but XLA's
-    # FMA contraction makes the recomputed f32 coords differ by ulps
-    # between graphs, flipping floor()/inside at a handful of boundary
-    # taps — outputs deviate at scattered pixels. Until that's bounded
-    # (e.g. coords computed once and reused), radial stays on the
-    # whole-image gather path.
-    del sample_fn_np
+    # NOTE: _accumulate_tiled(arr, sample_fn, sample_fn_np, n_samples)
+    # cuts the gather cost ~8x, but XLA's FMA contraction makes the
+    # recomputed f32 coords differ by ulps between graphs, flipping
+    # floor()/inside at a handful of boundary taps — outputs deviate at
+    # scattered pixels. Until that's bounded (e.g. coords computed once
+    # and reused), radial stays on the whole-image gather path.
+    _ = sample_fn_np
     return _accumulate(arr, sample_fn, n_samples)
 
 
