@@ -142,3 +142,99 @@ def test_convex_hull_get_rectangle_roundtrip():
     assert (rect.left, rect.top, rect.right, rect.bottom) == (0.0, 0.0, 1.0, 1.0)
     hull.find([(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)])
     assert hull.get_rectangle() is None
+
+
+# ---------------------------------------------------------------------------
+# Golden expectations from the reference's transforms/binary unit tests
+# (reference: src/image/tests/transforms.zig, binary.zig)
+# ---------------------------------------------------------------------------
+
+
+def test_rotate_orthogonal_fast_paths_golden():
+    """transforms.zig:160: orthogonal rotations swap dimensions exactly
+    and preserve content losslessly."""
+    import math
+    import numpy as np
+
+    a = np.arange(1, 13, dtype=np.uint8).reshape(3, 4, 1)
+    img = zignal.Image.from_numpy(a)
+    r0 = img.rotate(0.0)
+    assert (r0.rows, r0.cols) == (3, 4)
+    assert r0.to_numpy()[0, 0, 0] == 1
+    r90 = img.rotate(math.pi / 2)
+    assert (r90.rows, r90.cols) == (4, 3)
+    r180 = img.rotate(math.pi)
+    assert (r180.rows, r180.cols) == (3, 4)
+    assert np.array_equal(r180.to_numpy()[..., 0], a[::-1, ::-1, 0])
+    r270 = img.rotate(3 * math.pi / 2)
+    assert (r270.rows, r270.cols) == (4, 3)
+    # 90 + 270 are inverse rotations
+    back = r90.rotate(3 * math.pi / 2)
+    assert np.array_equal(back.to_numpy(), a)
+
+
+def test_rotate_arbitrary_angle_grows_canvas_golden():
+    """transforms.zig:211: 45deg rotation output is larger than input."""
+    import math
+    import numpy as np
+
+    a = ((np.indices((10, 10)).sum(0) % 2) * 255).astype(np.uint8)[..., None]
+    r = zignal.Image.from_numpy(a).rotate(math.pi / 4)
+    assert r.rows > 10 and r.cols > 10
+
+
+def test_otsu_bimodal_golden():
+    """binary.zig:7: Otsu separates a bimodal image."""
+    import numpy as np
+
+    a = np.full((10, 10, 1), 40, np.uint8)
+    a[:, 5:] = 200
+    binary, t = zignal.Image.from_numpy(a).threshold_otsu()
+    b = binary.to_numpy()[..., 0]
+    assert 40 <= t < 200
+    assert (b[:, :5] == 0).all() and (b[:, 5:] == 255).all()
+
+
+def test_dilate_expands_single_pixel_golden():
+    """binary.zig:60: dilation expands an isolated pixel to its
+    neighborhood."""
+    import numpy as np
+
+    a = np.zeros((7, 7, 1), np.uint8)
+    a[3, 3] = 255
+    d = zignal.Image.from_numpy(a).dilate_binary().to_numpy()[..., 0]
+    assert (d[2:5, 2:5] == 255).all()
+    assert d[0, 0] == 0
+
+
+def test_open_removes_noise_close_fills_holes_golden():
+    """binary.zig:91/117 — the reference's exact 5x5 fixtures and
+    expected outputs (erode treats out-of-bounds as background)."""
+    import numpy as np
+
+    open_in = np.array([
+        [0, 0, 0, 0, 0],
+        [0, 255, 255, 255, 255],
+        [0, 255, 255, 255, 0],
+        [0, 255, 255, 255, 0],
+        [0, 0, 0, 0, 0],
+    ], np.uint8)[..., None]
+    want = np.zeros((5, 5), np.uint8)
+    want[1:4, 1:4] = 255
+    opened = zignal.Image.from_numpy(open_in.copy()).open_binary()
+    assert np.array_equal(opened.to_numpy()[..., 0], want)
+
+    close_in = np.array([
+        [0, 0, 0, 0, 0],
+        [0, 255, 255, 255, 0],
+        [0, 255, 0, 255, 0],
+        [0, 255, 255, 255, 0],
+        [0, 0, 0, 0, 0],
+    ], np.uint8)[..., None]
+    closed = zignal.Image.from_numpy(close_in.copy()).close_binary()
+    assert np.array_equal(closed.to_numpy()[..., 0], want)
+
+    # isolated single pixel vanishes under opening
+    noise = np.zeros((9, 9, 1), np.uint8)
+    noise[4, 4] = 255
+    assert (zignal.Image.from_numpy(noise).open_binary().to_numpy() == 0).all()
