@@ -238,3 +238,35 @@ def test_open_removes_noise_close_fills_holes_golden():
     noise = np.zeros((9, 9, 1), np.uint8)
     noise[4, 4] = 255
     assert (zignal.Image.from_numpy(noise).open_binary().to_numpy() == 0).all()
+
+
+def test_insert_extract_inverse_golden():
+    """transforms.zig:317: extract then insert reconstructs the region
+    within the reference's own error tolerance."""
+    import math
+    import numpy as np
+
+    src = ((np.add.outer(np.arange(64), np.arange(64))) % 256).astype(
+        np.uint8)[..., None]
+    source = zignal.Image.from_numpy(src.copy())
+
+    cases = [
+        ((10.0, 10.0, 50.0, 50.0), 0.0, 40),
+        ((15.0, 15.0, 45.0, 45.0), math.pi / 4.0, 30),
+        ((20.0, 20.0, 40.0, 40.0), 0.0, 40),
+    ]
+    for rect_t, angle, size in cases:
+        rect = zignal.Rectangle(*rect_t)
+        extracted = source.extract(rect, angle=angle, size=(size, size))
+        canvas = zignal.Image(64, 64, 0, dtype=zignal.Gray)
+        canvas.insert(extracted, rect, angle=angle)
+        l, t, r_, b = rect_t
+        cx = (l + r_) * 0.5
+        cy = (t + b) * 0.5
+        check = min(r_ - l, b - t) * 0.6
+        sr, er = int(cy - check / 2), int(cy + check / 2)
+        sc, ec = int(cx - check / 2), int(cx + check / 2)
+        a = src[sr:er, sc:ec, 0].astype(np.int32)
+        b2 = canvas.to_numpy()[sr:er, sc:ec, 0].astype(np.int32)
+        avg_err = float(np.abs(a - b2).mean())
+        assert avg_err < 25, (rect_t, angle, avg_err)
