@@ -135,6 +135,23 @@ class TestEnhancement:
         want = lut[plane].astype(np.uint8)
         assert np.array_equal(got, want)
 
+    def test_equalize_large_image_no_int32_wrap(self):
+        """(cdf - cdf_min) * 255 must use u32 like the reference
+        (enhancement.zig); int32 wraps past ~8.4 Mpix (ADVICE r1 high:
+        lut[255] came out 33 instead of 255 on a 3000x3000 image)."""
+        from zignal_tpu.ops.enhancement import equalize
+
+        plane = RNG.integers(0, 256, (3000, 3000), dtype=np.uint8)
+        got = np.asarray(equalize(plane[..., None]))[..., 0]
+        hist = np.bincount(plane.ravel(), minlength=256)
+        cdf = hist.cumsum()
+        cdf_min = cdf[cdf > 0][0]
+        denom = plane.size - cdf_min
+        lut = np.where(cdf >= cdf_min, (cdf - cdf_min) * 255 // max(denom, 1), 0)
+        want = lut[plane].astype(np.uint8)
+        assert got.max() == 255
+        assert np.array_equal(got, want)
+
 
 class TestSsim:
     def test_ssim_matches_reference_behavior(self):

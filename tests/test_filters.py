@@ -180,28 +180,63 @@ def test_parallel_dryrun():
     g.dryrun_multichip(n)
 
 
-def test_spatial_blur_matches_single_chip():
+@pytest.mark.parametrize("border", [BorderMode.ZERO, BorderMode.REPLICATE,
+                                    BorderMode.MIRROR, BorderMode.WRAP])
+def test_spatial_blur_bit_exact_u8(border):
+    """H-sharded u8 blur must equal the single-device 8.8 fixed-point
+    result EXACTLY for every border mode (VERDICT r1 #3: the reference
+    has one answer; multi-chip may not have another)."""
     import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zignal_tpu.parallel import make_mesh, spatial_gaussian_blur
+
+    n = jax.device_count()
+    mesh = make_mesh(n)
+    for sigma in (1.0, 2.0):
+        img = RNG.integers(0, 256, (8 * n, 32, 3), dtype=np.uint8)
+        blur = spatial_gaussian_blur(mesh, sigma=sigma, border=border)
+        sharded = jax.device_put(
+            img, NamedSharding(mesh, P("batch", None, None)))
+        got = np.asarray(blur(sharded))
+        want = np.asarray(gaussian_blur(img, sigma, border))
+        assert np.array_equal(got, want), (
+            f"sigma={sigma} border={border}: max diff "
+            f"{np.abs(got.astype(int) - want.astype(int)).max()}"
+        )
+
+
+def test_spatial_blur_float_matches_single_chip():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zignal_tpu.parallel import make_mesh, spatial_gaussian_blur
+
+    n = jax.device_count()
+    mesh = make_mesh(n)
+    img = RNG.random((8 * n, 32, 3), dtype=np.float32) * 255.0
+    blur = spatial_gaussian_blur(mesh, sigma=1.5)
+    sharded = jax.device_put(img, NamedSharding(mesh, P("batch", None, None)))
+    got = np.asarray(blur(sharded))
+    want = np.asarray(gaussian_blur(img, 1.5, BorderMode.MIRROR))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+def test_spatial_blur_raises_when_shard_too_small():
+    import jax
+
     from zignal_tpu.parallel import make_mesh, spatial_gaussian_blur
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = jax.device_count()
+    if n < 2:
+        pytest.skip("needs a multi-device mesh")
     mesh = make_mesh(n)
-    img = RNG.integers(0, 256, (8 * n, 32, 3), dtype=np.uint8)
-    blur = spatial_gaussian_blur(mesh, sigma=1.0)
+    img = np.zeros((2 * n, 16, 1), dtype=np.uint8)  # 2 rows/chip, radius 6
+    blur = spatial_gaussian_blur(mesh, sigma=2.0)
     sharded = jax.device_put(img, NamedSharding(mesh, P("batch", None, None)))
-    got = np.asarray(blur(sharded))
-
-    # single-device float reference with replicate border
-    k = np.asarray(gaussian_kernel(1.0), dtype=np.float32)
-    radius = len(k) // 2
-    x = img.astype(np.float32)
-    xp = np.pad(x, ((0, 0), (radius, radius), (0, 0)), mode="edge")
-    acc = sum(xp[:, i:i + x.shape[1]] * w for i, w in enumerate(k))
-    ap = np.pad(acc, ((radius, radius), (0, 0), (0, 0)), mode="edge")
-    out = sum(ap[i:i + x.shape[0]] * w for i, w in enumerate(k))
-    want = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
-    assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 1
+    with pytest.raises(ValueError, match="too small"):
+        blur(sharded)
 
 
 def test_integral_golden_ones():

@@ -270,3 +270,35 @@ def test_insert_extract_inverse_golden():
         b2 = canvas.to_numpy()[sr:er, sc:ec, 0].astype(np.int32)
         avg_err = float(np.abs(a - b2).mean())
         assert avg_err < 25, (rect_t, angle, avg_err)
+
+
+def test_lanczos3_lut_matches_reference_recipe():
+    """Per-pixel Lanczos sampling uses the reference's 1025-entry LUT +
+    lerp (interpolation.zig:256-281), not the direct sinc (ADVICE r1)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zignal_tpu.ops.warp import _LANCZOS3_LUT, _lanczos3_kernel_f32
+
+    assert _LANCZOS3_LUT.shape == (1025,)
+    assert _LANCZOS3_LUT[0] == 1.0
+    assert _LANCZOS3_LUT[1024] == 0.0
+
+    t = np.linspace(-2.999, 2.999, 1001, dtype=np.float32)
+    got = np.asarray(_lanczos3_kernel_f32(jnp.asarray(t)))
+
+    # numpy replica of the reference's lanczos3KernelLut
+    step = np.float32(1024.0 / 3.0)
+    pos = np.abs(t) * step
+    idx = np.minimum(np.trunc(pos), 1023).astype(np.int64)
+    frac = pos - idx.astype(np.float32)
+    want = _LANCZOS3_LUT[idx] * (1 - frac) + _LANCZOS3_LUT[idx + 1] * frac
+    np.testing.assert_allclose(got, want, atol=2e-7)
+
+    # the LUT path intentionally deviates from the direct sinc by up to
+    # ~4e-4 (that is the point: the reference reads the table too)
+    pi_x = np.float64(np.pi) * np.abs(t).astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        direct = 3.0 * np.sin(pi_x) * np.sin(pi_x / 3.0) / (pi_x * pi_x)
+    direct = np.where(t == 0, 1.0, direct)
+    assert np.abs(got - direct).max() < 5e-4

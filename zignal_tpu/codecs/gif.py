@@ -63,10 +63,131 @@ class AnimatedImage:
         return len(self.frames)
 
 
+def _lzw_decode_py(data: bytes, min_code_size: int,
+                   expected: int) -> np.ndarray:
+    """Pure-Python GIF LZW decode, semantics mirroring the native
+    zt_gif_lzw_decode (truncated streams accepted; KwKwK handled)."""
+    clear_code = 1 << min_code_size
+    end_code = clear_code + 1
+    prefix = [-1] * 4096
+    suffix = [0] * 4096
+    for i in range(clear_code):
+        suffix[i] = i
+    code_size = min_code_size + 1
+    next_code = end_code + 1
+    prev_code = -1
+    bitbuf = 0
+    bitcnt = 0
+    si = 0
+    n = len(data)
+    out = bytearray()
+
+    def finish():
+        res = np.zeros(expected, dtype=np.uint8)
+        res[:len(out)] = np.frombuffer(bytes(out), dtype=np.uint8)
+        return res
+
+    while True:
+        while bitcnt < code_size:
+            if si >= n:
+                return finish()  # truncated stream: accept what we have
+            bitbuf |= data[si] << bitcnt
+            si += 1
+            bitcnt += 8
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        bitcnt -= code_size
+        if code == clear_code:
+            code_size = min_code_size + 1
+            next_code = end_code + 1
+            prev_code = -1
+            continue
+        if code == end_code:
+            return finish()
+        cur = code
+        kwkwk = cur >= next_code
+        if kwkwk:
+            if prev_code < 0 or cur > next_code:
+                raise GifError("corrupt LZW stream")
+            cur = prev_code
+        chunk = []
+        while cur >= 0:
+            chunk.append(suffix[cur])
+            cur = prefix[cur]
+        chunk.reverse()
+        first = chunk[0]
+        if kwkwk:
+            chunk.append(first)
+        if len(out) + len(chunk) > expected:
+            return finish()
+        out += bytes(chunk)
+        if prev_code >= 0 and next_code < 4096:
+            prefix[next_code] = prev_code
+            suffix[next_code] = first
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev_code = code
+
+
+def _lzw_encode_py(flat: np.ndarray, min_code_size: int) -> bytes:
+    """Pure-Python GIF LZW encode mirroring zt_gif_lzw_encode (leading
+    clear code, table reset at 4096 codes, LSB-first bit packing)."""
+    clear_code = 1 << min_code_size
+    end_code = clear_code + 1
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    code_size = min_code_size + 1
+
+    def emit(code):
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += code_size
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    emit(clear_code)
+    data = flat.tolist()
+    if not data:
+        emit(end_code)
+        if bitcnt:
+            out.append(bitbuf & 0xFF)
+        return bytes(out)
+    table = {}
+    next_code = end_code + 1
+    prev = data[0]
+    for byte in data[1:]:
+        key = prev * 256 + byte
+        nxt = table.get(key)
+        if nxt is not None:
+            prev = nxt
+            continue
+        emit(prev)
+        if next_code < 4096:
+            table[key] = next_code
+            next_code += 1
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear_code)
+            table.clear()
+            code_size = min_code_size + 1
+            next_code = end_code + 1
+        prev = byte
+    emit(prev)
+    emit(end_code)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
 def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
     lib = get_lib()
     if lib is None:
-        raise GifError("native codec core unavailable (g++ missing?)")
+        return _lzw_decode_py(data, min_code_size, expected)
     out = np.zeros(expected, dtype=np.uint8)
     n = lib.zt_gif_lzw_decode(
         data, len(data), out.ctypes.data_as(ctypes.c_char_p), expected,
@@ -242,9 +363,9 @@ def load_animated(path: str) -> AnimatedImage:
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     lib = get_lib()
-    if lib is None:
-        raise GifError("native codec core unavailable (g++ missing?)")
     flat = np.ascontiguousarray(indices.reshape(-1))
+    if lib is None:
+        return _lzw_encode_py(flat, min_code_size)
     cap = flat.size * 2 + 1024
     out = np.zeros(cap, dtype=np.uint8)
     n = lib.zt_gif_lzw_encode(

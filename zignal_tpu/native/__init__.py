@@ -1,8 +1,10 @@
 """Native (C++) host runtime: codec hot loops, loaded via ctypes.
 
-Built lazily with g++ on first use and cached next to the sources.
-Every entry point has a pure-Python fallback so the package works
-without a toolchain.
+Built lazily with g++ on first use and cached next to the sources (the
+.so is never committed — it is built with -march=native for THIS host).
+Every entry point has a pure-Python fallback (PNG filter/unfilter, GIF
+LZW, dither, JPEG entropy encode) EXCEPT full JPEG decode, which raises
+a clean JpegError when no toolchain is available.
 """
 
 from __future__ import annotations

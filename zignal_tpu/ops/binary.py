@@ -75,24 +75,30 @@ def lut_apply_u8(plane, lut):
     return out.reshape(*plane.shape, lut.shape[1]).astype(jnp.uint8)
 
 
-@jax.jit
 def otsu_threshold(plane):
     """Otsu between-class-variance maximization (binary.zig:38-85).
-    plane: u8 [H, W]. Returns scalar threshold (int32)."""
-    hist = histogram256(plane).astype(jnp.float64 if jax.config.jax_enable_x64
-                                      else jnp.float32)
-    total = jnp.sum(hist)
-    intensities = jnp.arange(256, dtype=hist.dtype)
-    sum_total = jnp.sum(hist * intensities)
-    wb = jnp.cumsum(hist)
-    sb = jnp.cumsum(hist * intensities)
+    plane: u8 [H, W]. Returns the threshold as a Python int.
+
+    The histogram reduction runs on device (exact int32 counts); the
+    256-element variance sweep runs on host in float64, matching the
+    reference's f64 math exactly — with x64 disabled, device f32
+    cumulative moments lose integer precision past 2^24 and can flip
+    the argmax between near-tie thresholds (ADVICE r1)."""
+    import numpy as np
+
+    hist = np.asarray(histogram256(jnp.asarray(plane)), dtype=np.float64)
+    total = hist.sum()
+    intensities = np.arange(256, dtype=np.float64)
+    sum_total = (hist * intensities).sum()
+    wb = hist.cumsum()
+    sb = (hist * intensities).cumsum()
     wf = total - wb
     valid = (wb > 0) & (wf > 0)
-    mean_b = sb / jnp.where(wb == 0, 1, wb)
-    mean_f = (sum_total - sb) / jnp.where(wf == 0, 1, wf)
+    mean_b = sb / np.where(wb == 0, 1, wb)
+    mean_f = (sum_total - sb) / np.where(wf == 0, 1, wf)
     variance = wb * wf * (mean_b - mean_f) ** 2
-    variance = jnp.where(valid, variance, -1.0)
-    return jnp.argmax(variance).astype(jnp.int32)
+    variance = np.where(valid, variance, -1.0)
+    return int(np.argmax(variance))
 
 
 def threshold_apply(plane, threshold):

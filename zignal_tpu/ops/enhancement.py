@@ -78,11 +78,11 @@ def equalize(arr, skip_alpha: bool = True):
         cdf_min = jnp.where(jnp.any(nonzero), cdf[jnp.argmax(nonzero)], 0)
         denom = total - cdf_min
         ident = jnp.arange(256, dtype=jnp.uint8)
-        lut = jnp.where(
-            cdf >= cdf_min,
-            ((cdf - cdf_min) * 255 // jnp.maximum(denom, 1)).astype(jnp.uint8),
-            0,
-        )
+        # u32 arithmetic per the reference (enhancement.zig uses u32):
+        # int32 would wrap for (cdf - cdf_min) > 2^31/255 ~ 8.4 Mpix.
+        num = (cdf - cdf_min).astype(jnp.uint32) * jnp.uint32(255)
+        den = jnp.maximum(denom, 1).astype(jnp.uint32)
+        lut = jnp.where(cdf >= cdf_min, (num // den).astype(jnp.uint8), 0)
         lut = jnp.where(denom == 0, ident, lut)
         chans.append(lut_apply_u8(plane, lut))
     return jnp.stack(chans, axis=-1)

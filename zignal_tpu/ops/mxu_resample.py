@@ -175,6 +175,12 @@ def _exact_core(x, M, x_bound, contract):
                 f32_ok = False
     if total_bound >= _F32_EXACT:
         f32_ok = False
+    if not f32_ok and total_bound >= 2 ** 31:
+        # the int32 combine path would silently wrap (ADVICE r1): callers
+        # with larger weight row-sums must split the work further.
+        raise ValueError(
+            f"combined digit-matmul bound {total_bound} exceeds int32"
+        )
 
     acc = None
     for wj, xd, shift in terms:

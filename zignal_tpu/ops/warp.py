@@ -95,12 +95,39 @@ def _mitchell_kernel_f32(t, b=1.0 / 3.0, c=1.0 / 3.0):
     return jnp.where(at < 1, w1, jnp.where(at < 2, w2, 0.0))
 
 
+def _build_lanczos3_lut() -> np.ndarray:
+    """The reference's comptime 1025-entry Lanczos3 table
+    (interpolation.zig:256-267), replicated in numpy f32."""
+    step = np.float32(1024.0) / np.float32(3.0)
+    x = np.arange(1025, dtype=np.float32) / step
+    pi_x = np.float32(np.pi) * x
+    with np.errstate(invalid="ignore", divide="ignore"):
+        val = (np.float32(3.0) * np.sin(pi_x) * np.sin(pi_x / np.float32(3.0))
+               / (pi_x * pi_x))
+    val = np.where(x == 0, np.float32(1.0), val)
+    return np.where(np.abs(x) >= 3.0, np.float32(0.0), val).astype(np.float32)
+
+
+_LANCZOS3_LUT = _build_lanczos3_lut()
+
+
 def _lanczos3_kernel_f32(t):
+    """LUT + linear interpolation, matching the reference's
+    lanczos3KernelLut (interpolation.zig:270-281) — per-pixel sampling in
+    the reference reads the table rather than evaluating the sinc
+    directly, and the two differ by up to ~3e-4, enough to flip u8
+    rounding. (Resize is unaffected: the reference's resize builds its
+    weights from the direct kernel, as does ops/interpolation.py.)
+    Table values may differ from Zig's comptime sin by float ulps."""
     at = jnp.abs(t)
-    pi_x = jnp.pi * t
-    safe = jnp.where(t == 0, 1.0, pi_x)
-    val = (3.0 * jnp.sin(safe) * jnp.sin(safe / 3.0)) / (safe * safe)
-    val = jnp.where(t == 0, 1.0, val)
+    step = np.float32(1024.0 / 3.0)
+    pos = at * step
+    idx = jnp.clip(jnp.trunc(pos), 0, 1023).astype(jnp.int32)
+    frac = pos - idx.astype(jnp.float32)
+    lut = jnp.asarray(_LANCZOS3_LUT)
+    v0 = jnp.take(lut, idx)
+    v1 = jnp.take(lut, idx + 1)
+    val = v0 * (1.0 - frac) + v1 * frac
     return jnp.where(at >= 3.0, 0.0, val)
 
 

@@ -74,60 +74,101 @@ def sharded_pipeline(mesh: Mesh, out_rows: int, out_cols: int,
     return step
 
 
-def spatial_gaussian_blur(mesh: Mesh, sigma: float, axis_name: str = "batch"):
+def spatial_gaussian_blur(mesh: Mesh, sigma: float,
+                          border=None, axis_name: str = "batch"):
     """Gaussian blur of a single [H, W, C] image with H sharded across the
-    mesh: each chip blurs its row block after exchanging `radius` halo rows
-    with its neighbors via `lax.ppermute` (replicate border at the global
-    edges, so the result is exact for BorderMode.REPLICATE)."""
-    kernel = np.asarray(gaussian_kernel(sigma), dtype=np.float32)
-    radius = len(kernel) // 2
-    n = mesh.devices.size
+    mesh, bit-identical to ``ops.convolution.gaussian_blur`` on u8 inputs
+    for all four border modes (reference 8.8 fixed point:
+    src/image/convolution.zig:12-38).
 
-    def local_blur(x):
-        """x: [h_local + 2*radius, W, C] float; valid output rows only."""
-        # horizontal pass
-        xp = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)), mode="edge")
-        acc = None
-        for i, w in enumerate(kernel):
-            t = xp[:, i:i + x.shape[1]] * w
-            acc = t if acc is None else acc + t
-        # vertical pass over the extended rows -> valid center
+    The horizontal pass is chip-local (same banded MXU matmul as the
+    single-device op, W borders folded into the band). Then ``radius``
+    rows of the *temp* plane are exchanged with ring neighbors via
+    ``lax.ppermute`` — a wraparound ring, so WRAP borders fall out of the
+    permutation; for the other modes the global-edge chips overwrite
+    their received halos (zeros / replicated edge / mirrored rows). The
+    vertical pass is a valid-only band over the extended rows.
+
+    Float inputs take the same structure through the float tap sum
+    (single-device float path equivalent; tap order preserved).
+    """
+    from ..enums import BorderMode
+    from ..ops.convolution import _SCALE, _div_clamp_u8, _kernel_to_int, \
+        _sep_pass
+    from ..ops.interpolation import resolve_index_np
+    from ..ops.mxu_resample import build_tap_matrix, exact_axis_apply
+
+    border = BorderMode(border) if border is not None else BorderMode.MIRROR
+    if sigma == 0:
+        return jax.jit(lambda image: image)
+    kf = gaussian_kernel(sigma)
+    kfa = np.asarray(kf, dtype=np.float32)
+    kint = _kernel_to_int(kf)
+    ksz = len(kint)
+    radius = ksz // 2
+    n = mesh.devices.size
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [((i + 1) % n, i) for i in range(n)]
+
+    def _halos(temp, h_loc):
+        if radius > h_loc or (border == BorderMode.MIRROR
+                              and radius + 1 > h_loc):
+            raise ValueError(
+                f"shard of {h_loc} rows too small for sigma={sigma} "
+                f"(radius {radius}); use fewer chips or smaller sigma"
+            )
+        up = jax.lax.ppermute(temp[h_loc - radius:], axis_name, fwd)
+        down = jax.lax.ppermute(temp[:radius], axis_name, bwd)
+        if border != BorderMode.WRAP:
+            idx = jax.lax.axis_index(axis_name)
+            if border == BorderMode.ZERO:
+                top = jnp.zeros_like(up)
+                bot = jnp.zeros_like(down)
+            elif border == BorderMode.REPLICATE:
+                top = jnp.repeat(temp[:1], radius, axis=0)
+                bot = jnp.repeat(temp[-1:], radius, axis=0)
+            else:  # MIRROR: reflect without edge (border.zig:46)
+                top = jnp.flip(temp[1:radius + 1], axis=0)
+                bot = jnp.flip(temp[h_loc - radius - 1:h_loc - 1], axis=0)
+            up = jnp.where(idx == 0, top, up)
+            down = jnp.where(idx == n - 1, bot, down)
+        return jnp.concatenate([up, temp, down], axis=0)
+
+    def body_u8(local):
+        h_loc, w = local.shape[0], local.shape[1]
+        base_w = np.arange(w)[:, None] + np.arange(ksz)[None, :] - radius
+        band_w = build_tap_matrix(
+            resolve_index_np(base_w, w, border), kint, w, w)
+        temp, tb = exact_axis_apply(local, band_w, 255, axis=1)
+        ext = _halos(temp, h_loc)
+        base_h = np.arange(h_loc)[:, None] + np.arange(ksz)[None, :]
+        band_h = build_tap_matrix(base_h, kint, h_loc + 2 * radius, h_loc)
+        accum, ab = exact_axis_apply(ext, band_h, tb, axis=0)
+        if (accum.dtype == jnp.float32
+                and ab + (_SCALE * _SCALE) // 2 >= 2 ** 24):
+            accum = accum.astype(jnp.int32)
+        return _div_clamp_u8(accum, _SCALE * _SCALE)
+
+    def body_f(local):
+        h_loc, w = local.shape[0], local.shape[1]
+        temp = _sep_pass(local.astype(jnp.float32), w, ksz, border, kfa,
+                         axis=1)
+        ext = _halos(temp, h_loc)
         out = None
-        for i, w in enumerate(kernel):
-            t = acc[i:i + x.shape[0] - 2 * radius] * w
-            out = t if out is None else out + t
+        for k in range(ksz):
+            term = jax.lax.slice_in_dim(ext, k, k + h_loc, axis=0) * kfa[k]
+            out = term if out is None else out + term
         return out
 
-    def body(local):
-        # local: [H/n, W, C] on each chip
-        idx = jax.lax.axis_index(axis_name)
-        up_halo = jax.lax.ppermute(
-            local[-radius:], axis_name,
-            [(i, i + 1) for i in range(n - 1)],
-        )  # rows from the previous chip (zeros on chip 0)
-        down_halo = jax.lax.ppermute(
-            local[:radius], axis_name,
-            [(i + 1, i) for i in range(n - 1)],
-        )  # rows from the next chip (zeros on last chip)
-        top_edge = jnp.repeat(local[:1], radius, axis=0)
-        bottom_edge = jnp.repeat(local[-1:], radius, axis=0)
-        up = jnp.where(idx == 0, top_edge, up_halo)
-        down = jnp.where(idx == n - 1, bottom_edge, down_halo)
-        ext = jnp.concatenate([up, local.astype(jnp.float32), down], axis=0)
-        return local_blur(ext)
-
-    fn = shard_map(
-        body, mesh=mesh,
-        in_specs=P(axis_name, None, None),
-        out_specs=P(axis_name, None, None),
-    )
+    spec = P(axis_name, None, None)
+    sm_u8 = shard_map(body_u8, mesh=mesh, in_specs=spec, out_specs=spec)
+    sm_f = shard_map(body_f, mesh=mesh, in_specs=spec, out_specs=spec)
 
     @jax.jit
     def blur(image):
-        out = fn(image.astype(jnp.float32))
         if image.dtype == jnp.uint8:
-            return jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
-        return out
+            return sm_u8(image)
+        return sm_f(image)
 
     return blur
 
@@ -197,12 +238,11 @@ def spatial_equalize(mesh: Mesh, axis_name: str = "batch",
             cdf_min = jnp.where(jnp.any(nonzero), cdf[jnp.argmax(nonzero)], 0)
             denom = total - cdf_min
             ident = jnp.arange(256, dtype=jnp.uint8)
-            lut = jnp.where(
-                cdf >= cdf_min,
-                ((cdf - cdf_min) * 255
-                 // jnp.maximum(denom, 1)).astype(jnp.uint8),
-                0,
-            )
+            # u32 math as in ops.enhancement.equalize: int32 wraps for
+            # (cdf - cdf_min) > ~8.4 Mpix, exactly the sharded use case.
+            num = (cdf - cdf_min).astype(jnp.uint32) * jnp.uint32(255)
+            den = jnp.maximum(denom, 1).astype(jnp.uint32)
+            lut = jnp.where(cdf >= cdf_min, (num // den).astype(jnp.uint8), 0)
             lut = jnp.where(denom == 0, ident, lut)
             outs.append(lut[plane])
         return jnp.stack(outs, axis=-1)
