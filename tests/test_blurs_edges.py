@@ -266,3 +266,82 @@ def test_convolve_identity_kernel_golden():
     ident = ((0.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 0.0))
     out = np.asarray(convolve2d(jnp.asarray(a), ident))
     assert np.array_equal(out, a)
+
+
+def _radial_oracle(img, center, strength, zoom):
+    """Scalar per-pixel transcription of the reference radial blur
+    (motion_blur.zig:240-345), strict f32 at every step."""
+    f32 = np.float32
+    h, w, ch = img.shape
+    cx = f32(center[0]) * f32(w - 1)
+    cy = f32(center[1]) * f32(h - 1)
+    scl = f32(min(max(strength, 0.0), 1.0))
+    n = 8 + int(np.trunc(scl * f32(24)))
+    maxd = np.sqrt(cx * cx + cy * cy)
+    out = np.zeros_like(img)
+    for r in range(h):
+        for c in range(w):
+            dx = f32(c) - cx
+            dy = f32(r) - cy
+            dist = np.sqrt(dx * dx + dy * dy)
+            if zoom:
+                blur = dist / max(maxd, f32(1e-6)) * scl * f32(20)
+            else:
+                blur = scl * f32(0.5)
+                angle = np.arctan2(dy, dx)
+            acc = np.zeros(ch, np.float32)
+            cnt = 0
+            for s in range(n):
+                t = (f32(s) - f32(n - 1) / f32(2.0)) / f32(n - 1)
+                if zoom:
+                    scale = f32(1.0) + t * blur * f32(0.1)
+                    sx = cx + dx * scale
+                    sy = cy + dy * scale
+                else:
+                    na = angle + t * blur
+                    sx = cx + dist * np.cos(na)
+                    sy = cy + dist * np.sin(na)
+                if 0 <= sx < w and 0 <= sy < h:
+                    x0 = int(np.floor(sx))
+                    x1 = min(x0 + 1, w - 1)
+                    y0 = int(np.floor(sy))
+                    y1 = min(y0 + 1, h - 1)
+                    fxi = sx - f32(x0)
+                    fyi = sy - f32(y0)
+                    v00 = img[y0, x0].astype(np.float32)
+                    v10 = img[y0, x1].astype(np.float32)
+                    v01 = img[y1, x0].astype(np.float32)
+                    v11 = img[y1, x1].astype(np.float32)
+                    v0 = v00 * (f32(1) - fxi) + v10 * fxi
+                    v1 = v01 * (f32(1) - fxi) + v11 * fxi
+                    acc = acc + (v0 * (f32(1) - fyi) + v1 * fyi)
+                    cnt += 1
+            res = acc / f32(cnt) if cnt else img[r, c].astype(np.float32)
+            out[r, c] = np.clip(np.trunc(np.floor(res + f32(0.5))), 0, 255)
+    return out
+
+
+class TestRadialOracle:
+    def test_zoom_bit_exact(self):
+        """Static-coordinate zoom path replicates the reference's f32
+        loop exactly (coords use only +-*/ and sqrt)."""
+        rng = np.random.default_rng(17)
+        arr = rng.integers(0, 256, (20, 16, 3), dtype=np.uint8)
+        img = zignal.Image.from_numpy(arr.copy())
+        got = img.motion_blur(
+            zignal.MotionBlur.radial_zoom(center=(0.4, 0.6), strength=0.7)
+        ).to_numpy()
+        want = _radial_oracle(arr, (0.4, 0.6), 0.7, zoom=True)
+        assert np.array_equal(got, want)
+
+    def test_spin_within_one(self):
+        """Spin coords go through libm sin/cos/atan2, which may differ
+        from other libms by ulps -> documented +/-1 tolerance."""
+        rng = np.random.default_rng(18)
+        arr = rng.integers(0, 256, (20, 16, 3), dtype=np.uint8)
+        img = zignal.Image.from_numpy(arr.copy())
+        got = img.motion_blur(
+            zignal.MotionBlur.radial_spin(center=(0.3, 0.7), strength=0.8)
+        ).to_numpy()
+        want = _radial_oracle(arr, (0.3, 0.7), 0.8, zoom=False)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -127,12 +127,71 @@ def linear_motion_blur(arr, angle: float, distance: int):
     return result.astype(arr.dtype)
 
 
-@partial(jax.jit, static_argnames=("center_x", "center_y", "strength", "zoom"))
 def radial_blur(arr, center_x: float, center_y: float, strength: float,
                 zoom: bool):
-    """Radial zoom/spin blur (motion_blur.zig radial:240+)."""
+    """Radial zoom/spin blur (motion_blur.zig radial:240+). Plain
+    function (not jitted): the fast path stages trace-time coordinate
+    tables onto the device; under an outer jit it falls back to the
+    all-device gather path."""
     if strength == 0:
         return arr
+    h, w = arr.shape[0], arr.shape[1]
+    s_cl = min(max(strength, 0.0), 1.0)
+    n_samples = 8 + int(np.trunc(s_cl * 24))
+
+    def sample_fn_np(s, xs, ys):
+        """Strict-f32 numpy replica of the reference's per-pixel loop
+        (motion_blur.zig:269-309): every intermediate is f32, matching
+        the Zig code's f32 arithmetic step for step. Zoom uses only
+        +-*/ and sqrt (IEEE-exact, bit-identical); spin's
+        sin/cos/atan2 come from the host libm and may differ from
+        Zig's by float ulps (documented tolerance)."""
+        f32 = np.float32
+        cxf = f32(center_x) * f32(w - 1)
+        cyf = f32(center_y) * f32(h - 1)
+        sclf = f32(min(max(strength, 0.0), 1.0))
+        maxdf = np.sqrt(cxf * cxf + cyf * cyf)
+        t = (f32(s) - f32(n_samples - 1) / f32(2.0)) / f32(n_samples - 1)
+        dx = xs - cxf
+        dy = ys - cyf
+        dist = np.sqrt(dx * dx + dy * dy)
+        if zoom:
+            blur_amount = dist / max(maxdf, f32(1e-6)) * sclf * f32(20.0)
+            scale = f32(1.0) + t * blur_amount * f32(0.1)
+            return cxf + dx * scale, cyf + dy * scale
+        blur_amount = sclf * f32(0.5)
+        new_angle = np.arctan2(dy, dx) + t * blur_amount
+        return (cxf + dist * np.cos(new_angle),
+                cyf + dist * np.sin(new_angle))
+
+    # Static-coordinate fast path: center/strength are trace-time, so the
+    # per-pixel coordinate math runs ONCE in numpy f32 (zoom uses only
+    # +-*/ and sqrt, all IEEE-exact — bit-identical to the reference's
+    # f32 loop; spin's sin/cos/atan2 use the host libm, which may differ
+    # from Zig's by float ulps). Round-1's blocker — device-recomputed
+    # coords drifting by FMA ulps — is gone because nothing recomputes
+    # coords on device; everything derived from the coords (floor,
+    # fractions, masks, tap indices) is exact on device. The coord
+    # fields ship as cached DEVICE ARGUMENTS, not HLO constants — a
+    # megapixel program with hundreds of MB of embedded constants blows
+    # the compile-request size limit. Each tile gathers from its small
+    # statically-bounded source box (VMEM-resident, ~8x faster than
+    # whole-image HBM gathers; same trick as warp._sample_static).
+    if (not isinstance(arr, jax.core.Tracer)) and h * w <= (1 << 22):
+        return _accumulate_static(arr, sample_fn_np, n_samples,
+                                  key=("radial", h, w, arr.shape[2],
+                                       center_x, center_y, strength, zoom,
+                                       str(arr.dtype)))
+    return _radial_device(arr, center_x, center_y, strength, zoom)
+
+
+@partial(jax.jit, static_argnames=("center_x", "center_y", "strength",
+                                   "zoom"))
+def _radial_device(arr, center_x: float, center_y: float, strength: float,
+                   zoom: bool):
+    """All-device fallback (outer-jit contexts and >4 Mpix images):
+    whole-image gathers with device-computed coordinates — may deviate
+    from the reference's f32 loop by FMA-contraction ulps."""
     h, w = arr.shape[0], arr.shape[1]
     cx = center_x * (w - 1)
     cy = center_y * (h - 1)
@@ -154,105 +213,135 @@ def radial_blur(arr, center_x: float, center_y: float, strength: float,
         new_angle = angle + t * blur_amount
         return cx + dist * jnp.cos(new_angle), cy + dist * jnp.sin(new_angle)
 
-    def sample_fn_np(s, xs, ys):
-        """numpy mirror used ONLY to bound per-tile source boxes (a few
-        px of transcendental mismatch is swallowed by the margin)."""
-        t = (s - (n_samples - 1) / 2.0) / (n_samples - 1)
-        dx = xs - cx
-        dy = ys - cy
-        dist = np.sqrt(dx * dx + dy * dy)
-        if zoom:
-            blur_amount = (dist / max(max_distance, 1e-6)) * s_cl * 20.0
-            scale = 1.0 + t * blur_amount * 0.1
-            return cx + dx * scale, cy + dy * scale
-        blur_amount = s_cl * 0.5
-        new_angle = np.arctan2(dy, dx) + t * blur_amount
-        return cx + dist * np.cos(new_angle), cy + dist * np.sin(new_angle)
-
-    # NOTE: _accumulate_tiled(arr, sample_fn, sample_fn_np, n_samples)
-    # cuts the gather cost ~8x, but XLA's FMA contraction makes the
-    # recomputed f32 coords differ by ulps between graphs, flipping
-    # floor()/inside at a handful of boundary taps — outputs deviate at
-    # scattered pixels. Until that's bounded (e.g. coords computed once
-    # and reused), radial stays on the whole-image gather path.
-    _ = sample_fn_np
     return _accumulate(arr, sample_fn, n_samples)
 
 
-def _accumulate_tiled(arr, sample_fn, sample_fn_np, n_samples,
-                      tile: int = 256):
-    """_accumulate with per-tile gathers from statically-bounded source
-    boxes: the coords are still computed ON DEVICE (bit-identical output)
-    but each tile's gather operand is a small slice sized from the numpy
-    coordinate mirror plus a safety margin — VMEM-resident gathers are
-    ~8x faster than whole-image HBM gathers."""
+# (coord-table device buffers + compiled apply fn) per configuration
+_STATIC_CACHE: dict = {}
+_STATIC_CACHE_MAX = 8
+
+
+def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
+    """_accumulate for trace-time numpy f32 coordinates.
+
+    The per-sample coordinate fields sx/sy are computed ONCE in numpy
+    and staged onto the device as runtime arguments (NOT HLO constants:
+    at megapixel scale embedded coord constants are 100s of MB and
+    exceed the compile-request size limit). Everything derived from
+    them on device — floor, fractions, in-bounds masks, clamped tap
+    indices — is exact integer/f32 manipulation, so the result is
+    bit-identical to evaluating the reference loop with these coords.
+    Each tile's taps gather from the tile×sample's exact source
+    bounding box (static bounds, VMEM-resident — ~8x faster than
+    whole-image HBM gathers; same trick as warp._sample_static)."""
     h, w = arr.shape[0], arr.shape[1]
-    if h * w > (1 << 22):  # keep trace-time numpy work bounded
-        return _accumulate(arr, sample_fn, n_samples)
-    a = arr.astype(jnp.float32)
     c = arr.shape[2]
-    margin = 4
-    ys_full, xs_full = np.meshgrid(np.arange(h, dtype=np.float32),
-                                   np.arange(w, dtype=np.float32),
-                                   indexing="ij")
-    out_rows = []
-    for i0 in range(0, h, tile):
-        row = []
-        for j0 in range(0, w, tile):
-            th = min(tile, h - i0)
-            tw = min(tile, w - j0)
-            ys_t, xs_t = (jnp.meshgrid(
-                jnp.arange(i0, i0 + th, dtype=jnp.float32),
-                jnp.arange(j0, j0 + tw, dtype=jnp.float32),
-                indexing="ij"))
-            total = jnp.zeros((th, tw, c), jnp.float32)
-            count = jnp.zeros((th, tw, 1), jnp.float32)
-            for s in range(n_samples):
-                ax, ay = sample_fn_np(s, xs_full[i0:i0 + th, j0:j0 + tw],
-                                      ys_full[i0:i0 + th, j0:j0 + tw])
-                bx0 = int(np.clip(np.floor(ax.min()) - margin, 0, w - 1))
-                bx1 = int(np.clip(np.ceil(ax.max()) + margin, bx0 + 1, w))
-                by0 = int(np.clip(np.floor(ay.min()) - margin, 0, h - 1))
-                by1 = int(np.clip(np.ceil(ay.max()) + margin, by0 + 1, h))
-                box = jax.lax.slice(a, (by0, bx0, 0), (by1, bx1, c))
-                bw = bx1 - bx0
-                bh = by1 - by0
-                sx, sy = sample_fn(s, xs_t, ys_t)
-                inside = ((sx >= 0) & (sx < w) & (sy >= 0) & (sy < h))[..., None]
-                x0 = jnp.floor(sx)
-                y0 = jnp.floor(sy)
-                fx = (sx - x0)[..., None]
-                fy = (sy - y0)[..., None]
-                # clamp against FULL image bounds (reference semantics),
-                # then shift into the box; masked samples may clamp to
-                # the box edge — their values are zeroed by `inside`
-                x0i = jnp.clip(jnp.clip(x0.astype(jnp.int32), 0, w - 1) - bx0,
-                               0, bw - 1)
-                y0i = jnp.clip(jnp.clip(y0.astype(jnp.int32), 0, h - 1) - by0,
-                               0, bh - 1)
-                x1i = jnp.clip(x0i + 1, 0, bw - 1)
-                y1i = jnp.clip(y0i + 1, 0, bh - 1)
-                # NB: x1i must replicate min(x0_full + 1, w - 1) - bx0;
-                # since bx1 <= w, clipping inside the box is equivalent
-                flat = box.reshape(-1, c)
-                lin = jnp.stack([
-                    (y0i * bw + x0i).reshape(-1), (y0i * bw + x1i).reshape(-1),
-                    (y1i * bw + x0i).reshape(-1), (y1i * bw + x1i).reshape(-1),
-                ])
-                g = jnp.take(flat, lin.reshape(-1), axis=0).reshape(
-                    4, th, tw, c)
-                v0 = g[0] * (1 - fx) + g[1] * fx
-                v1 = g[2] * (1 - fx) + g[3] * fx
-                val = v0 * (1 - fy) + v1 * fy
-                total = total + jnp.where(inside, val, 0.0)
-                count = count + inside
-            orig = jax.lax.slice(a, (i0, j0, 0), (i0 + th, j0 + tw, c))
-            res = jnp.where(count > 0, total / jnp.maximum(count, 1), orig)
-            row.append(res)
-        out_rows.append(row[0] if len(row) == 1
-                        else jnp.concatenate(row, axis=1))
-    result = out_rows[0] if len(out_rows) == 1 \
-        else jnp.concatenate(out_rows, axis=0)
-    if arr.dtype == jnp.uint8:
-        return jnp.clip(jnp.trunc(jnp.floor(result + 0.5)), 0, 255).astype(jnp.uint8)
-    return result.astype(arr.dtype)
+
+    cached = _STATIC_CACHE.get(key)
+    if cached is None:
+        ys_full, xs_full = np.meshgrid(np.arange(h, dtype=np.float32),
+                                       np.arange(w, dtype=np.float32),
+                                       indexing="ij")
+        coords = []   # per tile: [n_samples, th, tw] f32 sx / sy stacks
+        layout = []   # per tile: (i0, j0, th, tw, per-sample box/flags)
+        for i0 in range(0, h, tile):
+            for j0 in range(0, w, tile):
+                th = min(tile, h - i0)
+                tw = min(tile, w - j0)
+                sxs = np.empty((n_samples, th, tw), np.float32)
+                sys_ = np.empty((n_samples, th, tw), np.float32)
+                samples = []
+                for s in range(n_samples):
+                    sx, sy = sample_fn_np(s, xs_full[i0:i0 + th, j0:j0 + tw],
+                                          ys_full[i0:i0 + th, j0:j0 + tw])
+                    sxs[s] = sx
+                    sys_[s] = sy
+                    ins = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+                    # the patch row at (y0, x0) carries all four corners,
+                    # so the box only needs to span the (y0, x0) taps
+                    x0i = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
+                    y0i = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
+                    samples.append((int(y0i.min()), int(y0i.max()) + 1,
+                                    int(x0i.min()), int(x0i.max()) + 1,
+                                    bool(ins.all()), bool(ins.any())))
+                coords.append(jax.device_put(sxs))
+                coords.append(jax.device_put(sys_))
+                layout.append((i0, j0, th, tw, samples))
+
+        u8_in = arr.dtype == jnp.uint8
+
+        @jax.jit
+        def apply(a_in, coord_args):
+            # patch operand: row (y, x) = the 2x2 clamped neighborhood
+            # (v00, v10, v01, v11) — ONE gathered row per tap instead of
+            # four (gathers cost ~per-row; u8 rows gather ~2.6x faster
+            # than f32 on top). Edge replication reproduces the
+            # reference's min(x0 + 1, w - 1) clamp.
+            ap = a_in
+            p10 = jnp.pad(ap, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:]
+            p01 = jnp.pad(ap, ((0, 1), (0, 0), (0, 0)), mode="edge")[1:]
+            p11 = jnp.pad(p01, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:]
+            patch = jnp.concatenate([ap, p10, p01, p11], axis=-1)
+            a = a_in.astype(jnp.float32)
+            out_rows = []
+            row = []
+            for ti, (i0, j0, th, tw, samples) in enumerate(layout):
+                sxs = coord_args[2 * ti]
+                sys_ = coord_args[2 * ti + 1]
+                total = jnp.zeros((th, tw, c), jnp.float32)
+                count = jnp.zeros((th, tw, 1), jnp.float32)
+                n_always = 0
+                for s in range(n_samples):
+                    by0, by1, bx0, bx1, all_in, any_in = samples[s]
+                    if not any_in:
+                        continue  # sample fully outside for this tile
+                    sx = sxs[s]
+                    sy = sys_[s]
+                    x0 = jnp.floor(sx)
+                    y0 = jnp.floor(sy)
+                    fx = (sx - x0)[..., None]
+                    fy = (sy - y0)[..., None]
+                    bw = bx1 - bx0
+                    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1) - bx0
+                    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1) - by0
+                    box = jax.lax.slice(
+                        patch, (by0, bx0, 0), (by1, bx1, 4 * c))
+                    g = jnp.take(box.reshape(-1, 4 * c),
+                                 (y0i * bw + x0i).reshape(-1),
+                                 axis=0).reshape(th, tw, 4 * c)
+                    g = g.astype(jnp.float32)
+                    v0 = g[..., 0:c] * (1 - fx) + g[..., c:2 * c] * fx
+                    v1 = (g[..., 2 * c:3 * c] * (1 - fx)
+                          + g[..., 3 * c:4 * c] * fx)
+                    val = v0 * (1 - fy) + v1 * fy
+                    if all_in:
+                        total = total + val
+                        n_always += 1
+                    else:
+                        inside = ((sx >= 0) & (sx < w)
+                                  & (sy >= 0) & (sy < h))[..., None]
+                        total = total + jnp.where(inside, val, 0.0)
+                        count = count + inside
+                count = count + jnp.float32(n_always)
+                orig = jax.lax.slice(a, (i0, j0, 0), (i0 + th, j0 + tw, c))
+                res = jnp.where(count > 0,
+                                total / jnp.maximum(count, 1.0), orig)
+                row.append(res)
+                if j0 + tw >= w:
+                    out_rows.append(row[0] if len(row) == 1
+                                    else jnp.concatenate(row, axis=1))
+                    row = []
+            result = out_rows[0] if len(out_rows) == 1 \
+                else jnp.concatenate(out_rows, axis=0)
+            if u8_in:
+                return jnp.clip(jnp.trunc(jnp.floor(result + 0.5)),
+                                0, 255).astype(jnp.uint8)
+            return result.astype(a_in.dtype)
+
+        if len(_STATIC_CACHE) >= _STATIC_CACHE_MAX:
+            _STATIC_CACHE.pop(next(iter(_STATIC_CACHE)))
+        cached = (apply, coords)
+        _STATIC_CACHE[key] = cached
+
+    apply, coords = cached
+    return apply(jnp.asarray(arr), coords)
