@@ -1,67 +1,321 @@
 #!/usr/bin/env python
-"""Benchmark driver: the north-star resize+blur+Oklab pipeline.
+"""Benchmark driver: every BASELINE.md config, one JSON line each.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "GPix/s", "vs_baseline": N}
+Line 1 is always the north-star pipeline (the driver's headline metric);
+the remaining lines cover the full BASELINE config table:
+
+  1. resize+blur+Oklab pipeline (GPix/s, single chip) + scaling curve
+  2. end-to-end CLI-style resize: JPEG decode -> device resize -> PNG
+     encode (exposes the host codec feeder)
+  3. batched colorspace conversions (sRGB<->Lab/Oklab/Oklch/Xyb) +
+     autocontrast/equalize
+  4. fused Gaussian blur + sharpen + morphology + threshold
+  5. FDM style transfer scored with PSNR/SSIM
+  6. ORB/FAST + Hamming matching + Hough + Canvas AA (stretch)
 
 Timing methodology (see CLAUDE.md "axon tunnel"): per-call dispatch
-through the axon tunnel costs ~6 ms — far more than the pipeline itself —
-and execution is deferred past block_until_ready, so the pipeline is
-repeated INSIDE one jitted lax.fori_loop (input perturbed per iteration
-so nothing hoists, one scalar consumed per iteration so iterations
-chain), a single scalar is fetched at the end, and two loop lengths are
-differenced to cancel the remaining fixed costs.
+through the axon tunnel costs ~6 ms — far more than most pipelines — and
+execution is deferred past block_until_ready, so device configs repeat
+the op INSIDE one jitted lax.fori_loop (input perturbed per iteration so
+nothing hoists, one scalar consumed per iteration so iterations chain),
+a single scalar is fetched at the end, and two loop lengths are
+differenced to cancel the remaining fixed costs. Host+device end-to-end
+configs (2, 5, 6) use wall-clock over repeats — dispatch overhead is
+part of what they measure.
 
-vs_baseline compares against the reference's only published resize number
-(bilinear ~100 Mpix/s single CPU core, BASELINE.md).
+vs_baseline is the ratio to the reference's only published figures
+(interpolation.zig:24-29, single CPU core); configs with no published
+reference number report null.
 """
 
 import json
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
 
+# ZT_BENCH_SMOKE=1 shrinks every config to toy shapes — CI/API checks
+# only (numbers are meaningless); the driver runs the real thing.
+_SMOKE = os.environ.get("ZT_BENCH_SMOKE") == "1"
+_DIM = 128 if _SMOKE else 1024
+_LOOPS = (1, 3) if _SMOKE else (2, 12)
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
-    from zignal_tpu.pipeline import resize_blur_oklab
+def synth_photo(h, w, seed=0):
+    """Deterministic photo-like test image (smooth structure + grain) so
+    the bench is self-contained — no asset files needed."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    yy = yy.astype(np.float32)
+    xx = xx.astype(np.float32)
+    base = np.stack([
+        128 + 90 * np.sin(xx / 97.0) * np.cos(yy / 53.0),
+        128 + 80 * np.cos(xx / 61.0 + yy / 41.0),
+        128 + 70 * np.sin((xx + yy) / 151.0),
+    ], axis=-1)
+    noise = rng.normal(0.0, 12.0, (h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
 
-    B, H, W = 16, 1024, 1024
-    out = 512
-    rng = np.random.default_rng(0)
-    batch = jax.device_put(rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8))
+
+def emit(metric, value, unit, vs_baseline, **extra):
+    line = {"metric": metric, "value": value, "unit": unit,
+            "vs_baseline": vs_baseline}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def device_loop_timer(jax, jnp, step_fn, x, n_small=None, n_large=None):
+    """Seconds per iteration of step_fn via in-jit fori_loop differencing."""
 
     @partial(jax.jit, static_argnames=("n",))
     def looped(x, n):
         def body(i, acc):
             xi = jnp.bitwise_xor(x, i.astype(jnp.uint8))
-            r = resize_blur_oklab(xi, out, out, 2.0)
-            return acc + r.ravel()[0]
+            r = step_fn(xi)
+            return acc + r.ravel()[0].astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
+    if n_small is None:
+        n_small, n_large = _LOOPS
+
     def timed(n):
-        float(looped(batch, n))  # compile + run once
+        float(looped(x, n))  # compile + run once
         t0 = time.perf_counter()
-        float(looped(batch, n))
+        float(looped(x, n))
         return time.perf_counter() - t0
 
-    n_small, n_large = 2, 22
     t_small = min(timed(n_small) for _ in range(2))
     t_large = min(timed(n_large) for _ in range(2))
-    per_iter = (t_large - t_small) / (n_large - n_small)
+    return (t_large - t_small) / (n_large - n_small)
 
-    gpix = B * H * W / per_iter / 1e9
+
+def bench_north_star(jax, jnp):
+    from zignal_tpu.pipeline import resize_blur_oklab
+
+    rng = np.random.default_rng(0)
+    results = {}
+    sizes = ((2, 3), (1, 3)) if _SMOKE else ((16, 12), (4, 12), (1, 12))
+    for b, n_large in sizes:
+        batch = jax.device_put(
+            rng.integers(0, 256, (b, _DIM, _DIM, 3), dtype=np.uint8))
+        per_iter = device_loop_timer(
+            jax, jnp, lambda x: resize_blur_oklab(x, _DIM // 2, _DIM // 2,
+                                                  2.0),
+            batch, _LOOPS[0], n_large)
+        results[b] = b * _DIM * _DIM / per_iter / 1e9
+    gpix = results[max(results)]
     baseline_gpix = 0.1  # reference bilinear resize (100 Mpix/s)
-    print(json.dumps({
-        "metric": "resize+blur+oklab pipeline throughput (single chip)",
-        "value": round(gpix, 3),
-        "unit": "GPix/s",
-        "vs_baseline": round(gpix / baseline_gpix, 1),
-    }))
+    emit("resize+blur+oklab pipeline throughput (single chip)",
+         round(gpix, 3), "GPix/s", round(gpix / baseline_gpix, 1),
+         scaling={f"{b}_mpix": round(v, 3) for b, v in results.items()})
+
+
+def bench_codec_roundtrip():
+    """BASELINE config 1: CLI-style resize with JPEG decode + PNG encode,
+    end-to-end wall time (host codecs feed the device)."""
+    import jax
+
+    from zignal_tpu.codecs import jpeg, png
+    from zignal_tpu.enums import Interpolation
+    from zignal_tpu.ops.interpolation import resize
+
+    # BASELINE names assets/liza.jpg; fall back to a synthetic photo
+    # when the reference checkout is absent (the synthetic is noisier
+    # than a real photo, i.e. harder on the entropy decoder)
+    liza = "/root/reference/assets/liza.jpg"
+    if os.path.exists(liza):
+        jpg = open(liza, "rb").read()
+        info = jpeg.get_info(jpg)
+        mpix = info.width * info.height / 1e6
+        arr0, _ = jpeg.decode(jpg)
+    else:
+        arr0 = synth_photo(*((150, 200) if _SMOKE else (1200, 1600)))
+        jpg = jpeg.encode(arr0, quality=90)
+        mpix = arr0.shape[0] * arr0.shape[1] / 1e6
+
+    def once():
+        arr, _ = jpeg.decode(jpg)
+        out = resize(jax.device_put(arr), arr.shape[0] // 2,
+                     arr.shape[1] // 2, Interpolation.BILINEAR)
+        return png.encode(np.asarray(out))
+
+    once()  # warm (compile + native lib)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        once()
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+
+    # per-stage attribution for the artifact
+    t0 = time.perf_counter()
+    for _ in range(3):
+        arr, _ = jpeg.decode(jpg)
+    t_dec = (time.perf_counter() - t0) / 3
+    out_np = np.asarray(resize(jax.device_put(arr), arr.shape[0] // 2,
+                               arr.shape[1] // 2, Interpolation.BILINEAR))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        png.encode(out_np)
+    t_enc = (time.perf_counter() - t0) / 3
+
+    emit("end-to-end resize (JPEG decode -> device resize -> PNG encode)",
+         round(mpix / t, 2), "MPix/s", round((mpix / t) / 100.0, 2),
+         jpeg_decode_mpix_s=round(mpix / t_dec, 1),
+         png_encode_mpix_s=round(mpix / 4 / t_enc, 1))
+
+
+def bench_colorspace(jax, jnp):
+    """BASELINE config 2: batched colorspace chain + autocontrast +
+    equalize, fully fused on device."""
+    from zignal_tpu.color._array import convert_array
+    from zignal_tpu.ops.enhancement import autocontrast, equalize
+
+    def chain(x):
+        f = x.astype(jnp.float32) / 255.0
+        lab = convert_array(f, "rgb", "lab")
+        f = convert_array(lab, "lab", "rgb")
+        ok = convert_array(f, "rgb", "oklch")
+        f = convert_array(ok, "oklch", "rgb")
+        xyb = convert_array(f, "rgb", "xyb")
+        f = convert_array(xyb, "xyb", "rgb")
+        u8 = jnp.clip(jnp.round(f * 255.0), 0, 255).astype(jnp.uint8)
+        eq = equalize(u8[0])
+        ac = autocontrast(u8[1] if u8.shape[0] > 1 else u8[0])
+        return eq.astype(jnp.float32) + ac.astype(jnp.float32)
+
+    rng = np.random.default_rng(1)
+    x = jax.device_put(
+        rng.integers(0, 256, (4, _DIM, _DIM, 3), dtype=np.uint8))
+    per_iter = device_loop_timer(jax, jnp, chain, x)
+    gpix = 4 * _DIM * _DIM / per_iter / 1e9
+    emit("batched colorspace chain (rgb<->lab/oklch/xyb) + equalize"
+         " + autocontrast", round(gpix, 3), "GPix/s", None)
+
+
+def bench_filter_fusion(jax, jnp):
+    """BASELINE config 3: fused blur + sharpen + morphology + threshold."""
+    from zignal_tpu.ops.binary import dilate, erode, threshold_apply
+    from zignal_tpu.ops.convolution import gaussian_blur
+    from zignal_tpu.ops.integral import sharpen
+
+    def chain(x):
+        b = gaussian_blur(x, 2.0)
+        s = sharpen(b, 2)
+        t = threshold_apply(s[..., 0], 128)
+        m = erode(dilate(t, 3), 3)
+        return m
+
+    rng = np.random.default_rng(2)
+    x = jax.device_put(
+        rng.integers(0, 256, (_DIM, _DIM, 1), dtype=np.uint8))
+    per_iter = device_loop_timer(jax, jnp, chain, x)
+    gpix = _DIM * _DIM / per_iter / 1e9
+    emit("fused blur+sharpen+morphology+threshold", round(gpix, 3),
+         "GPix/s", None)
+
+
+def bench_fdm():
+    """BASELINE config 4: FDM style transfer scored with PSNR/SSIM."""
+    from zignal_tpu.fdm import FeatureDistributionMatching
+    from zignal_tpu.image import Image
+
+    n = 128 if _SMOKE else 1024
+    src = Image.from_numpy(synth_photo(n, n, seed=3))
+    # target with a genuinely different distribution (crushed shadows,
+    # warm cast) so the transfer does real work
+    t = synth_photo(n, n, seed=4).astype(np.float32) / 255.0
+    t = t ** 2.2 * np.array([230.0, 180.0, 120.0]) + 20.0
+    tgt = Image.from_numpy(np.clip(t, 0, 255).astype(np.uint8))
+
+    fdm = FeatureDistributionMatching()
+    fdm.set_target(tgt)
+    fdm.set_source(src.copy())
+    fdm.update()  # warm compile
+
+    times = []
+    for _ in range(3):
+        work = src.copy()
+        t0 = time.perf_counter()
+        fdm.set_source(work)
+        fdm.update()
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    matched = work
+    score_psnr = src.psnr(matched)
+    score_ssim = src.ssim(matched)
+    emit("fdm style transfer (1 MPix, end-to-end)",
+         round(n * n / 1e6 / t, 2), "MPix/s", None,
+         psnr_vs_source=round(float(score_psnr), 2),
+         ssim_vs_source=round(float(score_ssim), 4))
+
+
+def bench_features_stretch():
+    """BASELINE stretch config: ORB + Hamming matching + Hough + Canvas."""
+    from zignal_tpu.canvas import Canvas
+    from zignal_tpu.features.matcher import BruteForceMatcher
+    from zignal_tpu.features.orb import Orb
+    from zignal_tpu.image import Image
+    from zignal_tpu.ops.hough import HoughTransform
+
+    dim = 128 if _SMOKE else 512
+    img = Image.from_numpy(synth_photo(dim, dim, seed=5))
+    rot = img.rotate(0.2)
+
+    orb = Orb()
+    # warm-up (jit compiles inside FAST/pyramid)
+    kp1, d1 = orb.detect_and_compute(img)
+    kp2, d2 = orb.detect_and_compute(rot)
+
+    t0 = time.perf_counter()
+    kp1, d1 = orb.detect_and_compute(img)
+    kp2, d2 = orb.detect_and_compute(rot)
+    matches = BruteForceMatcher(cross_check=True).match(d1, d2)
+    t_orb = time.perf_counter() - t0
+
+    edges = img.sobel()
+    hough = HoughTransform(256)
+    acc = hough.compute(edges)  # warm
+    t0 = time.perf_counter()
+    acc = hough.compute(edges)
+    lines = hough.find_lines(acc, threshold=120)
+    t_hough = time.perf_counter() - t0
+
+    canvas = Canvas(Image.from_numpy(np.zeros((512, 512, 3), np.uint8)))
+    t0 = time.perf_counter()
+    for i in range(50):
+        canvas.draw_line((10 + i * 9, 20), (500 - i * 9, 490),
+                         (255, 128, 0))
+        canvas.draw_circle((256, 256), 40 + i * 2, (0, 255, 128))
+    t_canvas = time.perf_counter() - t0
+
+    total = t_orb + t_hough + t_canvas
+    emit("ORB+match / Hough / Canvas stretch (512^2)",
+         round(total * 1000, 1), "ms", None,
+         orb_ms=round(t_orb * 1000, 1),
+         n_matches=len(matches),
+         hough_ms=round(t_hough * 1000, 1),
+         n_lines=len(lines),
+         canvas_ms=round(t_canvas * 1000, 1))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    bench_north_star(jax, jnp)
+    for fn in (bench_codec_roundtrip,
+               lambda: bench_colorspace(jax, jnp),
+               lambda: bench_filter_fusion(jax, jnp),
+               bench_fdm,
+               bench_features_stretch):
+        try:
+            fn()
+        except Exception as e:  # one flaky config must not kill the rest
+            emit(f"FAILED: {getattr(fn, '__name__', 'config')}", 0.0,
+                 "error", None, error=str(e)[:200])
 
 
 if __name__ == "__main__":

@@ -16,21 +16,32 @@
 namespace {
 
 struct HuffTable {
-    // canonical code -> value decode via count/offset tables
+    // canonical code -> value decode via count/offset tables, plus an
+    // 8-bit prefix LUT that resolves ~99% of symbols in one lookup
     uint8_t counts[17] = {0};
     uint8_t values[256] = {0};
     int32_t mincode[17] = {0};
     int32_t maxcode[18] = {0};
     int32_t valptr[17] = {0};
+    uint8_t lut_len[256] = {0};  // 0 = code longer than 8 bits
+    uint8_t lut_val[256] = {0};
     bool present = false;
 
     void build() {
         int code = 0, k = 0;
+        std::memset(lut_len, 0, sizeof lut_len);
         for (int l = 1; l <= 16; ++l) {
             valptr[l] = k;
             mincode[l] = code;
-            code += counts[l];
-            k += counts[l];
+            for (int i = 0; i < counts[l]; ++i, ++k, ++code) {
+                if (l <= 8) {
+                    int base = code << (8 - l);
+                    for (int j = 0; j < (1 << (8 - l)); ++j) {
+                        lut_len[base + j] = (uint8_t)l;
+                        lut_val[base + j] = values[k];
+                    }
+                }
+            }
             maxcode[l] = code - 1;
             code <<= 1;
         }
@@ -47,58 +58,110 @@ struct Component {
 };
 
 struct BitReader {
+    // 64-bit MSB-aligned buffer refilled a byte at a time with
+    // 0xFF00-unstuffing; refill never consumes past a marker, so `pos`
+    // points at the 0xFF when `marker_hit` is set (restart handling
+    // relies on this). At end of data / marker the buffer's tail reads
+    // as zeros, matching the old reader's zero-padding semantics.
     const uint8_t* data;
     int64_t len, pos;
-    uint32_t buf = 0;
-    int cnt = 0;
+    uint64_t buf = 0;  // next bit = MSB
+    int cnt = 0;       // number of real (non-pad) bits in buf
     bool marker_hit = false;
 
-    int next_byte() {
-        if (pos >= len) return -1;
-        return data[pos++];
+    inline void refill() {
+        // bulk fast path: load 8 bytes at once when none is 0xFF
+        if (cnt <= 56 && pos + 8 <= len) {
+            uint64_t w;
+            std::memcpy(&w, data + pos, 8);
+            uint64_t v = ~w;  // byte == 0xFF  <=>  ~byte == 0x00
+            if (!((v - 0x0101010101010101ULL) & ~v
+                  & 0x8080808080808080ULL)) {
+                int nbytes = (63 - cnt) >> 3;
+                uint64_t be = __builtin_bswap64(w)
+                              & (~0ULL << (64 - 8 * nbytes));
+                buf |= be >> cnt;
+                cnt += 8 * nbytes;
+                pos += nbytes;
+                return;
+            }
+        }
+        while (cnt <= 56) {
+            if (pos >= len) return;  // EOF: cnt stops growing
+            uint8_t b = data[pos];
+            if (b == 0xFF) {
+                if (pos + 1 < len && data[pos + 1] == 0x00) {
+                    pos += 2;  // stuffed 0xFF data byte
+                } else {
+                    marker_hit = true;  // marker (incl. RSTn) or dangling FF
+                    return;
+                }
+            } else {
+                pos++;
+            }
+            buf |= (uint64_t)b << (56 - cnt);
+            cnt += 8;
+        }
     }
 
     // returns bit or -1 at marker/end
-    int bit() {
-        if (cnt == 0) {
-            int b = next_byte();
-            if (b < 0) return -1;
-            if (b == 0xFF) {
-                int b2 = next_byte();
-                if (b2 == 0x00) {
-                    // stuffed
-                } else if (b2 >= 0xD0 && b2 <= 0xD7) {
-                    // restart marker consumed by caller normally; back up
-                    pos -= 2;
-                    marker_hit = true;
-                    return -1;
-                } else {
-                    pos -= 2;
-                    marker_hit = true;
-                    return -1;
-                }
-            }
-            buf = (uint32_t)b;
-            cnt = 8;
+    inline int bit() {
+        if (cnt < 1) {
+            refill();
+            if (cnt < 1) return -1;
         }
+        int v = (int)(buf >> 63);
+        buf <<= 1;
         cnt--;
-        return (buf >> cnt) & 1;
-    }
-
-    int bits(int n) {
-        int v = 0;
-        for (int i = 0; i < n; ++i) {
-            int b = bit();
-            if (b < 0) return v << (n - 1 - i);  // pad zeros (truncated)
-            v = (v << 1) | b;
-        }
         return v;
     }
 
-    void reset() { cnt = 0; marker_hit = false; }
+    inline int bits(int n) {
+        if (n <= 0) return 0;
+        if (cnt < n) {
+            refill();
+            if (cnt < n) {
+                // truncated: high bits = whatever is real, low bits zero
+                int v = (int)(buf >> (64 - n));
+                buf = 0;
+                cnt = 0;
+                return v;
+            }
+        }
+        int v = (int)(buf >> (64 - n));
+        buf <<= n;
+        cnt -= n;
+        return v;
+    }
+
+    void reset() { buf = 0; cnt = 0; marker_hit = false; }
 };
 
-int huff_decode(BitReader& br, const HuffTable& t) {
+inline int huff_decode(BitReader& br, const HuffTable& t) {
+    if (br.cnt < 16) br.refill();
+    if (br.cnt >= 8) {
+        // one-lookup fast path for codes <= 8 bits (~99% of symbols)
+        int idx = (int)(br.buf >> 56);
+        int l = t.lut_len[idx];
+        if (l) {
+            br.buf <<= l;
+            br.cnt -= l;
+            return t.lut_val[idx];
+        }
+        if (br.cnt >= 16) {
+            int code16 = (int)(br.buf >> 48);
+            for (int l2 = 9; l2 <= 16; ++l2) {
+                int c = code16 >> (16 - l2);
+                if (t.counts[l2] && c <= t.maxcode[l2]) {
+                    br.buf <<= l2;
+                    br.cnt -= l2;
+                    return t.values[t.valptr[l2] + c - t.mincode[l2]];
+                }
+            }
+            return -1;  // invalid code
+        }
+    }
+    // slow path near stream end (marker/EOF): bit-by-bit, -1 on pad
     int code = 0;
     for (int l = 1; l <= 16; ++l) {
         int b = br.bit();
@@ -126,36 +189,102 @@ const uint8_t ZIGZAG[64] = {
    53, 60, 61, 54, 47, 55, 62, 63,
 };
 
-// Separable float IDCT, 8x8. in: dequantized coefficients (natural order),
-// out: 64 bytes clamped with +128 level shift. Basis table is precomputed
-// once; the two passes are plain matrix products the compiler vectorizes.
-struct IdctBasis {
-    float cs[8][8];
-    IdctBasis() {
-        for (int u = 0; u < 8; ++u)
-            for (int x = 0; x < 8; ++x)
-                cs[u][x] = (u == 0 ? 0.35355339059327373f : 0.5f)
-                           * std::cos((2 * x + 1) * u * 0.19634954084936207f);
-    }
-};
-static const IdctBasis kBasis;
+// Separable float AAN IDCT, 8x8 (Arai-Agui-Nakajima fast DCT flowgraph
+// from the textbook description; 5 multiplies per 1-D transform). The
+// AAN output scale s[u]*s[v]/8 (s[0]=1, s[k]=sqrt(2)*cos(k*pi/16)) is
+// folded into the dequantization table by the caller. Validated against
+// the direct basis-product IDCT to < 1e-3 over random +/-500 inputs.
+static inline void aan_1d(float* b, int stride) {
+    float s0 = b[0 * stride], s1 = b[1 * stride], s2 = b[2 * stride];
+    float s3 = b[3 * stride], s4 = b[4 * stride], s5 = b[5 * stride];
+    float s6 = b[6 * stride], s7 = b[7 * stride];
+    // even part
+    float t10 = s0 + s4;
+    float t11 = s0 - s4;
+    float t13 = s2 + s6;
+    float t12 = (s2 - s6) * 1.414213562f - t13;
+    float e0 = t10 + t13;
+    float e3 = t10 - t13;
+    float e1 = t11 + t12;
+    float e2 = t11 - t12;
+    // odd part
+    float z13 = s5 + s3;
+    float z10 = s5 - s3;
+    float z11 = s1 + s7;
+    float z12 = s1 - s7;
+    float t7 = z11 + z13;
+    float t11b = (z11 - z13) * 1.414213562f;
+    float z5 = (z10 + z12) * 1.847759065f;
+    float t10b = 1.082392200f * z12 - z5;
+    float t12b = -2.613125930f * z10 + z5;
+    float t6 = t12b - t7;
+    float t5 = t11b - t6;
+    float t4 = t10b + t5;
+    b[0 * stride] = e0 + t7;
+    b[7 * stride] = e0 - t7;
+    b[1 * stride] = e1 + t6;
+    b[6 * stride] = e1 - t6;
+    b[2 * stride] = e2 + t5;
+    b[5 * stride] = e2 - t5;
+    b[4 * stride] = e3 + t4;
+    b[3 * stride] = e3 - t4;
+}
 
-void idct8x8(const float* in, uint8_t* out, int out_stride) {
-    float tmp[64];
-    for (int i = 0; i < 8; ++i) {
-        const float* s = in + i * 8;
-        for (int x = 0; x < 8; ++x) {
-            float sum = 0.0f;
-            for (int u = 0; u < 8; ++u) sum += kBasis.cs[u][x] * s[u];
-            tmp[i * 8 + x] = sum;
-        }
-    }
+// Column pass with x innermost: the same butterfly runs on all 8
+// columns per step, which the compiler turns into 8-wide SIMD.
+static inline void aan_cols(float* b) {
     for (int x = 0; x < 8; ++x) {
-        for (int y = 0; y < 8; ++y) {
-            float sum = 0.0f;
-            for (int u = 0; u < 8; ++u) sum += kBasis.cs[u][y] * tmp[u * 8 + x];
-            int v = (int)std::lround(sum) + 128;
-            out[y * out_stride + x] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+        float s0 = b[0 * 8 + x], s1 = b[1 * 8 + x], s2 = b[2 * 8 + x];
+        float s3 = b[3 * 8 + x], s4 = b[4 * 8 + x], s5 = b[5 * 8 + x];
+        float s6 = b[6 * 8 + x], s7 = b[7 * 8 + x];
+        float t10 = s0 + s4;
+        float t11 = s0 - s4;
+        float t13 = s2 + s6;
+        float t12 = (s2 - s6) * 1.414213562f - t13;
+        float e0 = t10 + t13;
+        float e3 = t10 - t13;
+        float e1 = t11 + t12;
+        float e2 = t11 - t12;
+        float z13 = s5 + s3;
+        float z10 = s5 - s3;
+        float z11 = s1 + s7;
+        float z12 = s1 - s7;
+        float t7 = z11 + z13;
+        float t11b = (z11 - z13) * 1.414213562f;
+        float z5 = (z10 + z12) * 1.847759065f;
+        float t10b = 1.082392200f * z12 - z5;
+        float t12b = -2.613125930f * z10 + z5;
+        float t6 = t12b - t7;
+        float t5 = t11b - t6;
+        float t4 = t10b + t5;
+        b[0 * 8 + x] = e0 + t7;
+        b[7 * 8 + x] = e0 - t7;
+        b[1 * 8 + x] = e1 + t6;
+        b[6 * 8 + x] = e1 - t6;
+        b[2 * 8 + x] = e2 + t5;
+        b[5 * 8 + x] = e2 - t5;
+        b[4 * 8 + x] = e3 + t4;
+        b[3 * 8 + x] = e3 - t4;
+    }
+}
+
+// in: coefficients already multiplied by the AAN-scaled dequant table.
+// row_nz: bitmask of rows v with any nonzero coefficient (zero rows map
+// to zero through the flowgraph and are skipped).
+void idct8x8(const float* in, uint8_t* out, int out_stride, int row_nz) {
+    float b[64];
+    std::memcpy(b, in, sizeof b);
+    for (int v = 0; v < 8; ++v)
+        if (row_nz & (1 << v)) aan_1d(b + v * 8, 1);
+    aan_cols(b);
+    for (int y = 0; y < 8; ++y) {
+        const float* row = b + y * 8;
+        uint8_t* o = out + (size_t)y * out_stride;
+        for (int x = 0; x < 8; ++x) {
+            // lrintf compiles to one cvt instruction (round-to-nearest-
+            // even; JPEG decoders legitimately differ at exact halves)
+            int v = (int)lrintf(row[x]) + 128;
+            o[x] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
         }
     }
 }
@@ -307,7 +436,9 @@ struct Decoder {
     void handle_restart(BitReader& br, int& mcu_count) {
         if (restart_interval && mcu_count == restart_interval) {
             mcu_count = 0;
-            // align to byte, expect RSTn
+            // align to byte, expect RSTn (refill stops at markers, so
+            // br.pos points at the 0xFF; unconsumed pad bits discarded)
+            br.buf = 0;
             br.cnt = 0;
             if (br.pos + 1 < br.len && br.data[br.pos] == 0xFF &&
                 br.data[br.pos + 1] >= 0xD0 && br.data[br.pos + 1] <= 0xD7) {
@@ -329,6 +460,47 @@ struct Decoder {
         blk[0] = (int16_t)c->dc_pred;
         int k = 1;
         while (k < 64) {
+            if (br.cnt < 32) br.refill();
+            if (br.cnt >= 32) {
+                // fast path: one refill covers symbol (<=16 bits) +
+                // receive (<=15 bits), no per-step checks
+                int rs;
+                int idx = (int)(br.buf >> 56);
+                int l = act.lut_len[idx];
+                if (l) {
+                    br.buf <<= l;
+                    br.cnt -= l;
+                    rs = act.lut_val[idx];
+                } else {
+                    int code16 = (int)(br.buf >> 48);
+                    rs = -1;
+                    for (int l2 = 9; l2 <= 16; ++l2) {
+                        int cd = code16 >> (16 - l2);
+                        if (act.counts[l2] && cd <= act.maxcode[l2]) {
+                            br.buf <<= l2;
+                            br.cnt -= l2;
+                            rs = act.values[act.valptr[l2] + cd
+                                            - act.mincode[l2]];
+                            break;
+                        }
+                    }
+                    if (rs < 0) return -1;  // invalid code (real bits)
+                }
+                int r = rs >> 4, s = rs & 15;
+                if (s == 0) {
+                    if (r == 15) { k += 16; continue; }
+                    break;  // EOB
+                }
+                k += r;
+                if (k > 63) break;
+                int v = (int)(br.buf >> (64 - s));
+                br.buf <<= s;
+                br.cnt -= s;
+                blk[ZIGZAG[k]] = (int16_t)extend(v, s);
+                k++;
+                continue;
+            }
+            // tail near marker/EOF: checked path
             int rs = huff_decode(br, act);
             if (rs < 0) return br.marker_hit ? 0 : -1;
             int r = rs >> 4, s = rs & 15;
@@ -516,43 +688,99 @@ struct Decoder {
     void reconstruct(uint8_t* out, int out_ncomp) {
         std::vector<std::vector<uint8_t>> planes(ncomp);
         std::vector<int> pw(ncomp), ph(ncomp);
+        // AAN output scale folded into dequant (see idct8x8)
+        static const double kAan[8] = {
+            1.0, 1.387039845, 1.306562965, 1.175875602,
+            1.0, 0.785694958, 0.541196100, 0.275899379,
+        };
         for (int i = 0; i < ncomp; ++i) {
             Component& c = comp[i];
             pw[i] = c.bx * 8;
             ph[i] = c.by * 8;
             planes[i].assign((size_t)pw[i] * ph[i], 0);
             const uint16_t* q = qt[c.tq];
+            float dqs[64];
+            for (int v = 0; v < 8; ++v)
+                for (int u = 0; u < 8; ++u)
+                    dqs[v * 8 + u] = (float)(q[v * 8 + u]
+                                             * kAan[u] * kAan[v] / 8.0);
             float deq[64];
             for (int byi = 0; byi < c.by; ++byi) {
                 for (int bxi = 0; bxi < c.bx; ++bxi) {
                     const int16_t* blk = &c.coef[((size_t)byi * c.bx + bxi) * 64];
-                    for (int k = 0; k < 64; ++k) deq[k] = (float)blk[k] * (float)q[k];
-                    idct8x8(deq, &planes[i][((size_t)byi * 8) * pw[i] + bxi * 8], pw[i]);
+                    uint8_t* dst = &planes[i][((size_t)byi * 8) * pw[i] + bxi * 8];
+                    // DC-only shortcut: constant block (very common in
+                    // smooth regions / high-frequency coefficients)
+                    int row_nz = 1;
+                    for (int v = 1; v < 8; ++v) {
+                        int32_t acc = 0;
+                        for (int u = 0; u < 8; ++u) acc |= blk[v * 8 + u];
+                        if (acc) row_nz |= 1 << v;
+                    }
+                    int32_t ac0 = blk[1] | blk[2] | blk[3] | blk[4]
+                                  | blk[5] | blk[6] | blk[7];
+                    if (row_nz == 1 && ac0 == 0) {
+                        // DC-only: constant block
+                        int v = (int)lrintf(blk[0] * dqs[0]) + 128;
+                        uint8_t px = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+                        for (int y = 0; y < 8; ++y)
+                            std::memset(dst + (size_t)y * pw[i], px, 8);
+                        continue;
+                    }
+                    for (int k = 0; k < 64; ++k) deq[k] = (float)blk[k] * dqs[k];
+                    idct8x8(deq, dst, pw[i], row_nz);
                 }
             }
         }
-        // upsample + interleave + color convert
+        // upsample + interleave + color convert: row-wise with
+        // precomputed source-column maps (no per-pixel divisions)
+        std::vector<std::vector<int32_t>> xmap(ncomp);
+        bool xident[4] = {false, false, false, false};
+        for (int i = 0; i < ncomp; ++i) {
+            xident[i] = comp[i].h == hmax;
+            if (!xident[i]) {
+                xmap[i].resize(width);
+                for (int x = 0; x < width; ++x)
+                    xmap[i][x] = x * comp[i].h / hmax;
+            }
+        }
         for (int y = 0; y < height; ++y) {
-            for (int x = 0; x < width; ++x) {
-                int vals[4];
-                for (int i = 0; i < ncomp; ++i) {
-                    int sx = x * comp[i].h / hmax;
-                    int sy = y * comp[i].v / vmax;
-                    vals[i] = planes[i][(size_t)sy * pw[i] + sx];
-                }
-                uint8_t* o = out + ((size_t)y * width + x) * out_ncomp;
-                if (ncomp >= 3) {
-                    // fixed-point BT.601 (matches color stack)
-                    int64_t Y = vals[0], cb = vals[1] - 128, cr = vals[2] - 128;
-                    int64_t r = (65536 * Y + 91881 * cr + 32768) >> 16;
-                    int64_t g = (65536 * Y - 22554 * cb - 46802 * cr + 32768) >> 16;
-                    int64_t b = (65536 * Y + 116130 * cb + 32768) >> 16;
+            uint8_t* o = out + (size_t)y * width * out_ncomp;
+            if (ncomp >= 3) {
+                const uint8_t* yrow = &planes[0][
+                    (size_t)(y * comp[0].v / vmax) * pw[0]];
+                const uint8_t* cbrow = &planes[1][
+                    (size_t)(y * comp[1].v / vmax) * pw[1]];
+                const uint8_t* crrow = &planes[2][
+                    (size_t)(y * comp[2].v / vmax) * pw[2]];
+                const int32_t* xm1 = xident[1] ? nullptr : xmap[1].data();
+                const int32_t* xm2 = xident[2] ? nullptr : xmap[2].data();
+                const int32_t* xm0 = xident[0] ? nullptr : xmap[0].data();
+                for (int x = 0; x < width; ++x, o += out_ncomp) {
+                    int32_t Y = yrow[xm0 ? xm0[x] : x];
+                    int32_t cb = cbrow[xm1 ? xm1[x] : x] - 128;
+                    int32_t cr = crrow[xm2 ? xm2[x] : x] - 128;
+                    // fixed-point BT.601 (matches color stack); all
+                    // terms < 2^25, int32-safe
+                    int32_t r = ((Y << 16) + 91881 * cr + 32768) >> 16;
+                    int32_t g = ((Y << 16) - 22554 * cb - 46802 * cr + 32768) >> 16;
+                    int32_t b = ((Y << 16) + 116130 * cb + 32768) >> 16;
                     o[0] = (uint8_t)(r < 0 ? 0 : r > 255 ? 255 : r);
                     o[1] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : g);
                     o[2] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : b);
+                }
+            } else {
+                const uint8_t* yrow = &planes[0][
+                    (size_t)(y * comp[0].v / vmax) * pw[0]];
+                const int32_t* xm0 = xident[0] ? nullptr : xmap[0].data();
+                if (out_ncomp == 1 && !xm0) {
+                    std::memcpy(o, yrow, width);
                 } else {
-                    o[0] = (uint8_t)vals[0];
-                    if (out_ncomp == 3) { o[1] = o[0]; o[2] = o[0]; }
+                    for (int x = 0; x < width; ++x, o += out_ncomp) {
+                        uint8_t v = yrow[xm0 ? xm0[x] : x];
+                        o[0] = v;
+                        if (out_ncomp == 3) { o[1] = v; o[2] = v; }
+                    }
                 }
             }
         }
