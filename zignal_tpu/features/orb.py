@@ -40,6 +40,35 @@ class Orb:
     def _pyramid(self, plane):
         return ImagePyramid.build(plane, self.n_levels, self.scale_factor, 1.6)
 
+    def _level_shapes(self, h, w):
+        """Trace-time replica of ImagePyramid.build's level sizing."""
+        shapes = [(h, w)]
+        for i in range(1, self.n_levels):
+            scale = self.scale_factor ** i
+            shapes.append((max(1, int(np.trunc(h / scale))),
+                           max(1, int(np.trunc(w / scale)))))
+        return shapes
+
+    def _analyze(self, plane):
+        """One fused device program for the whole pyramid + FAST + NMS,
+        fetched in two host round-trips (the tunnel costs ~6 ms per
+        dispatch and ~30 ms per fetch; the per-level loop paid ~16 of
+        each, ~0.75 s/image of pure latency)."""
+        h, w = plane.shape
+        shapes = self._level_shapes(h, w)
+        packed = np.asarray(_orb_device_maps(
+            plane, self.n_levels, self.scale_factor, self.fast_threshold))
+        total = sum(lh * lw for lh, lw in shapes)
+        flat_l = packed[:total]
+        flat_s = packed[total:].view(np.int16)
+        levels, scores = [], []
+        off = 0
+        for (lh, lw) in shapes:
+            levels.append(flat_l[off:off + lh * lw].reshape(lh, lw))
+            scores.append(flat_s[off:off + lh * lw].reshape(lh, lw))
+            off += lh * lw
+        return levels, scores
+
     def _features_per_level(self):
         """Geometric distribution of the feature budget (orb.zig)."""
         factor = 1.0 / self.scale_factor
@@ -50,18 +79,17 @@ class Orb:
         return n_desired
 
     def detect(self, image) -> list:
-        plane = self._plane(image)
-        return self._detect_with_pyramid(self._pyramid(plane))
+        levels, scores = self._analyze(self._plane(image))
+        return self._detect_host(levels, scores)
 
     def compute(self, image, keypoints) -> list:
-        plane = self._plane(image)
-        return self._compute_with_pyramid(self._pyramid(plane), keypoints)
+        levels, _ = self._analyze(self._plane(image))
+        return self._compute_host(levels, keypoints)
 
     def detect_and_compute(self, image):
-        plane = self._plane(image)
-        pyr = self._pyramid(plane)
-        kps = self._detect_with_pyramid(pyr)
-        return kps, self._compute_with_pyramid(pyr, kps)
+        levels, scores = self._analyze(self._plane(image))
+        kps = self._detect_host(levels, scores)
+        return kps, self._compute_host(levels, kps)
 
     def _plane(self, image):
         from ..image import Image
@@ -73,27 +101,30 @@ class Orb:
         a = jnp.asarray(np.asarray(image))
         return a[..., 0] if a.ndim == 3 else a
 
-    def _detect_with_pyramid(self, pyr: ImagePyramid) -> list:
+    def _detect_host(self, levels, scores) -> list:
         per_level = self._features_per_level()
         out = []
         for level in range(self.first_level, self.n_levels):
             n_desired = per_level[level]
             if n_desired == 0:
                 continue
-            lvl_plane = pyr.levels[level]
-            if min(lvl_plane.shape) < 16:
+            arr = levels[level]
+            if min(arr.shape) < 16:
                 continue
-            thr = max(5, int(self.fast_threshold * (0.9 ** level)))
-            fast = Fast(threshold=thr, nonmax_suppression=True)
-            corners = fast.detect(lvl_plane)
-            arr = np.asarray(lvl_plane)
+            s = scores[level]
+            ys, xs = np.nonzero(s)
+            corners = [
+                KeyPoint(x=float(x), y=float(y), size=7.0, angle=-1.0,
+                         response=float(s[y, x]), octave=0)
+                for y, x in zip(ys, xs)
+            ]
             if self.score_type == "harris_score":
                 for kp in corners:
                     kp.response = _harris_response(arr, kp)
             corners.sort(key=lambda k: -k.response)
             corners = corners[:n_desired]
 
-            scale = pyr.scale_of(level)
+            scale = self.scale_factor ** level
             margin = max(3.0, self.edge_threshold / scale)
             h, w = arr.shape
             for kp in corners:
@@ -108,16 +139,83 @@ class Orb:
                 out.append(kp)
         return out
 
-    def _compute_with_pyramid(self, pyr: ImagePyramid, keypoints) -> list:
-        planes = [np.asarray(lvl) for lvl in pyr.levels]
+    def _compute_host(self, levels, keypoints) -> list:
         descs = []
         for kp in keypoints:
             level = min(max(kp.octave, 0), self.n_levels - 1)
-            scale = pyr.scale_of(level)
+            scale = self.scale_factor ** level
             lk = KeyPoint(kp.x / scale, kp.y / scale, kp.size / scale,
                           kp.angle, kp.response, kp.octave, kp.class_id)
-            descs.append(_brief_descriptor(planes[level], lk))
+            descs.append(_brief_descriptor(levels[level], lk))
         return descs
+
+    # compatibility shims for callers holding an ImagePyramid
+    def _detect_with_pyramid(self, pyr: ImagePyramid) -> list:
+        levels, scores = self._analyze(pyr.levels[0])
+        return self._detect_host(levels, scores)
+
+    def _compute_with_pyramid(self, pyr: ImagePyramid, keypoints) -> list:
+        return self._compute_host([np.asarray(l) for l in pyr.levels],
+                                  keypoints)
+
+
+def _orb_device_maps(plane, n_levels: int, scale_factor: float,
+                     fast_threshold: int):
+    """Whole pyramid + per-level FAST response + NMS in one jitted
+    program, returning (packed u8 levels, packed int32 scores) as two
+    flat concatenations — two fetches total instead of ~16."""
+    return _orb_device_maps_jit(plane, n_levels, scale_factor,
+                                fast_threshold)
+
+
+def _orb_maps_impl(plane, n_levels, scale_factor, thr0):
+    import jax.numpy as jnp
+
+    from ..features.fast import _nms_device, fast_response_map
+    from ..ops.pyramid import ImagePyramid
+
+    import jax
+
+    pyr = ImagePyramid.build(plane, n_levels, scale_factor, 1.6)
+    packed_l = []
+    packed_s = []
+    for level, lvl in enumerate(pyr.levels):
+        packed_l.append(lvl.ravel())
+        if min(lvl.shape) < 16:
+            packed_s.append(jnp.zeros(lvl.size, jnp.int16))
+            continue
+        thr = max(5, int(thr0 * (0.9 ** level)))
+        scores = fast_response_map(lvl, thr, 9)
+        keep = _nms_device(scores)
+        # FAST scores are <= 16*255, int16-safe; pack as bytes so the
+        # whole result crosses the tunnel in ONE fetch
+        packed_s.append(jnp.where(keep, scores, 0).astype(jnp.int16).ravel())
+    score_bytes = jax.lax.bitcast_convert_type(
+        jnp.concatenate(packed_s), jnp.uint8).ravel()
+    return jnp.concatenate(packed_l + [score_bytes])
+
+
+def _make_orb_maps_jit():
+    import jax
+    from functools import partial
+
+    return partial(jax.jit, static_argnames=(
+        "n_levels", "scale_factor", "thr0"))(_orb_maps_impl)
+
+
+class _LazyJit:
+    """Defer the jax.jit wrap until first call (keeps import light)."""
+
+    _fn = None
+
+    def __call__(self, plane, n_levels, scale_factor, thr0):
+        if _LazyJit._fn is None:
+            _LazyJit._fn = _make_orb_maps_jit()
+        return _LazyJit._fn(plane, n_levels=n_levels,
+                            scale_factor=scale_factor, thr0=thr0)
+
+
+_orb_device_maps_jit = _LazyJit()
 
 
 def _orientation(arr: np.ndarray, kp: KeyPoint) -> float:

@@ -132,22 +132,30 @@ class HoughTransform:
             for dr in (-1, 0, 1) for dc in (-1, 0, 1)
             if (dr, dc) != (0, 0)
         ]).max(axis=0)
-        peaks = np.nonzero((interior >= threshold) & (interior >= win_max))
-        cands = sorted(
-            ((int(interior[r, c]), r + 1, c + 1) for r, c in zip(*peaks)),
-            reverse=True,
-        )
+        pr, pc = np.nonzero((interior >= threshold) & (interior >= win_max))
+        if len(pr) == 0:
+            return []
+        scores = interior[pr, pc].astype(np.int64)
+        rr = pr + 1
+        cc = pc + 1
+        # same ordering as sorting (score, r, c) tuples descending
+        order = np.lexsort((-cc, -rr, -scores))
+        scores, rr, cc = scores[order], rr[order], cc[order]
+        angles = cc * (180.0 / self.even_size) - 90.0
+        radii = (rr - self.even_size / 2.0) * math.sqrt(2.0)
         lines = []
-        for score, r, c in cands:
-            angle, radius = self._line_properties(float(c), float(r))
-            dup = any(
-                abs(angle - ln.angle) < angle_nms_thresh
-                and abs(radius - ln.radius) < radius_nms_thresh
-                for ln in lines
-            )
-            if dup:
+        acc_a = np.empty(len(scores))
+        acc_r = np.empty(len(scores))
+        for i in range(len(scores)):
+            n_acc = len(lines)
+            if n_acc and np.any(
+                    (np.abs(angles[i] - acc_a[:n_acc]) < angle_nms_thresh)
+                    & (np.abs(radii[i] - acc_r[:n_acc]) < radius_nms_thresh)):
                 continue
-            lines.append(self._make_line(angle, radius, score))
+            acc_a[n_acc] = angles[i]
+            acc_r[n_acc] = radii[i]
+            lines.append(self._make_line(float(angles[i]), float(radii[i]),
+                                         int(scores[i])))
         return lines
 
     def _line_properties(self, c: float, r: float):
