@@ -74,7 +74,10 @@ def device_loop_timer(jax, jnp, step_fn, x, n_small=None, n_large=None):
         def body(i, acc):
             xi = jnp.bitwise_xor(x, i.astype(jnp.uint8))
             r = step_fn(xi)
-            return acc + r.ravel()[0].astype(jnp.float32)
+            # consume EVERY output element: XLA pushes a single-element
+            # slice through elementwise producers and would skip the
+            # rest of the image (measured: a 48 MB op "ran" in 13 us)
+            return acc + jnp.sum(r.astype(jnp.float32))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     if n_small is None:

@@ -279,7 +279,12 @@ def _resize_oracle_u8(src, dst_rows, dst_cols, method):
 
 
 @pytest.mark.parametrize("method", [zignal.Interpolation.BILINEAR, zignal.Interpolation.BICUBIC])
-@pytest.mark.parametrize("shape", [((13, 17), (7, 9)), ((8, 8), (20, 24))])
+@pytest.mark.parametrize("shape", [
+    ((13, 17), (7, 9)), ((8, 8), (20, 24)),
+    # integer-factor shapes (even -> constant frac 0.5 pair taps,
+    # odd -> single tap): degenerate weight structure worth pinning
+    ((16, 16), (8, 8)), ((12, 18), (4, 6)), ((16, 12), (4, 6)),
+])
 def test_resize_bit_exact_vs_oracle(method, shape):
     (sr, sc), (dr, dc) = shape
     rng = np.random.default_rng(7)

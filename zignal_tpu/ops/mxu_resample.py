@@ -86,6 +86,69 @@ def _einsum_sub(ndim: int, axis: int):
     return f"z{letters[axis]},{letters}->{out}"
 
 
+def _pad128(w: int) -> int:
+    return max(128, -(-w // 128) * 128)
+
+
+def _row_blocks(M: np.ndarray, target_w: int):
+    """Greedy partition of M's dst rows into chunks whose union source
+    span is <= target_w (and whose submatrix stays under the memory
+    gate). Returns [(r0, r1, c0, c1)]; all-zero chunks carry c0 == -1."""
+    rows, src = M.shape
+    nzmask = M != 0
+    has = nzmask.any(axis=1)
+    first = np.where(has, nzmask.argmax(axis=1), 0)
+    last = np.where(has, src - 1 - nzmask[:, ::-1].argmax(axis=1), -1)
+    blocks = []
+    r0, lo, hi = 0, None, None
+    for r in range(rows):
+        if not has[r]:
+            continue
+        if lo is None:
+            lo, hi = int(first[r]), int(last[r])
+            continue
+        nlo, nhi = min(lo, int(first[r])), max(hi, int(last[r]))
+        span = nhi - nlo + 1
+        if (span > target_w or (r - r0) * span > _MAX_MATRIX_ELEMS) and r > r0:
+            blocks.append((r0, r, lo, hi))
+            r0, lo, hi = r, int(first[r]), int(last[r])
+        else:
+            lo, hi = nlo, nhi
+    blocks.append((r0, rows, -1 if lo is None else lo,
+                   -1 if lo is None else hi))
+    return blocks
+
+
+def _plan_blocks(M: np.ndarray):
+    """Decide a dst-row blocking of the banded matrix that minimizes MXU
+    work: a dense [dst, src] matmul costs dst*src MACs regardless of the
+    band, while row blocks only contract their own source span (padded to
+    the 128-lane tile). Returns None when dense is (near-)optimal."""
+    rows, src = M.shape
+    if rows < 128 or src <= 256:
+        return None if M.size <= _MAX_MATRIX_ELEMS else _row_blocks(M, src)
+    dense_cost = rows * _pad128(src)
+    best, best_cost = None, dense_cost
+    for target in (128, 256, 384, 512):
+        if target >= src:
+            break
+        blocks = _row_blocks(M, target)
+        if len(blocks) > 64:
+            continue
+        # per-block fixed overhead (slice + concat + launch) modeled as
+        # 32 extra output rows of padded-width work
+        cost = sum((r1 - r0 + 32) * _pad128(c1 - c0 + 1)
+                   for r0, r1, c0, c1 in blocks if c0 >= 0)
+        if cost < best_cost:
+            best, best_cost = blocks, cost
+    if best is not None and (best_cost < 0.75 * dense_cost
+                             or M.size > _MAX_MATRIX_ELEMS):
+        return best
+    if M.size > _MAX_MATRIX_ELEMS:
+        return _row_blocks(M, src)
+    return None
+
+
 def exact_axis_apply(x, M: np.ndarray, x_bound: int, axis: int):
     """Contract integer-valued `x` (f32/u8, values in [0, x_bound]) with
     the non-negative integer matrix M [dst, src] along `axis`.
@@ -94,30 +157,31 @@ def exact_axis_apply(x, M: np.ndarray, x_bound: int, axis: int):
     every partial stays < 2^24, else int32.
     """
     M = np.asarray(M)
-    if M.size > _MAX_MATRIX_ELEMS and M.shape[0] > 1:
+    blocks = _plan_blocks(M) if M.shape[0] > 1 else None
+    if blocks is not None and len(blocks) > 1:
         # block over dst rows: resampling bands are localized, so each
-        # block only reads a narrow source range — density (and memory)
-        # stay constant no matter how large the axes get
-        chunk = max(128, _MAX_MATRIX_ELEMS // max(M.shape[1], 1))
+        # block only reads (and contracts over) a narrow source range —
+        # FLOPs track the band width, not the axis length
         outs = []
         bounds = []
-        for d0 in range(0, M.shape[0], chunk):
-            sub_m = M[d0:d0 + chunk]
-            nz = np.nonzero(sub_m.any(axis=0))[0]
-            if len(nz) == 0:
+        for r0, r1, c0, c1 in blocks:
+            if c0 < 0:
                 shape = list(x.shape)
-                shape[axis] = sub_m.shape[0]
+                shape[axis] = r1 - r0
                 outs.append(jnp.zeros(shape, jnp.float32))
                 bounds.append(0)
                 continue
-            c0, c1 = int(nz.min()), int(nz.max()) + 1
-            xs = jax.lax.slice_in_dim(x, c0, c1, axis=axis)
-            out, b = exact_axis_apply(xs, sub_m[:, c0:c1], x_bound, axis)
+            xs = jax.lax.slice_in_dim(x, c0, c1 + 1, axis=axis)
+            out, b = _apply_dense(xs, M[r0:r1, c0:c1 + 1], x_bound, axis)
             outs.append(out)
             bounds.append(b)
         if any(o.dtype == jnp.int32 for o in outs):
             outs = [o.astype(jnp.int32) for o in outs]
         return jnp.concatenate(outs, axis=axis), max(bounds)
+    return _apply_dense(x, M, x_bound, axis)
+
+
+def _apply_dense(x, M: np.ndarray, x_bound: int, axis: int):
     if _LAYOUT == "last":
         y = jnp.moveaxis(x, axis, -1)
         sub = "zw,...w->...z"
