@@ -1,0 +1,47 @@
+"""Fused Pallas north-star kernel vs the XLA lowering (interpret mode —
+the compiled Mosaic path is validated on hardware by
+tests/tpu_exactness_audit.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zignal_tpu.enums import Interpolation
+from zignal_tpu.ops.convolution import gaussian_blur
+from zignal_tpu.ops.interpolation import resize
+from zignal_tpu.ops.pallas_pipeline import fused_ok, fused_resize_blur_oklab
+from zignal_tpu.pipeline import resize_blur_oklab
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.mark.parametrize("shape,oh,ow", [
+    ((2, 256, 256, 3), 128, 128),     # the bench geometry, scaled down
+    ((1, 384, 512, 3), 192, 256),     # rectangular 2:1
+    ((1, 500, 400, 3), 128, 128),     # non-integer ratios (mirror taps)
+])
+def test_fused_u8_stages_bit_exact(shape, oh, ow):
+    x = jnp.asarray(RNG.integers(0, 256, shape, dtype=np.uint8))
+    assert fused_ok(shape, oh, ow)
+    got = np.asarray(fused_resize_blur_oklab(x, oh, ow, 2.0, oklab=False,
+                                             interpret=True))
+    want = np.asarray(gaussian_blur(resize(x, oh, ow,
+                                           Interpolation.BILINEAR), 2.0))
+    assert np.array_equal(got, want)
+
+
+def test_fused_oklab_matches_xla():
+    x = jnp.asarray(RNG.integers(0, 256, (2, 256, 256, 3), dtype=np.uint8))
+    got = np.asarray(fused_resize_blur_oklab(x, 128, 128, 2.0,
+                                             interpret=True))
+    want = np.asarray(resize_blur_oklab(x, 128, 128, 2.0))
+    # float stage: exp/log-composed pow/cbrt agree with XLA's to ~1e-6
+    # (abs) interpreted; the chip-compiled path measured <= 1e-4
+    assert np.max(np.abs(got - want)) < 5e-6
+
+
+def test_fused_ok_gate():
+    assert not fused_ok((2, 256, 256, 4), 128, 128)   # rgba
+    assert not fused_ok((2, 256, 256, 3), 100, 128)   # oh % 64
+    assert not fused_ok((2, 256, 256, 3), 128, 96)    # ow % 128
+    assert not fused_ok((2, 2048, 256, 3), 128, 128)  # too tall

@@ -144,6 +144,27 @@ def main():
     print("motion blur exact on TPU:", ok, flush=True)
     fails += not ok
 
+    # 8) fused Pallas north-star kernel (compiled Mosaic, not interpret)
+    from zignal_tpu.ops.pallas_pipeline import fused_resize_blur_oklab
+    from zignal_tpu.ops.convolution import gaussian_blur
+    from zignal_tpu.color._array import convert_array
+    x8 = rng.integers(0, 256, (2, 320, 448, 3), dtype=np.uint8)
+    xd = jax.device_put(x8)
+    got = np.asarray(fused_resize_blur_oklab(xd, 128, 128, 2.0, oklab=False))
+    want = np.asarray(gaussian_blur(
+        resize(xd, 128, 128, Interpolation.BILINEAR), 2.0))
+    ok = np.array_equal(got, want)
+    print("pallas fused u8 stages exact on TPU:", ok, flush=True)
+    fails += not ok
+    got_l = np.asarray(fused_resize_blur_oklab(xd, 128, 128, 2.0))
+    want_l = np.asarray(convert_array(
+        jnp.asarray(want).astype(jnp.float32) / 255.0, "rgb", "oklab"))
+    diff = float(np.max(np.abs(got_l - want_l)))
+    ok = diff < 2e-4
+    print(f"pallas fused oklab within 2e-4 on TPU: {ok} (max {diff:.2e})",
+          flush=True)
+    fails += not ok
+
     print("TOTAL FAILS:", fails, flush=True)
 
 if __name__ == "__main__":

@@ -46,6 +46,16 @@ def resize_blur_oklab(batch, out_rows: int, out_cols: int, sigma: float = 2.0,
     float32 Oklab. uint8 stages are bit-exact with the reference's
     fixed-point kernels; the Oklab conversion is float32 (±1/255).
     """
+    if (method == Interpolation.BILINEAR and batch.dtype == jnp.uint8
+            and jax.default_backend() == "tpu"):
+        from .ops.pallas_pipeline import fused_ok, fused_resize_blur_oklab
+
+        if fused_ok(batch.shape, out_rows, out_cols):
+            # single Pallas kernel, whole pipeline VMEM-resident
+            # (~1.35x the fastest XLA lowering on v5e); u8 stages bit
+            # -identical, Oklab within ~1e-4 of the XLA float path
+            return fused_resize_blur_oklab(batch, out_rows, out_cols,
+                                           float(sigma))
     small = batched_resize(batch, out_rows, out_cols, method)
     blurred = batched_gaussian_blur(small, sigma)
     rgb = blurred.astype(jnp.float32) / 255.0
