@@ -14,8 +14,8 @@ import pytest
 import zignal_tpu as zignal
 
 GOLDEN = {
-    "png_rgb": "a4b846bf72c8d269e4a247364a5c95c6",
-    "png_rgba": "fe222002d74b52612a4234719cea890c",
+    "png_rgb": "03ccacae9a2bda87e1e2b5a7d33bab24",
+    "png_rgba": "3e90ca1930ddc16af9a6c80481bb5ca1",
     "png_gray": "06da835dac9c5f57ff274109fe150471",
     "bmp_rgb": "2a4c4c8fd24020165a798a34fb3a1699",
     "jpeg_rgb": "49d6962ac61a0f983754998c5308567c",

@@ -399,8 +399,36 @@ def _assemble_png(w, h, color_type, scanlines: bytes,
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    idat = zlib.compress(scanlines, compression_level)
+    idat = _deflate(scanlines, compression_level)
     return SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _deflate(scanlines: bytes, level: int) -> bytes:
+    """Adaptive DEFLATE strategy: Z_RLE is 3-4x faster than the default
+    Lempel-Ziv search on photographic (high-entropy MSD-filtered) rows
+    and within ~5% of its size — but up to 16x LARGER on smooth
+    synthetic content, so the strategy is picked per image by trying
+    both on a 64 KB sample (deterministic; sample cost is a few %)."""
+
+    def _c(strategy, data):
+        co = zlib.compressobj(level, zlib.DEFLATED, 15, 8, strategy)
+        return co.compress(data) + co.flush()
+
+    n = len(scanlines)
+    if level == 0 or n < 4096:
+        return zlib.compress(scanlines, level)
+    if n <= (1 << 16):
+        a = _c(zlib.Z_DEFAULT_STRATEGY, scanlines)
+        b = _c(zlib.Z_RLE, scanlines)
+        return b if len(b) <= 1.05 * len(a) else a
+    # 16 x 4 KB chunks spread over the image (a prefix sample is not
+    # representative — e.g. a smooth sky at the top of a photo)
+    step = max(4096, n // 16)
+    sample = b"".join(scanlines[o:o + 4096] for o in range(0, n, step))
+    a = _c(zlib.Z_DEFAULT_STRATEGY, sample)
+    b = _c(zlib.Z_RLE, sample)
+    use_rle = len(b) <= 1.05 * len(a)
+    return _c(zlib.Z_RLE if use_rle else zlib.Z_DEFAULT_STRATEGY, scanlines)
 
 
 def save(path: str, arr: np.ndarray, **options) -> None:
