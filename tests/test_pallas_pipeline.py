@@ -40,6 +40,16 @@ def test_fused_oklab_matches_xla():
     assert np.max(np.abs(got - want)) < 5e-6
 
 
+@pytest.mark.parametrize("sigma", [0.5, 1.0, 3.5])
+def test_fused_sigma_variants_bit_exact(sigma):
+    x = jnp.asarray(RNG.integers(0, 256, (1, 192, 256, 3), dtype=np.uint8))
+    got = np.asarray(fused_resize_blur_oklab(x, 128, 128, sigma, oklab=False,
+                                             interpret=True))
+    want = np.asarray(gaussian_blur(resize(x, 128, 128,
+                                           Interpolation.BILINEAR), sigma))
+    assert np.array_equal(got, want)
+
+
 def test_fused_ok_gate():
     assert not fused_ok((2, 256, 256, 4), 128, 128)   # rgba
     assert not fused_ok((2, 256, 256, 3), 100, 128)   # oh % 64

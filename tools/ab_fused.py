@@ -50,7 +50,7 @@ def main():
         ("pipeline (auto)", lambda y: resize_blur_oklab(y, 512, 512, 2.0)),
     ]
     best = {name: 1e9 for name, _ in variants}
-    for rnd in range(4):
+    for rnd in range(6):
         for name, fn in variants:
             t = loop_timer(fn, x)
             best[name] = min(best[name], t)

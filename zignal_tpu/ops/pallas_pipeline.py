@@ -80,43 +80,45 @@ def _band_spans(M: np.ndarray, dst_pb: int):
 
 
 def _block_plan(M: np.ndarray, dst_pb: int, align: int):
-    """Aligned source offsets + uniform span K for per-dst-block dots.
-    Offsets land on `align` boundaries (VMEM tile-aligned slices); K is
-    the max aligned span (source arrays are always >= K here)."""
+    """Aligned source offsets + per-block spans for per-dst-block dots.
+    Offsets land on `align` boundaries (VMEM tile-aligned slices); each
+    block keeps its own aligned span (a single uniform K would let one
+    worst-case block inflate every dot's contraction)."""
     dst, src = M.shape
     spans = _band_spans(M, dst_pb)
     assert src % align == 0 or src >= align
-    K = 0
-    pre = []
+    offs, ks = [], []
     for c0, c1 in spans:
         off = (c0 // align) * align
-        pre.append(off)
-        K = max(K, c1 - off)
-    K = min(_pad_to(K, align), src)
-    offs = [min(off, src - K) for off in pre]
-    return offs, K
+        k = min(_pad_to(c1 - off, align), src)
+        off = min(off, src - k)
+        offs.append(off)
+        ks.append(k)
+    return offs, ks
 
 
 def _pack_row_blocks(M: np.ndarray, rows_pb: int, align: int = 32):
     """Pack [dst, src] band matrix into per-dst-row-block slabs for
-    ``dot(W_blk, src[off:off+K, :])``: (W [nb, rows_pb, K], offsets, K)."""
-    offs, K = _block_plan(M, rows_pb, align)
+    ``dot(W_blk[:, :k], src[off:off+k, :])``: (W [nb, rows_pb, maxK],
+    offsets, per-block ks)."""
+    offs, ks = _block_plan(M, rows_pb, align)
     nb = M.shape[0] // rows_pb
-    packs = np.zeros((nb, rows_pb, K), np.float32)
-    for b, off in enumerate(offs):
-        packs[b] = M[b * rows_pb:(b + 1) * rows_pb, off:off + K]
-    return packs, offs, K
+    packs = np.zeros((nb, rows_pb, max(ks)), np.float32)
+    for b, (off, k) in enumerate(zip(offs, ks)):
+        packs[b, :, :k] = M[b * rows_pb:(b + 1) * rows_pb, off:off + k]
+    return packs, offs, ks
 
 
 def _pack_col_blocks(M: np.ndarray, cols_pb: int, align: int = 128):
     """Pack [dst, src] band matrix into per-dst-lane-block slabs for
-    ``dot(src[:, off:off+K], Wt_blk)``: (Wt [nb, K, cols_pb], offsets, K)."""
-    offs, K = _block_plan(M, cols_pb, align)
+    ``dot(src[:, off:off+k], Wt_blk[:k, :])``: (Wt [nb, maxK, cols_pb],
+    offsets, per-block ks)."""
+    offs, ks = _block_plan(M, cols_pb, align)
     nb = M.shape[0] // cols_pb
-    packs = np.zeros((nb, K, cols_pb), np.float32)
-    for b, off in enumerate(offs):
-        packs[b] = M[b * cols_pb:(b + 1) * cols_pb, off:off + K].T
-    return packs, offs, K
+    packs = np.zeros((nb, max(ks), cols_pb), np.float32)
+    for b, (off, k) in enumerate(zip(offs, ks)):
+        packs[b, :k] = M[b * cols_pb:(b + 1) * cols_pb, off:off + k].T
+    return packs, offs, ks
 
 
 def _interleave3(M: np.ndarray) -> np.ndarray:
@@ -193,9 +195,10 @@ def _build_kernel(plan, oklab: bool):
 
         # ---- stage 1: row resize (contract H), digits out -------------
         for i in range(n_ry):
-            xb = x_ref[0, ry_offs[i]:ry_offs[i] + ry_k, :]
+            xb = x_ref[0, ry_offs[i]:ry_offs[i] + ry_k[i], :]
             xb16 = xb.astype(jnp.int32).astype(f32).astype(jnp.bfloat16)
-            t = jnp.dot(wy_ref[i], xb16, preferred_element_type=f32)
+            t = jnp.dot(wy_ref[i, :, :ry_k[i]], xb16,
+                        preferred_element_type=f32)
             hi = jnp.floor(t * inv256)
             lo = t - 256.0 * hi
             s_lo[i * rpb:(i + 1) * rpb, :] = lo.astype(jnp.bfloat16)
@@ -203,10 +206,11 @@ def _build_kernel(plan, oklab: bool):
 
         # ---- stage 2: lane resize (contract W*3), divClampU8 ----------
         for j in range(n_rx):
-            lo = s_lo[:, rx_offs[j]:rx_offs[j] + rx_k]
-            hi = s_hi[:, rx_offs[j]:rx_offs[j] + rx_k]
-            a_lo = jnp.dot(lo, wxt_ref[j], preferred_element_type=f32)
-            a_hi = jnp.dot(hi, wxt_ref[j], preferred_element_type=f32)
+            lo = s_lo[:, rx_offs[j]:rx_offs[j] + rx_k[j]]
+            hi = s_hi[:, rx_offs[j]:rx_offs[j] + rx_k[j]]
+            wt = wxt_ref[j, :rx_k[j], :]
+            a_lo = jnp.dot(lo, wt, preferred_element_type=f32)
+            a_hi = jnp.dot(hi, wt, preferred_element_type=f32)
             acc = a_lo.astype(jnp.int32) + (a_hi.astype(jnp.int32) << 8)
             # resize truncates (channel_ops.zig:186: // 256*256) — only
             # the blur's divClampU8 adds the +half rounding bias
@@ -215,8 +219,9 @@ def _build_kernel(plan, oklab: bool):
 
         # ---- stage 3: lane blur (contract W*3), digits out ------------
         for j in range(n_bx):
-            r = s_res[:, bx_offs[j]:bx_offs[j] + bx_k]
-            t = jnp.dot(r, bxt_ref[j], preferred_element_type=f32)
+            r = s_res[:, bx_offs[j]:bx_offs[j] + bx_k[j]]
+            t = jnp.dot(r, bxt_ref[j, :bx_k[j], :],
+                        preferred_element_type=f32)
             hi = jnp.floor(t * inv256)
             lo = t - 256.0 * hi
             s_dlo[:, j * cpb:(j + 1) * cpb] = lo.astype(jnp.bfloat16)
@@ -226,10 +231,11 @@ def _build_kernel(plan, oklab: bool):
         from jax.experimental.pallas import tpu as pltpu
 
         for i in range(n_by):
-            lo = s_dlo[by_offs[i]:by_offs[i] + by_k, :]
-            hi = s_dhi[by_offs[i]:by_offs[i] + by_k, :]
-            a_lo = jnp.dot(by_ref[i], lo, preferred_element_type=f32)
-            a_hi = jnp.dot(by_ref[i], hi, preferred_element_type=f32)
+            lo = s_dlo[by_offs[i]:by_offs[i] + by_k[i], :]
+            hi = s_dhi[by_offs[i]:by_offs[i] + by_k[i], :]
+            wt = by_ref[i, :, :by_k[i]]
+            a_lo = jnp.dot(wt, lo, preferred_element_type=f32)
+            a_hi = jnp.dot(wt, hi, preferred_element_type=f32)
             acc = a_lo.astype(jnp.int32) + (a_hi.astype(jnp.int32) << 8)
             q = jnp.clip((acc + 32768) >> 16, 0, 255)
             if not oklab:
@@ -305,8 +311,9 @@ def fused_resize_blur_oklab(batch, out_rows: int, out_cols: int,
     mix1 = _mix_roll_coefs(_RGB2OKLMS, owl)
     mix2 = _mix_roll_coefs(_OKLMS2LAB, owl)
 
-    plan = (h, wl, out_rows, owl, tuple(ry_offs), ry_k, tuple(rx_offs),
-            rx_k, tuple(bx_offs), bx_k, tuple(by_offs), by_k)
+    plan = (h, wl, out_rows, owl, tuple(ry_offs), tuple(ry_k),
+            tuple(rx_offs), tuple(rx_k), tuple(bx_offs), tuple(bx_k),
+            tuple(by_offs), tuple(by_k))
     kernel = _build_kernel(plan, oklab)
 
     x = batch.reshape(b, h, wl)
