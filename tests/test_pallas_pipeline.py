@@ -55,3 +55,16 @@ def test_fused_ok_gate():
     assert not fused_ok((2, 256, 256, 3), 100, 128)   # oh % 64
     assert not fused_ok((2, 256, 256, 3), 128, 96)    # ow % 128
     assert not fused_ok((2, 2048, 256, 3), 128, 128)  # too tall
+
+
+def test_fused_sigma_zero_is_pure_resize():
+    x = jnp.asarray(RNG.integers(0, 256, (2, 300, 400, 3), dtype=np.uint8))
+    got = np.asarray(fused_resize_blur_oklab(x, 128, 128, 0.0, oklab=False,
+                                             interpret=True))
+    want = np.asarray(resize(x, 128, 128, Interpolation.BILINEAR))
+    assert np.array_equal(got, want)
+    # and the oklab epilogue still works without the blur stages
+    got_l = np.asarray(fused_resize_blur_oklab(x, 128, 128, 0.0,
+                                               interpret=True))
+    want_l = np.asarray(resize_blur_oklab(x, 128, 128, 0.0))
+    assert np.max(np.abs(got_l - want_l)) < 5e-6

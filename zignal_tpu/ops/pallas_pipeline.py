@@ -174,7 +174,7 @@ def _mix_roll_coefs(m_t, lanes: int):
 # ---------------------------------------------------------------------------
 
 
-def _build_kernel(plan, oklab: bool):
+def _build_kernel(plan, oklab: bool, has_blur: bool):
     (h, wl, oh, owl, ry_offs, ry_k, rx_offs, rx_k, bx_offs, bx_k,
      by_offs, by_k) = plan
     n_ry = len(ry_offs)
@@ -192,6 +192,36 @@ def _build_kernel(plan, oklab: bool):
                o_ref, s_lo, s_hi, s_res, s_dlo, s_dhi):
         f32 = jnp.float32
         inv256 = f32(1.0 / 256.0)
+        from jax.experimental.pallas import tpu as pltpu
+
+        def oklab_rows(i, qf):
+            """sRGB gamma -> linear on the integer-valued rows qf (the
+            /255 and /1.055 normalizations fold into the log argument;
+            the linear branch folds into one multiply), then the two 3x3
+            mixes as lane-rolls with cbrt between. A degree-10
+            polynomial + Newton-cbrt variant measured SLOWER than
+            exp/log on v5e — the VPU's transcendentals are fast."""
+            a = f32(1.0 / (255.0 * SRGB_GAMMA_SCALE))
+            bconst = f32(SRGB_GAMMA_OFFSET / SRGB_GAMMA_SCALE)
+            big = jnp.exp(f32(SRGB_GAMMA_EXPONENT)
+                          * jnp.log(qf * a + bconst))
+            lin = jnp.where(qf > f32(255.0 * SRGB_GAMMA_THRESHOLD), big,
+                            qf * f32(1.0 / (255.0 * SRGB_LINEAR_SLOPE)))
+
+            def mix(val, coef_ref):
+                out = None
+                for di, d in enumerate((-2, -1, 0, 1, 2)):
+                    # circular roll; coefs zero the wrapped lanes
+                    term = (coef_ref[di:di + 1, :]
+                            * pltpu.roll(val, d % owl, 1))
+                    out = term if out is None else out + term
+                return out
+
+            lms = mix(lin, mix1_ref)
+            # lms >= 0 (positive mix of non-negative linear values):
+            # cbrt(x) = exp(log(x) / 3), with exp(log 0) -> 0
+            cb = jnp.exp(jnp.log(lms) * f32(1 / 3))
+            o_ref[0, i * rpb:(i + 1) * rpb, :] = mix(cb, mix2_ref)
 
         # ---- stage 1: row resize (contract H), digits out -------------
         for i in range(n_ry):
@@ -215,7 +245,18 @@ def _build_kernel(plan, oklab: bool):
             # resize truncates (channel_ops.zig:186: // 256*256) — only
             # the blur's divClampU8 adds the +half rounding bias
             q = jnp.clip(acc >> 16, 0, 255)
-            s_res[:, j * cpb:(j + 1) * cpb] = q.astype(f32).astype(jnp.bfloat16)
+            if not has_blur and not oklab:
+                o_ref[0, :, j * cpb:(j + 1) * cpb] = q.astype(jnp.uint8)
+            else:
+                s_res[:, j * cpb:(j + 1) * cpb] = (
+                    q.astype(f32).astype(jnp.bfloat16))
+
+        if not has_blur:
+            if oklab:
+                for i in range(oh // rpb):
+                    qf = s_res[i * rpb:(i + 1) * rpb, :].astype(f32)
+                    oklab_rows(i, qf)
+            return
 
         # ---- stage 3: lane blur (contract W*3), digits out ------------
         for j in range(n_bx):
@@ -228,8 +269,6 @@ def _build_kernel(plan, oklab: bool):
             s_dhi[:, j * cpb:(j + 1) * cpb] = hi.astype(jnp.bfloat16)
 
         # ---- stage 4: row blur (contract OH), divClampU8 [+ oklab] ----
-        from jax.experimental.pallas import tpu as pltpu
-
         for i in range(n_by):
             lo = s_dlo[by_offs[i]:by_offs[i] + by_k[i], :]
             hi = s_dhi[by_offs[i]:by_offs[i] + by_k[i], :]
@@ -241,32 +280,7 @@ def _build_kernel(plan, oklab: bool):
             if not oklab:
                 o_ref[0, i * rpb:(i + 1) * rpb, :] = q.astype(jnp.uint8)
                 continue
-            # sRGB gamma -> linear on the integer-valued q (the /255 and
-            # /1.055 normalizations fold into the log argument; the
-            # linear branch folds into one multiply). A degree-10
-            # polynomial + Newton-cbrt variant measured SLOWER than
-            # exp/log on v5e — the VPU's transcendentals are fast.
-            qf = q.astype(f32)
-            a = f32(1.0 / (255.0 * SRGB_GAMMA_SCALE))
-            bconst = f32(SRGB_GAMMA_OFFSET / SRGB_GAMMA_SCALE)
-            big = jnp.exp(f32(SRGB_GAMMA_EXPONENT)
-                          * jnp.log(qf * a + bconst))
-            lin = jnp.where(qf > f32(255.0 * SRGB_GAMMA_THRESHOLD), big,
-                            qf * f32(1.0 / (255.0 * SRGB_LINEAR_SLOPE)))
-
-            def mix(val, coef_ref):
-                out = None
-                for di, d in enumerate((-2, -1, 0, 1, 2)):
-                    # circular roll; coefs zero the wrapped lanes
-                    term = coef_ref[di:di + 1, :] * pltpu.roll(val, d % owl, 1)
-                    out = term if out is None else out + term
-                return out
-
-            lms = mix(lin, mix1_ref)
-            # lms >= 0 (positive mix of non-negative linear values):
-            # cbrt(x) = exp(log(x) / 3), with exp(log 0) -> 0
-            cb = jnp.exp(jnp.log(lms) * f32(1 / 3))
-            o_ref[0, i * rpb:(i + 1) * rpb, :] = mix(cb, mix2_ref)
+            oklab_rows(i, q.astype(f32))
 
     return kernel
 
@@ -282,7 +296,8 @@ def fused_resize_blur_oklab(batch, out_rows: int, out_cols: int,
                             sigma: float, oklab: bool = True,
                             interpret: bool = False):
     """[B, H, W, 3] u8 -> bilinear resize -> Gaussian blur -> u8
-    ([B, oh, ow, 3]) or Oklab f32 when ``oklab``. One Pallas program per
+    ([B, oh, ow, 3]) or Oklab f32 when ``oklab``. ``sigma=0`` skips the
+    blur stages (fused resize / resize->oklab). One Pallas program per
     image; see module docstring. Caller must check fused_ok() first."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -290,22 +305,31 @@ def fused_resize_blur_oklab(batch, out_rows: int, out_cols: int,
     b, h, w, c = batch.shape
     assert c == 3 and fused_ok(batch.shape, out_rows, out_cols)
     wl, owl = w * 3, out_cols * 3
+    has_blur = sigma > 0
 
     wy = _bilinear_matrix(h, out_rows)                    # [OH, H]
     wx = _interleave3(_bilinear_matrix(w, out_cols))      # [OWL, WL]
-    by = _blur_matrix(out_rows, sigma)                    # [OH, OH]
-    bx = _interleave3(_blur_matrix(out_cols, sigma))      # [OWL, OWL]
+    checks = [(wy, 255), (wx, 65535)]
+    if has_blur:
+        by = _blur_matrix(out_rows, sigma)                # [OH, OH]
+        bx = _interleave3(_blur_matrix(out_cols, sigma))  # [OWL, OWL]
+        checks += [(bx, 255), (by, 65535)]
 
     # exactness preconditions (mirrors mxu_resample digit bounds)
-    for m, bound in ((wy, 255), (wx, 65535), (bx, 255), (by, 65535)):
+    for m, bound in checks:
         s = int(np.abs(m).sum(axis=1).max())
         assert s * 255 < (1 << 24), "weight digit bound"
         assert s * bound + 32768 < (1 << 31), "int32 combine bound"
 
     wy_p, ry_offs, ry_k = _pack_row_blocks(wy, _ROW_BLOCK)
     wxt_p, rx_offs, rx_k = _pack_col_blocks(wx, _LANE_BLOCK)
-    bxt_p, bx_offs, bx_k = _pack_col_blocks(bx, _LANE_BLOCK)
-    by_p, by_offs, by_k = _pack_row_blocks(by, _ROW_BLOCK)
+    if has_blur:
+        bxt_p, bx_offs, bx_k = _pack_col_blocks(bx, _LANE_BLOCK)
+        by_p, by_offs, by_k = _pack_row_blocks(by, _ROW_BLOCK)
+    else:  # unused dummy operands (the kernel never reads them)
+        bxt_p = np.zeros((1, 8, 128), np.float32)
+        by_p = np.zeros((1, 8, 8), np.float32)
+        bx_offs, bx_k, by_offs, by_k = [0], [8], [0], [8]
 
     from ..color._array import _RGB2OKLMS, _OKLMS2LAB
     mix1 = _mix_roll_coefs(_RGB2OKLMS, owl)
@@ -314,7 +338,7 @@ def fused_resize_blur_oklab(batch, out_rows: int, out_cols: int,
     plan = (h, wl, out_rows, owl, tuple(ry_offs), tuple(ry_k),
             tuple(rx_offs), tuple(rx_k), tuple(bx_offs), tuple(bx_k),
             tuple(by_offs), tuple(by_k))
-    kernel = _build_kernel(plan, oklab)
+    kernel = _build_kernel(plan, oklab, has_blur)
 
     x = batch.reshape(b, h, wl)
     out_dtype = jnp.float32 if oklab else jnp.uint8
@@ -336,9 +360,12 @@ def fused_resize_blur_oklab(batch, out_rows: int, out_cols: int,
         scratch_shapes=[
             pltpu.VMEM((out_rows, wl), jnp.bfloat16),   # s_lo
             pltpu.VMEM((out_rows, wl), jnp.bfloat16),   # s_hi
-            pltpu.VMEM((out_rows, owl), jnp.bfloat16),  # s_res
-            pltpu.VMEM((out_rows, owl), jnp.bfloat16),  # s_dlo
-            pltpu.VMEM((out_rows, owl), jnp.bfloat16),  # s_dhi
+            pltpu.VMEM((out_rows, owl) if has_blur or oklab else (8, 128),
+                       jnp.bfloat16),                   # s_res
+            pltpu.VMEM((out_rows, owl) if has_blur else (8, 128),
+                       jnp.bfloat16),                   # s_dlo
+            pltpu.VMEM((out_rows, owl) if has_blur else (8, 128),
+                       jnp.bfloat16),                   # s_dhi
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -32,6 +32,8 @@ def batched_resize(batch, rows: int, cols: int,
 
 
 def batched_gaussian_blur(batch, sigma: float):
+    if sigma == 0:
+        return batch
     k = gaussian_kernel(sigma)
     return convolve_separable(batch, k, k)  # kernels broadcast over batch dims
 
