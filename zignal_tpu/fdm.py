@@ -19,7 +19,16 @@ __all__ = ["FeatureDistributionMatching"]
 
 def _mean_cov_device(arr_u8):
     """Channel mean (3,) and sample covariance (3,3) of [H,W,3] u8 on
-    device (f32, centered two-pass for accuracy)."""
+    device (f32, centered two-pass for accuracy). One jitted program and
+    ONE packed host fetch — every fetch through the axon tunnel costs
+    ~30 ms of RPC latency, so mean and cov ship as a single [4,3]."""
+    import jax
+
+    packed = np.asarray(_mean_cov_packed(arr_u8), dtype=np.float64)
+    return packed[0], packed[1:]
+
+
+def _mean_cov_packed_impl(arr_u8):
     import jax.numpy as jnp
 
     x = arr_u8.astype(jnp.float32).reshape(-1, 3) / 255.0
@@ -27,18 +36,62 @@ def _mean_cov_device(arr_u8):
     mean = jnp.mean(x, axis=0)
     xc = x - mean
     cov = (xc.T @ xc) / jnp.float32(max(n - 1, 1))
-    return np.asarray(mean, dtype=np.float64), np.asarray(cov, dtype=np.float64)
+    return jnp.concatenate([mean[None, :], cov], axis=0)
+
+
+def _mean_cov_packed(arr_u8):
+    import jax
+
+    global _MEAN_COV_JIT
+    if _MEAN_COV_JIT is None:
+        _MEAN_COV_JIT = jax.jit(_mean_cov_packed_impl)
+    return _MEAN_COV_JIT(arr_u8)
+
+
+_MEAN_COV_JIT = None
+_GRAY_STATS_JIT = None
+_APPLY_MAP_JIT = None
 
 
 def _gray_stats(img: Image):
-    """Luminance mean/variance in [0,1] (reference gray paths)."""
+    """Luminance mean/variance in [0,1] (reference gray paths); one
+    jitted program, one packed fetch."""
+    import jax
+
+    global _GRAY_STATS_JIT
+    if _GRAY_STATS_JIT is None:
+        import jax.numpy as jnp
+
+        def impl(plane_u8):
+            plane = plane_u8.astype(jnp.float32) / 255.0
+            n = plane.size
+            mean = jnp.mean(plane)
+            var = jnp.sum((plane - mean) ** 2) / max(n - 1, 1)
+            return jnp.stack([mean, var])
+        _GRAY_STATS_JIT = jax.jit(impl)
+    mv = np.asarray(_GRAY_STATS_JIT(img._gray_u8_plane()), dtype=np.float64)
+    return float(mv[0]), float(mv[1])
+
+
+def _apply_map(dev_u8, w, bias):
+    """x @ W + bias in [0,1], round+clamp to u8 — one fused program."""
+    import jax
+
+    global _APPLY_MAP_JIT
+    if _APPLY_MAP_JIT is None:
+        import jax.numpy as jnp
+
+        def impl(dev, w, bias):
+            x = dev.astype(jnp.float32) / 255.0
+            res = jnp.clip(
+                jnp.einsum("hwc,cd->hwd", x, w, precision="highest") + bias,
+                0.0, 1.0)
+            return jnp.floor(res * 255.0 + 0.5).astype(jnp.uint8)
+        _APPLY_MAP_JIT = jax.jit(impl)
     import jax.numpy as jnp
 
-    plane = img._gray_u8_plane().astype(jnp.float32) / 255.0
-    n = plane.size
-    mean = float(jnp.mean(plane))
-    var = float(jnp.sum((plane - mean) ** 2) / max(n - 1, 1))
-    return mean, var
+    return _APPLY_MAP_JIT(dev_u8, jnp.asarray(w, jnp.float32),
+                          jnp.asarray(bias, jnp.float32))
 
 
 def _is_grayscale(img: Image) -> bool:
@@ -131,14 +184,7 @@ class FeatureDistributionMatching:
         w = u_s @ sigma @ self._target_u.T
         bias = self._target_mean - mean_s @ w
 
-        x = dev.astype(jnp.float32) / 255.0
-        res = jnp.clip(
-            jnp.einsum("hwc,cd->hwd", x, jnp.asarray(w, jnp.float32),
-                       precision="highest")
-            + jnp.asarray(bias, jnp.float32),
-            0.0, 1.0,
-        )
-        out = jnp.floor(res * 255.0 + 0.5).astype(jnp.uint8)
+        out = _apply_map(dev, w, bias)
         host = src._host()
         host[..., :3] = np.asarray(out)
 
