@@ -84,20 +84,22 @@ def device_loop_timer(jax, jnp, step_fn, x, n_small=None, n_large=None):
         n_small, n_large = _LOOPS
 
     def timed(n):
-        float(looped(x, n))  # compile + run once
-        best = float("inf")
-        # the tunnel chip shows multi-x contention spikes (CLAUDE.md):
-        # per-length minima over 3 reps keep one spike from poisoning
-        # the differenced estimate
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(looped(x, n))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        t0 = time.perf_counter()
+        float(looped(x, n))
+        return time.perf_counter() - t0
 
-    t_small = timed(n_small)
-    t_large = timed(n_large)
-    return (t_large - t_small) / (n_large - n_small)
+    # the tunnel chip shows multi-x contention spikes (CLAUDE.md), and a
+    # spike during the SMALL loop makes the differenced estimate
+    # overshoot (not just undershoot): take the median of 3 independent
+    # difference estimates, each from interleaved small/large runs
+    float(looped(x, n_small))   # compile
+    float(looped(x, n_large))   # compile
+    ests = []
+    for _ in range(3):
+        ts = timed(n_small)
+        tl = timed(n_large)
+        ests.append((tl - ts) / (n_large - n_small))
+    return sorted(ests)[1]
 
 
 def bench_north_star(jax, jnp):

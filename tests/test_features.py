@@ -133,6 +133,22 @@ class TestMatcher:
         stats = m.stats(m.match(d, d))
         assert stats.count == 3 and stats.mean_distance == 0
 
+    def test_bucketed_distance_matrix_matches_oracle(self):
+        # shape bucketing pads descriptor stacks to powers of two; the
+        # pad rows must never leak into distances (incl. the case where
+        # a REAL descriptor is all-zero, colliding with the pad value)
+        from zignal_tpu.features.matcher import _distance_matrix
+
+        rng = np.random.default_rng(11)
+        for n, m in ((1, 1), (3, 33), (32, 32), (33, 31), (65, 5)):
+            a = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+            b = rng.integers(0, 256, (m, 32), dtype=np.uint8)
+            a[0] = 0  # all-zero descriptor == pad value
+            d = _distance_matrix(a, b)
+            assert d.shape == (n, m)
+            bits = np.unpackbits(a[:, None, :] ^ b[None, :, :], axis=-1)
+            np.testing.assert_array_equal(d, bits.sum(axis=-1))
+
 
 class TestHough:
     def test_horizontal_and_tilted_lines(self):

@@ -31,23 +31,44 @@ class MatchStats:
     mean_distance: float
 
 
-def _distance_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """[N, M] Hamming distances on device."""
-    import jax.numpy as jnp
+_DIST_JIT = None
 
+
+def _bucket(n: int) -> int:
+    """Next power of two (min 32): descriptor counts vary per image, so
+    padding to buckets keeps the jitted program's shapes recurring — an
+    unpadded shape recompiles ~3 s of tiny programs per new (N, M)."""
+    b = 32
+    while b < n:
+        b *= 2
+    return b
+
+
+def _distance_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[N, M] Hamming distances on device (one jitted program per
+    bucketed shape; pad rows are sliced away after the fetch)."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)), dtype=np.int32)
-    xa = jnp.asarray(a)[:, None, :]
-    xb = jnp.asarray(b)[None, :, :]
-    xor = jnp.bitwise_xor(xa, xb)
-    # popcount via unpacking bits of each byte
-    bits = jnp.unpackbits(xor, axis=-1) if hasattr(jnp, "unpackbits") else None
-    if bits is not None:
-        return np.asarray(bits.sum(axis=-1).astype(jnp.int32))
-    pop = jnp.zeros(xor.shape[:2], jnp.int32)
-    for i in range(8):
-        pop = pop + ((xor >> i) & 1).sum(axis=-1).astype(jnp.int32)
-    return np.asarray(pop)
+    global _DIST_JIT
+    if _DIST_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def impl(xa, xb):
+            xor = jnp.bitwise_xor(xa[:, None, :], xb[None, :, :])
+            pop = jnp.zeros(xor.shape[:2], jnp.int32)
+            for i in range(8):  # fused popcount, no 8x bit expansion
+                pop = pop + ((xor >> i) & 1).sum(axis=-1).astype(jnp.int32)
+            return pop
+
+        _DIST_JIT = impl
+    pa = np.zeros((_bucket(len(a)), a.shape[1]), np.uint8)
+    pa[: len(a)] = a
+    pb = np.zeros((_bucket(len(b)), b.shape[1]), np.uint8)
+    pb[: len(b)] = b
+    d = np.asarray(_DIST_JIT(pa, pb))
+    return d[: len(a), : len(b)]
 
 
 class BruteForceMatcher:

@@ -24,8 +24,11 @@ _tried = False
 
 def _build() -> bool:
     sources = [s for s in _SOURCES if os.path.exists(s)]
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB_PATH + ".tmp", *sources]
+    # -fno-math-errno: we never read errno from libm, and it lets the
+    # vectorizer turn lrintf into one vcvtps2dq per vector (the errno
+    # side effect otherwise pins every rounding call scalar)
+    cmd = ["g++", "-O3", "-march=native", "-fno-math-errno", "-shared",
+           "-fPIC", "-std=c++17", "-o", _LIB_PATH + ".tmp", *sources]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         os.replace(_LIB_PATH + ".tmp", _LIB_PATH)

@@ -194,42 +194,6 @@ const uint8_t ZIGZAG[64] = {
 // AAN output scale s[u]*s[v]/8 (s[0]=1, s[k]=sqrt(2)*cos(k*pi/16)) is
 // folded into the dequantization table by the caller. Validated against
 // the direct basis-product IDCT to < 1e-3 over random +/-500 inputs.
-static inline void aan_1d(float* b, int stride) {
-    float s0 = b[0 * stride], s1 = b[1 * stride], s2 = b[2 * stride];
-    float s3 = b[3 * stride], s4 = b[4 * stride], s5 = b[5 * stride];
-    float s6 = b[6 * stride], s7 = b[7 * stride];
-    // even part
-    float t10 = s0 + s4;
-    float t11 = s0 - s4;
-    float t13 = s2 + s6;
-    float t12 = (s2 - s6) * 1.414213562f - t13;
-    float e0 = t10 + t13;
-    float e3 = t10 - t13;
-    float e1 = t11 + t12;
-    float e2 = t11 - t12;
-    // odd part
-    float z13 = s5 + s3;
-    float z10 = s5 - s3;
-    float z11 = s1 + s7;
-    float z12 = s1 - s7;
-    float t7 = z11 + z13;
-    float t11b = (z11 - z13) * 1.414213562f;
-    float z5 = (z10 + z12) * 1.847759065f;
-    float t10b = 1.082392200f * z12 - z5;
-    float t12b = -2.613125930f * z10 + z5;
-    float t6 = t12b - t7;
-    float t5 = t11b - t6;
-    float t4 = t10b + t5;
-    b[0 * stride] = e0 + t7;
-    b[7 * stride] = e0 - t7;
-    b[1 * stride] = e1 + t6;
-    b[6 * stride] = e1 - t6;
-    b[2 * stride] = e2 + t5;
-    b[5 * stride] = e2 - t5;
-    b[4 * stride] = e3 + t4;
-    b[3 * stride] = e3 - t4;
-}
-
 // Column pass with x innermost: the same butterfly runs on all 8
 // columns per step, which the compiler turns into 8-wide SIMD.
 static inline void aan_cols(float* b) {
@@ -269,13 +233,19 @@ static inline void aan_cols(float* b) {
 }
 
 // in: coefficients already multiplied by the AAN-scaled dequant table.
-// row_nz: bitmask of rows v with any nonzero coefficient (zero rows map
-// to zero through the flowgraph and are skipped).
-void idct8x8(const float* in, uint8_t* out, int out_stride, int row_nz) {
-    float b[64];
-    std::memcpy(b, in, sizeof b);
+void idct8x8(const float* in, uint8_t* out, int out_stride) {
+    // Row pass done as a column pass on the transpose: every butterfly
+    // then runs 8-wide (one vector op per step) instead of 8 scalar
+    // 1-D transforms; the transposes are straight-line shuffles the
+    // vectorizer handles. 2 vector passes + 2 transposes beat 1 vector
+    // pass + 8 scalar passes on any SIMD host. Zero rows need no
+    // special casing: they ride the 8-wide butterflies for free.
+    float t[64], b[64];
     for (int v = 0; v < 8; ++v)
-        if (row_nz & (1 << v)) aan_1d(b + v * 8, 1);
+        for (int u = 0; u < 8; ++u) t[u * 8 + v] = in[v * 8 + u];
+    aan_cols(t);  // row transforms, 8 at a time
+    for (int v = 0; v < 8; ++v)
+        for (int u = 0; u < 8; ++u) b[v * 8 + u] = t[u * 8 + v];
     aan_cols(b);
     for (int y = 0; y < 8; ++y) {
         const float* row = b + y * 8;
@@ -686,6 +656,10 @@ struct Decoder {
 
     // Reconstruct full-resolution planes and write interleaved output.
     void reconstruct(uint8_t* out, int out_ncomp) {
+        // locals so the vectorizer can prove trip counts loop-invariant
+        // (stores through `out`/row buffers could alias `this`)
+        const int width = this->width, height = this->height;
+        const int hmax = this->hmax, vmax = this->vmax;
         std::vector<std::vector<uint8_t>> planes(ncomp);
         std::vector<int> pw(ncomp), ph(ncomp);
         // AAN output scale folded into dequant (see idct8x8)
@@ -711,16 +685,9 @@ struct Decoder {
                     uint8_t* dst = &planes[i][((size_t)byi * 8) * pw[i] + bxi * 8];
                     // DC-only shortcut: constant block (very common in
                     // smooth regions / high-frequency coefficients)
-                    int row_nz = 1;
-                    for (int v = 1; v < 8; ++v) {
-                        int32_t acc = 0;
-                        for (int u = 0; u < 8; ++u) acc |= blk[v * 8 + u];
-                        if (acc) row_nz |= 1 << v;
-                    }
-                    int32_t ac0 = blk[1] | blk[2] | blk[3] | blk[4]
-                                  | blk[5] | blk[6] | blk[7];
-                    if (row_nz == 1 && ac0 == 0) {
-                        // DC-only: constant block
+                    int32_t ac = 0;
+                    for (int k = 1; k < 64; ++k) ac |= blk[k];
+                    if (ac == 0) {
                         int v = (int)lrintf(blk[0] * dqs[0]) + 128;
                         uint8_t px = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
                         for (int y = 0; y < 8; ++y)
@@ -728,12 +695,17 @@ struct Decoder {
                         continue;
                     }
                     for (int k = 0; k < 64; ++k) deq[k] = (float)blk[k] * dqs[k];
-                    idct8x8(deq, dst, pw[i], row_nz);
+                    idct8x8(deq, dst, pw[i]);
                 }
             }
         }
-        // upsample + interleave + color convert: row-wise with
-        // precomputed source-column maps (no per-pixel divisions)
+        // upsample + interleave + color convert, two vectorizable
+        // phases per row: (1) expand each chroma row to full width into
+        // an int32 buffer (pixel-doubling fast path for the ubiquitous
+        // 2:1 case, generic map otherwise) so (2) the BT.601 convert
+        // loop reads every operand at identity stride — sequential
+        // loads + branchless clamps autovectorize, where the old
+        // per-pixel xmap gather forced scalar code.
         std::vector<std::vector<int32_t>> xmap(ncomp);
         bool xident[4] = {false, false, false, false};
         for (int i = 0; i < ncomp; ++i) {
@@ -744,6 +716,25 @@ struct Decoder {
                     xmap[i][x] = x * comp[i].h / hmax;
             }
         }
+        std::vector<int32_t> cbbuf(width), crbuf(width);
+        std::vector<uint8_t> ybuf(width);
+        std::vector<uint8_t> rbuf(width), gbuf(width), bbuf(width);
+        // src row -> centered full-width int32 row (value - 128)
+        auto expand_c = [&](const uint8_t* src, int ci, int32_t* dst) {
+            if (comp[ci].h * 2 == hmax) {
+                int half = width >> 1;
+                for (int x = 0; x < half; ++x) {
+                    int32_t v = (int32_t)src[x] - 128;
+                    dst[2 * x] = v;
+                    dst[2 * x + 1] = v;
+                }
+                if (width & 1) dst[width - 1] = (int32_t)src[half] - 128;
+            } else {
+                const int32_t* xm = xmap[ci].data();
+                for (int x = 0; x < width; ++x)
+                    dst[x] = (int32_t)src[xm[x]] - 128;
+            }
+        };
         for (int y = 0; y < height; ++y) {
             uint8_t* o = out + (size_t)y * width * out_ncomp;
             if (ncomp >= 3) {
@@ -753,21 +744,43 @@ struct Decoder {
                     (size_t)(y * comp[1].v / vmax) * pw[1]];
                 const uint8_t* crrow = &planes[2][
                     (size_t)(y * comp[2].v / vmax) * pw[2]];
-                const int32_t* xm1 = xident[1] ? nullptr : xmap[1].data();
-                const int32_t* xm2 = xident[2] ? nullptr : xmap[2].data();
-                const int32_t* xm0 = xident[0] ? nullptr : xmap[0].data();
-                for (int x = 0; x < width; ++x, o += out_ncomp) {
-                    int32_t Y = yrow[xm0 ? xm0[x] : x];
-                    int32_t cb = cbrow[xm1 ? xm1[x] : x] - 128;
-                    int32_t cr = crrow[xm2 ? xm2[x] : x] - 128;
+                if (!xident[0]) {
+                    const int32_t* xm0 = xmap[0].data();
+                    for (int x = 0; x < width; ++x) ybuf[x] = yrow[xm0[x]];
+                    yrow = ybuf.data();
+                }
+                if (xident[1]) {
+                    for (int x = 0; x < width; ++x)
+                        cbbuf[x] = (int32_t)cbrow[x] - 128;
+                } else {
+                    expand_c(cbrow, 1, cbbuf.data());
+                }
+                if (xident[2]) {
+                    for (int x = 0; x < width; ++x)
+                        crbuf[x] = (int32_t)crrow[x] - 128;
+                } else {
+                    expand_c(crrow, 2, crbuf.data());
+                }
+                // planar convert (interleaved stride-3 stores defeat
+                // the vectorizer; planar u8 stores do not), then one
+                // interleave pass over literal stride 3
+                for (int x = 0; x < width; ++x) {
+                    int32_t Y = (int32_t)yrow[x] << 16;
+                    int32_t cb = cbbuf[x];
+                    int32_t cr = crbuf[x];
                     // fixed-point BT.601 (matches color stack); all
                     // terms < 2^25, int32-safe
-                    int32_t r = ((Y << 16) + 91881 * cr + 32768) >> 16;
-                    int32_t g = ((Y << 16) - 22554 * cb - 46802 * cr + 32768) >> 16;
-                    int32_t b = ((Y << 16) + 116130 * cb + 32768) >> 16;
-                    o[0] = (uint8_t)(r < 0 ? 0 : r > 255 ? 255 : r);
-                    o[1] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : g);
-                    o[2] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : b);
+                    int32_t r = (Y + 91881 * cr + 32768) >> 16;
+                    int32_t g = (Y - 22554 * cb - 46802 * cr + 32768) >> 16;
+                    int32_t b = (Y + 116130 * cb + 32768) >> 16;
+                    rbuf[x] = (uint8_t)(r < 0 ? 0 : r > 255 ? 255 : r);
+                    gbuf[x] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : g);
+                    bbuf[x] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : b);
+                }
+                for (int x = 0; x < width; ++x) {
+                    o[3 * x] = rbuf[x];
+                    o[3 * x + 1] = gbuf[x];
+                    o[3 * x + 2] = bbuf[x];
                 }
             } else {
                 const uint8_t* yrow = &planes[0][
