@@ -102,6 +102,9 @@ class Orb:
         return a[..., 0] if a.ndim == 3 else a
 
     def _detect_host(self, levels, scores) -> list:
+        """Per-level candidate selection, vectorized across keypoints
+        (the former per-keypoint numpy loops cost ~100 us of dispatch
+        overhead per corner; batched fancy-index gathers amortize it)."""
         per_level = self._features_per_level()
         out = []
         for level in range(self.first_level, self.n_levels):
@@ -113,40 +116,45 @@ class Orb:
                 continue
             s = scores[level]
             ys, xs = np.nonzero(s)
-            corners = [
-                KeyPoint(x=float(x), y=float(y), size=7.0, angle=-1.0,
-                         response=float(s[y, x]), octave=0)
-                for y, x in zip(ys, xs)
-            ]
+            if len(ys) == 0:
+                continue
             if self.score_type == "harris_score":
-                for kp in corners:
-                    kp.response = _harris_response(arr, kp)
-            corners.sort(key=lambda k: -k.response)
-            corners = corners[:n_desired]
+                resp = _harris_batch(arr, xs, ys)
+            else:
+                resp = s[ys, xs].astype(np.float64)
+            # stable argsort on -resp == the old stable python sort by
+            # descending response (ties keep row-major candidate order)
+            order = np.argsort(-resp, kind="stable")[:n_desired]
 
             scale = self.scale_factor ** level
             margin = max(3.0, self.edge_threshold / scale)
             h, w = arr.shape
-            for kp in corners:
-                if (kp.x < margin or kp.x >= w - margin
-                        or kp.y < margin or kp.y >= h - margin):
-                    continue
-                kp.angle = _orientation(arr, kp)
-                kp.octave = level
-                kp.x *= scale
-                kp.y *= scale
-                kp.size *= scale
-                out.append(kp)
+            kx, ky = xs[order], ys[order]
+            keep = ((kx >= margin) & (kx < w - margin)
+                    & (ky >= margin) & (ky < h - margin))
+            sel = order[keep]
+            angles = _orientation_batch(arr, xs[sel], ys[sel])
+            for i, idx in enumerate(sel):
+                out.append(KeyPoint(
+                    x=float(xs[idx]) * scale, y=float(ys[idx]) * scale,
+                    size=7.0 * scale, angle=float(angles[i]),
+                    response=float(resp[idx]), octave=level))
         return out
 
     def _compute_host(self, levels, keypoints) -> list:
-        descs = []
-        for kp in keypoints:
+        descs = [None] * len(keypoints)
+        by_level: dict = {}
+        for i, kp in enumerate(keypoints):
             level = min(max(kp.octave, 0), self.n_levels - 1)
+            by_level.setdefault(level, []).append(i)
+        for level, idxs in by_level.items():
             scale = self.scale_factor ** level
-            lk = KeyPoint(kp.x / scale, kp.y / scale, kp.size / scale,
-                          kp.angle, kp.response, kp.octave, kp.class_id)
-            descs.append(_brief_descriptor(levels[level], lk))
+            kx = np.array([keypoints[i].x / scale for i in idxs])
+            ky = np.array([keypoints[i].y / scale for i in idxs])
+            ang = np.array([keypoints[i].angle for i in idxs])
+            packed = _brief_batch(levels[level], kx, ky, ang)
+            for j, i in enumerate(idxs):
+                descs[i] = BinaryDescriptor(packed[j])
         return descs
 
     # compatibility shims for callers holding an ImagePyramid
@@ -218,61 +226,70 @@ class _LazyJit:
 _orb_device_maps_jit = _LazyJit()
 
 
-def _orientation(arr: np.ndarray, kp: KeyPoint) -> float:
-    """Intensity centroid in a circular 31x31 patch (orb.zig
-    computeOrientation) -> angle in degrees."""
-    h, w = arr.shape
-    x = int(np.trunc(kp.x))
-    y = int(np.trunc(kp.y))
-    r0, r1 = y - _HALF, y + _HALF + 1
-    c0, c1 = x - _HALF, x + _HALF + 1
-    pr0, pc0 = max(r0, 0), max(c0, 0)
-    pr1, pc1 = min(r1, h), min(c1, w)
-    patch = np.zeros((PATCH_SIZE, PATCH_SIZE), np.float32)
-    patch[pr0 - r0:pr1 - r0, pc0 - c0:pc1 - c0] = arr[pr0:pr1, pc0:pc1]
-    weighted = patch * _CIRC
-    m00 = weighted.sum()
-    if m00 < 0.001:
-        return 0.0
-    m10 = (weighted * _XX).sum()
-    m01 = (weighted * _YY).sum()
-    return float(np.degrees(np.arctan2(m01 / m00, m10 / m00)))
+def _orientation_batch(arr: np.ndarray, xs: np.ndarray,
+                       ys: np.ndarray) -> np.ndarray:
+    """Intensity centroid in circular 31x31 patches (orb.zig
+    computeOrientation) -> angles in degrees, for all keypoints at
+    once. Out-of-bounds patch pixels read as 0 (zero padding == the
+    scalar version's zero-initialized patch)."""
+    if len(xs) == 0:
+        return np.zeros(0, np.float64)
+    a = np.pad(arr, _HALF).astype(np.float32)
+    yy = ys[:, None, None] + (_YY + _HALF)[None]
+    xx = xs[:, None, None] + (_XX + _HALF)[None]
+    weighted = a[yy, xx] * _CIRC  # [K, 31, 31]
+    m00 = weighted.sum(axis=(1, 2))
+    m10 = (weighted * _XX).sum(axis=(1, 2))
+    m01 = (weighted * _YY).sum(axis=(1, 2))
+    safe = np.maximum(m00, np.float32(1e-6))
+    ang = np.degrees(np.arctan2(m01 / safe, m10 / safe))
+    return np.where(m00 < 0.001, 0.0, ang)
 
 
-def _brief_descriptor(arr: np.ndarray, kp: KeyPoint) -> BinaryDescriptor:
+def _brief_batch(arr: np.ndarray, kx: np.ndarray, ky: np.ndarray,
+                 angles: np.ndarray) -> np.ndarray:
     """Rotated BRIEF from the learned pattern (orb.zig
-    computeBriefDescriptor); out-of-bounds points leave bits at 0."""
+    computeBriefDescriptor) for all keypoints at once -> [K, 32] packed
+    bytes; out-of-bounds points leave bits at 0."""
     h, w = arr.shape
-    cos_a = np.cos(np.radians(kp.angle))
-    sin_a = np.sin(np.radians(kp.angle))
-    x1, y1, x2, y2 = _PAT[:, 0], _PAT[:, 1], _PAT[:, 2], _PAT[:, 3]
-    rx1 = np.round(kp.x + cos_a * x1 - sin_a * y1).astype(int)
-    ry1 = np.round(kp.y + sin_a * x1 + cos_a * y1).astype(int)
-    rx2 = np.round(kp.x + cos_a * x2 - sin_a * y2).astype(int)
-    ry2 = np.round(kp.y + sin_a * x2 + cos_a * y2).astype(int)
+    if len(kx) == 0:
+        return np.zeros((0, 32), np.uint8)
+    cos_a = np.cos(np.radians(angles))[:, None]
+    sin_a = np.sin(np.radians(angles))[:, None]
+    x1, y1, x2, y2 = (_PAT[:, i][None] for i in range(4))
+    rx1 = np.round(kx[:, None] + cos_a * x1 - sin_a * y1).astype(int)
+    ry1 = np.round(ky[:, None] + sin_a * x1 + cos_a * y1).astype(int)
+    rx2 = np.round(kx[:, None] + cos_a * x2 - sin_a * y2).astype(int)
+    ry2 = np.round(ky[:, None] + sin_a * x2 + cos_a * y2).astype(int)
     valid = ((rx1 >= 0) & (rx1 < w) & (ry1 >= 0) & (ry1 < h)
              & (rx2 >= 0) & (rx2 < w) & (ry2 >= 0) & (ry2 < h))
     p1 = arr[np.clip(ry1, 0, h - 1), np.clip(rx1, 0, w - 1)]
     p2 = arr[np.clip(ry2, 0, h - 1), np.clip(rx2, 0, w - 1)]
     bits = valid & (p1 < p2)
-    d = BinaryDescriptor(np.packbits(bits, bitorder="little"))
-    return d
+    return np.packbits(bits, axis=1, bitorder="little")
 
 
-def _harris_response(arr: np.ndarray, kp: KeyPoint, k: float = 0.04) -> float:
-    """Harris score over a 7x7 window (orb.zig computeHarrisResponse)."""
+def _harris_batch(arr: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+                  k: float = 0.04) -> np.ndarray:
+    """Harris scores over 7x7 windows (orb.zig computeHarrisResponse)
+    for all candidates at once; off-edge candidates score 0."""
     h, w = arr.shape
-    x = int(np.trunc(kp.x))
-    y = int(np.trunc(kp.y))
     half = 3
-    if x < half + 1 or x >= w - half - 1 or y < half + 1 or y >= h - half - 1:
-        return 0.0
-    win = arr[y - half - 1:y + half + 2, x - half - 1:x + half + 2].astype(np.float32)
-    ix = (win[1:-1, 2:] - win[1:-1, :-2]) * 0.5
-    iy = (win[2:, 1:-1] - win[:-2, 1:-1]) * 0.5
-    ixx = (ix * ix).sum()
-    iyy = (iy * iy).sum()
-    ixy = (ix * iy).sum()
+    resp = np.zeros(len(xs), np.float64)
+    ok = ((xs >= half + 1) & (xs < w - half - 1)
+          & (ys >= half + 1) & (ys < h - half - 1))
+    if not ok.any():
+        return resp
+    cx, cy = xs[ok], ys[ok]
+    dy, dx = np.mgrid[-half - 1:half + 2, -half - 1:half + 2]
+    win = arr[cy[:, None, None] + dy, cx[:, None, None] + dx] \
+        .astype(np.float32)  # [K, 9, 9]
+    ix = (win[:, 1:-1, 2:] - win[:, 1:-1, :-2]) * 0.5
+    iy = (win[:, 2:, 1:-1] - win[:, :-2, 1:-1]) * 0.5
+    ixx = (ix * ix).sum(axis=(1, 2))
+    iyy = (iy * iy).sum(axis=(1, 2))
+    ixy = (ix * iy).sum(axis=(1, 2))
     det = ixx * iyy - ixy * ixy
     trace = ixx + iyy
-    return float(det - k * trace * trace)
+    resp[ok] = (det - np.float32(k) * trace * trace).astype(np.float64)
+    return resp

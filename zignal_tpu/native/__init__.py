@@ -83,6 +83,11 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int64,
         ]
+        lib.zt_zlib_rle_compress.restype = ctypes.c_int64
+        lib.zt_zlib_rle_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
         lib.zt_dither_error_diffusion.restype = ctypes.c_int
         lib.zt_dither_error_diffusion.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,

@@ -279,22 +279,40 @@ int64_t zt_gif_lzw_encode(const uint8_t* src, int64_t src_len,
 // PNG encode: per-row filter selection by minimum sum of absolute
 // residuals (the standard MSD heuristic) + filtering, single pass.
 // src: [h][stride] raw rows; out: [h][1 + stride] filter byte + data.
+// The hot interior loop is branchless (selects instead of &&-chains,
+// no per-byte bounds conditionals) so the autovectorizer turns the
+// Paeth predictor into SIMD compare/blend chains.
 long zt_png_filter_msd(const uint8_t* src, long h, long stride, long bpp,
                        uint8_t* out) {
     std::vector<uint8_t> cand((size_t)5 * stride);
+    std::vector<uint8_t> zero_row((size_t)stride, 0);
     for (long r = 0; r < h; r++) {
         const uint8_t* row = src + r * stride;
-        const uint8_t* prev = r > 0 ? src + (r - 1) * stride : nullptr;
+        // row 0's "up" row is all zeros; using a real zero buffer keeps
+        // the interior loop conditional-free for every row
+        const uint8_t* prev = r > 0 ? src + (r - 1) * stride
+                                    : zero_row.data();
         uint8_t* c0 = cand.data();
         uint8_t* c1 = c0 + stride;
         uint8_t* c2 = c1 + stride;
         uint8_t* c3 = c2 + stride;
         uint8_t* c4 = c3 + stride;
-        for (long i = 0; i < stride; i++) {
+        for (long i = 0; i < bpp && i < stride; i++) {
             int x = row[i];
-            int a = i >= bpp ? row[i - bpp] : 0;          // left
-            int b = prev ? prev[i] : 0;                   // up
-            int c = (prev && i >= bpp) ? prev[i - bpp] : 0;  // up-left
+            int b = prev[i];
+            c0[i] = (uint8_t)x;
+            c1[i] = (uint8_t)x;                 // a = 0
+            c2[i] = (uint8_t)(x - b);
+            c3[i] = (uint8_t)(x - (b >> 1));
+            // Paeth with a = c = 0: p = b; pa = |b|, pb = 0, pc = |b|
+            // -> pred = b unless b == 0 (then a); x - b either way
+            c4[i] = (uint8_t)(x - b);
+        }
+        for (long i = bpp; i < stride; i++) {
+            int x = row[i];
+            int a = row[i - bpp];
+            int b = prev[i];
+            int c = prev[i - bpp];
             c0[i] = (uint8_t)x;
             c1[i] = (uint8_t)(x - a);
             c2[i] = (uint8_t)(x - b);
@@ -303,7 +321,9 @@ long zt_png_filter_msd(const uint8_t* src, long h, long stride, long bpp,
             int pa = p > a ? p - a : a - p;
             int pb = p > b ? p - b : b - p;
             int pc = p > c ? p - c : c - p;
-            int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+            int na = (pa <= pb) & (pa <= pc);
+            int nb = pb <= pc;
+            int pred = na ? a : (nb ? b : c);
             c4[i] = (uint8_t)(x - pred);
         }
         long best = 0;
@@ -312,8 +332,8 @@ long zt_png_filter_msd(const uint8_t* src, long h, long stride, long bpp,
             const uint8_t* cf = cand.data() + (size_t)f * stride;
             long cost = 0;
             for (long i = 0; i < stride; i++) {
-                int v = (int8_t)cf[i];
-                cost += v < 0 ? -v : v;
+                int v = cf[i];
+                cost += v < 128 ? v : 256 - v;  // |int8| branchlessly
             }
             if (best_cost < 0 || cost < best_cost) { best_cost = cost; best = f; }
         }
@@ -402,6 +422,332 @@ long zt_jpeg_entropy_encode(const int16_t* blocks, long nblocks,
         if (!put((1u << pad) - 1, pad)) return -1;
     }
     return di;
+}
+
+// ---------------------------------------------------------------------------
+// One-shot zlib-stream DEFLATE encoder specialised for PNG scanlines:
+// distance-1 run matches only (the same token stream zlib's Z_RLE
+// strategy produces) coded with a single dynamic-Huffman block and a
+// 64-bit LSB-first bit buffer. On photographic MSD residuals this is
+// ~3x faster than zlib at near-identical output size; the Python layer
+// keeps zlib's default strategy for smooth synthetic content where
+// real LZ77 matching wins (codecs/png.py _deflate).
+
+namespace zdef {
+
+struct BitWriter {
+    uint8_t* dst;
+    long cap, pos = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+    bool fail = false;
+
+    inline void put(uint32_t code, int len) {  // LSB-first
+        acc |= (uint64_t)code << nbits;
+        nbits += len;
+        if (nbits >= 32) {
+            if (pos + 4 > cap) { fail = true; nbits = 0; acc = 0; return; }
+            std::memcpy(dst + pos, &acc, 4);  // little-endian host
+            pos += 4;
+            acc >>= 32;
+            nbits -= 32;
+        }
+    }
+    void flush_byte() {
+        while (nbits > 0) {
+            if (pos >= cap) { fail = true; return; }
+            dst[pos++] = (uint8_t)(acc & 0xFF);
+            acc >>= 8;
+            nbits -= 8;
+        }
+        nbits = 0;
+    }
+};
+
+// canonical Huffman code lengths (max 15) from symbol counts; writes
+// lens[0..n); symbols with zero count get length 0
+inline void huff_lengths(const uint32_t* counts, int n, uint8_t* lens,
+                         int maxlen) {
+    struct Node { uint64_t w; int sym, l, r; };
+    std::vector<Node> nodes;
+    std::vector<int> heap;
+    nodes.reserve(2 * n);
+    for (int i = 0; i < n; i++) {
+        lens[i] = 0;
+        if (counts[i]) {
+            nodes.push_back({counts[i], i, -1, -1});
+            heap.push_back((int)nodes.size() - 1);
+        }
+    }
+    if (heap.empty()) return;
+    if (heap.size() == 1) { lens[nodes[heap[0]].sym] = 1; return; }
+    auto cmp = [&](int a, int b) { return nodes[a].w > nodes[b].w; };
+    std::make_heap(heap.begin(), heap.end(), cmp);
+    while (heap.size() > 1) {
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        int a = heap.back(); heap.pop_back();
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        int b = heap.back(); heap.pop_back();
+        nodes.push_back({nodes[a].w + nodes[b].w, -1, a, b});
+        heap.push_back((int)nodes.size() - 1);
+        std::push_heap(heap.begin(), heap.end(), cmp);
+    }
+    // depth-assign iteratively
+    std::vector<std::pair<int, int>> stack;  // (node, depth)
+    int over = 0;
+    stack.push_back({heap[0], 0});
+    while (!stack.empty()) {
+        auto [ni, d] = stack.back(); stack.pop_back();
+        const Node& nd = nodes[ni];
+        if (nd.sym >= 0) {
+            int l = d < 1 ? 1 : d;
+            if (l > maxlen) { l = maxlen; over++; }
+            lens[nd.sym] = (uint8_t)l;
+        } else {
+            stack.push_back({nd.l, d + 1});
+            stack.push_back({nd.r, d + 1});
+        }
+    }
+    if (over) {
+        // Clamping overfull leaves broke the Kraft equality; restore it
+        // exactly (inflate rejects both over-subscribed AND incomplete
+        // multi-symbol codes). Phase 1: lengthen shallowest leaves
+        // until the sum fits; phase 2: shorten maxlen leaves (each
+        // step adds exactly 1 to the sum in 2^0 units) to land on
+        // equality.
+        auto kraft = [&]() {
+            long long k = 0;
+            for (int i = 0; i < n; i++)
+                if (lens[i]) k += 1LL << (maxlen - lens[i]);
+            return k;
+        };
+        while (kraft() > (1LL << maxlen)) {
+            int best = -1;
+            for (int i = 0; i < n; i++)
+                if (lens[i] && lens[i] < maxlen
+                    && (best < 0 || lens[i] < lens[best])) best = i;
+            lens[best]++;
+        }
+        long long deficit = (1LL << maxlen) - kraft();
+        while (deficit > 0) {
+            int best = -1;  // deepest leaf; maxlen leaves gain exactly 1
+            for (int i = 0; i < n; i++)
+                if (lens[i] > 1 && (best < 0 || lens[i] > lens[best]))
+                    best = i;
+            long long gain = 1LL << (maxlen - lens[best]);
+            if (gain <= deficit) { lens[best]--; deficit -= gain; }
+            else break;  // cannot happen: maxlen leaves exist while over
+        }
+    }
+}
+
+// canonical codes (DEFLATE bit order: emitted LSB-first means the code
+// value must be bit-reversed)
+inline void huff_codes(const uint8_t* lens, int n, uint32_t* codes) {
+    int bl_count[16] = {0};
+    for (int i = 0; i < n; i++) bl_count[lens[i]]++;
+    bl_count[0] = 0;
+    uint32_t next[16] = {0};
+    uint32_t code = 0;
+    for (int b = 1; b <= 15; b++) {
+        code = (code + bl_count[b - 1]) << 1;
+        next[b] = code;
+    }
+    for (int i = 0; i < n; i++) {
+        if (!lens[i]) { codes[i] = 0; continue; }
+        uint32_t c = next[lens[i]]++;
+        uint32_t r = 0;  // bit-reverse to lens[i] bits
+        for (int b = 0; b < lens[i]; b++) r = (r << 1) | ((c >> b) & 1);
+        codes[i] = r;
+    }
+}
+
+// DEFLATE length code table: code 257+k, base lengths / extra bits
+static const int LBASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,
+                              35,43,51,59,67,83,99,115,131,163,195,227,258};
+static const int LXBITS[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,
+                               3,3,3,3,4,4,4,4,5,5,5,5,0};
+
+inline int length_code(int len) {  // len in [3, 258] -> 0..28
+    static int lut[259];
+    static bool init = false;
+    if (!init) {
+        for (int c = 0; c < 29; c++) {
+            int hi = (c == 28) ? 258 : LBASE[c + 1] - 1;
+            for (int l = LBASE[c]; l <= hi && l <= 258; l++) lut[l] = c;
+        }
+        lut[258] = 28;
+        init = true;
+    }
+    return lut[len];
+}
+
+}  // namespace zdef
+
+// src -> zlib stream in dst; returns bytes written or -1 (cap too
+// small — caller falls back to zlib).
+long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
+                          long cap) {
+    using namespace zdef;
+    if (cap < 16) return -1;
+
+    // pass 1: tokenize into (literal | run) and histogram. Runs are
+    // distance-1 matches: at i, match length = count of src[i] ==
+    // src[i-1] forward, >= 3 to take (mirrors Z_RLE's emission).
+    uint32_t lit_cnt[286] = {0};
+    long i = 0;
+    long n_tokens = 0;
+    uint32_t dist_cnt[1] = {0};
+    while (i < n) {
+        long run = 0;
+        if (i > 0) {
+            uint8_t b = src[i - 1];
+            long j = i;
+            long lim = i + 258 < n ? i + 258 : n;
+            while (j < lim && src[j] == b) j++;
+            run = j - i;
+        }
+        if (run >= 3) {
+            lit_cnt[257 + length_code((int)run)]++;
+            dist_cnt[0]++;
+            i += run;
+        } else {
+            lit_cnt[src[i]]++;
+            i++;
+        }
+        n_tokens++;
+    }
+    lit_cnt[256] = 1;  // EOB
+
+    uint8_t lit_len[286];
+    uint32_t lit_code[286];
+    huff_lengths(lit_cnt, 286, lit_len, 15);
+    huff_codes(lit_len, 286, lit_code);
+    // distance tree: a single code (dist 1) of length 1; if no match
+    // exists the unused tree is still valid per the spec
+    uint8_t dst_len[30] = {1};
+    uint32_t dst_code[30] = {0};
+
+    BitWriter bw{dst, cap};
+    // zlib header: CM=8 CINFO=7, FCHECK makes it a multiple of 31
+    dst[0] = 0x78; dst[1] = 0x01; bw.pos = 2;
+    bw.put(1, 1);   // BFINAL
+    bw.put(2, 2);   // BTYPE = dynamic
+
+    // header: HLIT/HDIST/HCLEN + code-length code (RFC1951 3.2.7)
+    int hlit = 286;
+    while (hlit > 257 && lit_len[hlit - 1] == 0) hlit--;
+    int hdist = 1;
+    // RLE the concatenated length arrays with codes 16/17/18
+    std::vector<std::pair<int, int>> cl;  // (symbol, extra-value)
+    {
+        std::vector<uint8_t> all(lit_len, lit_len + hlit);
+        all.insert(all.end(), dst_len, dst_len + hdist);
+        size_t p = 0;
+        while (p < all.size()) {
+            uint8_t v = all[p];
+            size_t q = p;
+            while (q < all.size() && all[q] == v) q++;
+            size_t cnt = q - p;
+            if (v == 0) {
+                while (cnt >= 11) {
+                    size_t take = cnt < 138 ? cnt : 138;
+                    cl.push_back({18, (int)take - 11});
+                    cnt -= take;
+                }
+                while (cnt >= 3) {
+                    size_t take = cnt < 10 ? cnt : 10;
+                    cl.push_back({17, (int)take - 3});
+                    cnt -= take;
+                }
+                while (cnt--) cl.push_back({0, -1});
+            } else {
+                cl.push_back({v, -1});
+                cnt--;
+                while (cnt >= 3) {
+                    size_t take = cnt < 6 ? cnt : 6;
+                    cl.push_back({16, (int)take - 3});
+                    cnt -= take;
+                }
+                while (cnt--) cl.push_back({v, -1});
+            }
+            p = q;
+        }
+    }
+    uint32_t cl_cnt[19] = {0};
+    for (auto& t : cl) cl_cnt[t.first]++;
+    uint8_t cl_len[19];
+    uint32_t cl_code[19];
+    huff_lengths(cl_cnt, 19, cl_len, 7);
+    huff_codes(cl_len, 19, cl_code);
+    static const int CL_ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,
+                                     13,2,14,1,15};
+    int hclen = 19;
+    while (hclen > 4 && cl_len[CL_ORDER[hclen - 1]] == 0) hclen--;
+    bw.put(hlit - 257, 5);
+    bw.put(hdist - 1, 5);
+    bw.put(hclen - 4, 4);
+    for (int k = 0; k < hclen; k++) bw.put(cl_len[CL_ORDER[k]], 3);
+    for (auto& t : cl) {
+        bw.put(cl_code[t.first], cl_len[t.first]);
+        if (t.first == 16) bw.put(t.second, 2);
+        else if (t.first == 17) bw.put(t.second, 3);
+        else if (t.first == 18) bw.put(t.second, 7);
+    }
+
+    // pass 2: emit tokens. Fused (code | len<<20) entries keep the
+    // literal fast path to one table load; the bounds check moves out
+    // of the loop (worst case per token is ~26 bits, so staying 8
+    // bytes clear of cap is safe between checks).
+    uint32_t fused[286];
+    for (int s = 0; s < 286; s++)
+        fused[s] = lit_code[s] | ((uint32_t)lit_len[s] << 20);
+    i = 0;
+    while (i < n) {
+        if (bw.pos + 512 > cap) return -1;  // 128 tokens * <=26 bits
+        long lim_i = i + 128 < n ? i + 128 : n;
+        while (i < lim_i) {
+            uint8_t s = src[i];
+            if (i > 0 && s == src[i - 1]) {
+                long j = i + 1;
+                long lim = i + 258 < n ? i + 258 : n;
+                while (j < lim && src[j] == s) j++;
+                long run = j - i;
+                if (run >= 3) {
+                    int lc = length_code((int)run);
+                    bw.put(lit_code[257 + lc], lit_len[257 + lc]);
+                    if (LXBITS[lc])
+                        bw.put((uint32_t)(run - LBASE[lc]), LXBITS[lc]);
+                    bw.put(dst_code[0], dst_len[0]);  // dist 1
+                    i += run;
+                    break;  // re-check the output bound
+                }
+            }
+            uint32_t e = fused[s];
+            bw.put(e & 0xFFFFF, (int)(e >> 20));
+            i++;
+        }
+        if (bw.fail) return -1;
+    }
+    bw.put(lit_code[256], lit_len[256]);  // EOB
+    bw.flush_byte();
+    if (bw.fail) return -1;
+
+    // adler32 (mod 65521, deferred modulo every 5552 bytes)
+    uint32_t s1 = 1, s2 = 0;
+    long p = 0;
+    while (p < n) {
+        long lim = p + 5552 < n ? p + 5552 : n;
+        for (; p < lim; p++) { s1 += src[p]; s2 += s1; }
+        s1 %= 65521; s2 %= 65521;
+    }
+    if (bw.pos + 4 > cap) return -1;
+    uint32_t adler = (s2 << 16) | s1;
+    dst[bw.pos++] = (uint8_t)(adler >> 24);
+    dst[bw.pos++] = (uint8_t)(adler >> 16);
+    dst[bw.pos++] = (uint8_t)(adler >> 8);
+    dst[bw.pos++] = (uint8_t)adler;
+    return bw.pos;
 }
 
 }  // extern "C"
