@@ -107,14 +107,22 @@ def bench_north_star(jax, jnp):
 
     rng = np.random.default_rng(0)
     results = {}
-    sizes = ((2, 3), (1, 3)) if _SMOKE else ((16, 12), (4, 12), (1, 12))
-    for b, n_large in sizes:
+    # loop counts scale inversely with batch so the differenced device
+    # time stays well above tunnel jitter (~1 ms): at 1 MPix an iter is
+    # ~0.05 ms, so 12-iter loops measured NEGATIVE throughput in one
+    # recorded run; 160 extra iters put the signal at ~8 ms
+    sizes = ((2, 1, 3), (1, 1, 3)) if _SMOKE else \
+        ((16, 2, 12), (4, 3, 43), (1, 5, 165))
+    for b, n_small, n_large in sizes:
         batch = jax.device_put(
             rng.integers(0, 256, (b, _DIM, _DIM, 3), dtype=np.uint8))
-        per_iter = device_loop_timer(
+        # two independent passes, keep the better: the tunnel chip shows
+        # MINUTES-long contention windows (one recorded run measured the
+        # same binary at 1/3 throughput); a repeat is the only defense
+        per_iter = min(device_loop_timer(
             jax, jnp, lambda x: resize_blur_oklab(x, _DIM // 2, _DIM // 2,
                                                   2.0),
-            batch, _LOOPS[0], n_large)
+            batch, n_small, n_large) for _ in range(1 if _SMOKE else 2))
         results[b] = b * _DIM * _DIM / per_iter / 1e9
     gpix = results[max(results)]
     baseline_gpix = 0.1  # reference bilinear resize (100 Mpix/s)
@@ -200,7 +208,8 @@ def bench_colorspace(jax, jnp):
     rng = np.random.default_rng(1)
     x = jax.device_put(
         rng.integers(0, 256, (4, _DIM, _DIM, 3), dtype=np.uint8))
-    per_iter = device_loop_timer(jax, jnp, chain, x)
+    per_iter = device_loop_timer(jax, jnp, chain, x,
+                                 *((1, 3) if _SMOKE else (2, 14)))
     gpix = 4 * _DIM * _DIM / per_iter / 1e9
     emit("batched colorspace chain (rgb<->lab/oklch/xyb) + equalize"
          " + autocontrast", round(gpix, 3), "GPix/s", None)
@@ -222,7 +231,11 @@ def bench_filter_fusion(jax, jnp):
     rng = np.random.default_rng(2)
     x = jax.device_put(
         rng.integers(0, 256, (_DIM, _DIM, 1), dtype=np.uint8))
-    per_iter = device_loop_timer(jax, jnp, chain, x)
+    # 1 MPix gray per iter is fast; long loops keep the differenced
+    # signal far above tunnel jitter (a 12-iter loop once measured
+    # NEGATIVE throughput)
+    per_iter = device_loop_timer(jax, jnp, chain, x,
+                                 *((1, 3) if _SMOKE else (5, 85)))
     gpix = _DIM * _DIM / per_iter / 1e9
     emit("fused blur+sharpen+morphology+threshold", round(gpix, 3),
          "GPix/s", None)
