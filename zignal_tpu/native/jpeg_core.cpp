@@ -17,7 +17,12 @@ namespace {
 
 struct HuffTable {
     // canonical code -> value decode via count/offset tables, plus an
-    // 8-bit prefix LUT that resolves ~99% of symbols in one lookup
+    // 8-bit prefix LUT that resolves ~99% of symbols in one lookup,
+    // plus a 12-bit FUSED AC LUT that resolves run/size AND the
+    // extended coefficient value in one lookup when the whole
+    // (code + value bits) fits 12 bits — the common case even in
+    // high-bitrate images, where 9-14-bit codes made the 8-bit LUT
+    // fall back to a linear length scan per coefficient.
     uint8_t counts[17] = {0};
     uint8_t values[256] = {0};
     int32_t mincode[17] = {0};
@@ -25,7 +30,16 @@ struct HuffTable {
     int32_t valptr[17] = {0};
     uint8_t lut_len[256] = {0};  // 0 = code longer than 8 bits
     uint8_t lut_val[256] = {0};
+    // lut12 entry: bits0-4 consumed bits, bits5-8 run, bit9 fused
+    // (value in bits16-31), bit10 EOB, bit11 ZRL, bit12 slow (code
+    // longer than 12 bits); bits16-31 = value (fused) or size s.
+    int32_t lut12[4096];
     bool present = false;
+
+    static const int32_t L12_FUSED = 1 << 9;
+    static const int32_t L12_EOB = 1 << 10;
+    static const int32_t L12_ZRL = 1 << 11;
+    static const int32_t L12_SLOW = 1 << 12;
 
     void build() {
         int code = 0, k = 0;
@@ -46,6 +60,40 @@ struct HuffTable {
             code <<= 1;
         }
         maxcode[17] = 0x7FFFFFFF;
+        build_lut12();
+    }
+
+    void build_lut12() {
+        for (int idx = 0; idx < 4096; ++idx) {
+            // decode the symbol from the 12-bit window
+            int L = 0, sym = -1;
+            int c = 0;
+            for (int l = 1; l <= 12; ++l) {
+                c = idx >> (12 - l);
+                if (counts[l] && c <= maxcode[l]) {
+                    L = l;
+                    sym = values[valptr[l] + c - mincode[l]];
+                    break;
+                }
+            }
+            if (sym < 0) { lut12[idx] = L12_SLOW; continue; }
+            int r = sym >> 4, s = sym & 15;
+            if (s == 0) {
+                lut12[idx] = r == 15 ? (L | L12_ZRL) : (L | L12_EOB);
+                continue;
+            }
+            int32_t e = L | (r << 5);
+            if (L + s <= 12) {
+                int bits = (idx >> (12 - L - s)) & ((1 << s) - 1);
+                int val = (s && bits < (1 << (s - 1)))
+                              ? bits - (1 << s) + 1 : bits;
+                e = (L + s) | (r << 5) | L12_FUSED
+                    | ((int32_t)(uint16_t)(int16_t)val << 16);
+            } else {
+                e |= (int32_t)s << 16;
+            }
+            lut12[idx] = e;
+        }
     }
 };
 
@@ -433,29 +481,48 @@ struct Decoder {
             if (br.cnt < 32) br.refill();
             if (br.cnt >= 32) {
                 // fast path: one refill covers symbol (<=16 bits) +
-                // receive (<=15 bits), no per-step checks
-                int rs;
-                int idx = (int)(br.buf >> 56);
-                int l = act.lut_len[idx];
-                if (l) {
-                    br.buf <<= l;
-                    br.cnt -= l;
-                    rs = act.lut_val[idx];
-                } else {
-                    int code16 = (int)(br.buf >> 48);
-                    rs = -1;
-                    for (int l2 = 9; l2 <= 16; ++l2) {
-                        int cd = code16 >> (16 - l2);
-                        if (act.counts[l2] && cd <= act.maxcode[l2]) {
-                            br.buf <<= l2;
-                            br.cnt -= l2;
-                            rs = act.values[act.valptr[l2] + cd
-                                            - act.mincode[l2]];
-                            break;
-                        }
+                // receive (<=15 bits). The fused 12-bit LUT resolves
+                // run/size AND the extended value in one lookup when
+                // code+value fit 12 bits.
+                int32_t e = act.lut12[(uint32_t)(br.buf >> 52)];
+                if (!(e & HuffTable::L12_SLOW)) {
+                    int consumed = e & 31;
+                    br.buf <<= consumed;
+                    br.cnt -= consumed;
+                    if (e & (HuffTable::L12_EOB | HuffTable::L12_ZRL)) {
+                        if (e & HuffTable::L12_ZRL) { k += 16; continue; }
+                        break;  // EOB
                     }
-                    if (rs < 0) return -1;  // invalid code (real bits)
+                    k += (e >> 5) & 15;
+                    if (k > 63) break;
+                    int16_t val;
+                    if (e & HuffTable::L12_FUSED) {
+                        val = (int16_t)(e >> 16);
+                    } else {
+                        int s = (e >> 16) & 15;
+                        int v = (int)(br.buf >> (64 - s));
+                        br.buf <<= s;
+                        br.cnt -= s;
+                        val = (int16_t)extend(v, s);
+                    }
+                    blk[ZIGZAG[k]] = val;
+                    k++;
+                    continue;
                 }
+                // code longer than 12 bits: resolve by length scan
+                int code16 = (int)(br.buf >> 48);
+                int rs = -1;
+                for (int l2 = 13; l2 <= 16; ++l2) {
+                    int cd = code16 >> (16 - l2);
+                    if (act.counts[l2] && cd <= act.maxcode[l2]) {
+                        br.buf <<= l2;
+                        br.cnt -= l2;
+                        rs = act.values[act.valptr[l2] + cd
+                                        - act.mincode[l2]];
+                        break;
+                    }
+                }
+                if (rs < 0) return -1;  // invalid code (real bits)
                 int r = rs >> 4, s = rs & 15;
                 if (s == 0) {
                     if (r == 15) { k += 16; continue; }
