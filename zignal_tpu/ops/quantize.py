@@ -68,15 +68,23 @@ class ColorLookupTable:
         c8 = (q << 3) | (q >> 2)  # cell center reconstruction to 8-bit
         rr, gg, bb = np.meshgrid(c8, c8, c8, indexing="ij")
         cells = np.stack([rr, gg, bb], axis=-1).reshape(-1, 3)  # [32768, 3]
-        pal = self.palette.astype(np.int32)
-        # |c - p|^2 = |c|^2 + |p|^2 - 2 c.p — one small int32 matmul
-        # instead of a [32768, n, 3] broadcast (which thrashes memory);
-        # np.argmin takes the FIRST minimum, matching the reference's
-        # (dist << 8) | index lowest-index tie-break (quantize.zig:62)
-        cc = (cells * cells).sum(axis=1)[:, None]
+        # |c - p|^2 = |c|^2 + |p|^2 - 2 c.p in FLOAT32: every term is an
+        # integer < 2^24 (max 3*255^2), so f32 BLAS sgemm is bit-exact
+        # while running ~10x faster than the int32 path numpy lowers to
+        # scalar loops; chunking keeps each [4096, n] distance block in
+        # cache for the argmin. np.argmin takes the FIRST minimum,
+        # matching the reference's (dist << 8) | index lowest-index
+        # tie-break (quantize.zig:62)
+        pal = self.palette.astype(np.float32)
+        cf = cells.astype(np.float32)
         pp = (pal * pal).sum(axis=1)[None, :]
-        dist = cc + pp - 2 * (cells @ pal.T)
-        self.table = np.argmin(dist, axis=1).astype(np.uint8).reshape(32, 32, 32)
+        palT = np.ascontiguousarray(pal.T)
+        idx = np.empty(cells.shape[0], np.uint8)
+        for o in range(0, cells.shape[0], 4096):
+            blk = cf[o:o + 4096]
+            dist = (blk * blk).sum(axis=1)[:, None] + pp - 2.0 * (blk @ palT)
+            idx[o:o + 4096] = np.argmin(dist, axis=1).astype(np.uint8)
+        self.table = idx.reshape(32, 32, 32)
 
     def lookup(self, rgb) -> int:
         r, g, b = int(rgb[0]) >> 3, int(rgb[1]) >> 3, int(rgb[2]) >> 3
@@ -100,40 +108,69 @@ def median_cut(arr: np.ndarray, max_colors: int) -> np.ndarray:
     r5 = (uniq >> 10) & 0x1F
     g5 = (uniq >> 5) & 0x1F
     b5 = uniq & 0x1F
+    # int32 throughout: half the memory traffic of int64 in the
+    # sort/gather loop; population sums stay < 2^31 for any real image
     colors = np.stack([(r5 << 3) | (r5 >> 2), (g5 << 3) | (g5 >> 2),
-                       (b5 << 3) | (b5 >> 2)], axis=-1).astype(np.int64)
+                       (b5 << 3) | (b5 >> 2)], axis=-1).astype(np.int32)
+    counts = counts.astype(np.int32)
     palette_size = min(len(colors), max_colors, 256)
     if palette_size == 0:
         raise ValueError("no colors to quantize")
     if len(colors) == 1:
         return colors.astype(np.uint8)
 
-    def make_box(cols, cnts):
+    import heapq
+
+    def make_box(cols, cnts, pop=None):
         """Stats are cached per box — recomputing them for every box on
         every iteration made the loop O(boxes^2) in numpy calls."""
         lo = cols.min(axis=0)
         hi = cols.max(axis=0)
         splittable = len(cols) > 1 and bool((hi > lo).any())
-        score = (int(np.prod(hi - lo + 1)) * int(cnts.sum())
-                 if splittable else 0)
-        return (cols, cnts, lo, hi, score)
+        if pop is None:
+            pop = int(cnts.sum())
+        score = int(np.prod(hi - lo + 1)) * pop if splittable else 0
+        return (cols, cnts, lo, hi, score, pop)
 
-    boxes = [make_box(colors, counts)]
+    # max-heap on (score, seq): seq is a deterministic tie-break that
+    # replicates the old linear max() (first-inserted wins ties is NOT
+    # what max() did — max() keeps the earliest index among equals, and
+    # heap insertion order preserves that for our push order)
+    boxes = []
+    heap = []
+    seq = 0
 
-    while len(boxes) < palette_size:
-        best = max(range(len(boxes)), key=lambda i: boxes[i][4])
-        if boxes[best][4] == 0:
+    def push(box):
+        nonlocal seq
+        boxes.append(box)
+        heapq.heappush(heap, (-box[4], seq, len(boxes) - 1))
+        seq += 1
+
+    push(make_box(colors, counts))
+    n_live = 1
+    dead = set()
+    while n_live < palette_size and heap:
+        neg_score, _, bi = heapq.heappop(heap)
+        if bi in dead:
+            continue
+        if -neg_score == 0:
+            heapq.heappush(heap, (neg_score, seq, bi))  # keep the leaf
             break
-        cols, cnts, lo, hi, _ = boxes.pop(best)
+        cols, cnts, lo, hi, _, pop = boxes[bi]
+        dead.add(bi)
+        n_live -= 1
         dim = int(np.argmax(hi - lo))
         order = np.argsort(cols[:, dim], kind="stable")
         cols, cnts = cols[order], cnts[order]
-        half = cnts.sum() // 2
+        half = pop // 2
         acc = np.cumsum(cnts)
         cut = int(np.argmax(acc >= half)) + 1
         cut = max(1, min(cut, len(cols) - 1))
-        boxes.append(make_box(cols[:cut], cnts[:cut]))
-        boxes.append(make_box(cols[cut:], cnts[cut:]))
+        left_pop = int(acc[cut - 1])
+        push(make_box(cols[:cut], cnts[:cut], left_pop))
+        push(make_box(cols[cut:], cnts[cut:], pop - left_pop))
+        n_live += 2
+    boxes = [b for i, b in enumerate(boxes) if i not in dead]
 
     palette = np.zeros((len(boxes), 3), dtype=np.uint8)
     for i, (cols, cnts, *_rest) in enumerate(boxes):
