@@ -193,7 +193,8 @@ def _dct_basis():
         u = np.arange(8)
         x = np.arange(8)
         c = np.where(u == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
-        _DCT_BASIS = (c[:, None] * np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16))
+        _DCT_BASIS = (c[:, None] * np.cos(
+            (2 * x[None, :] + 1) * u[:, None] * np.pi / 16)).astype(np.float32)
     return _DCT_BASIS
 
 
@@ -221,12 +222,30 @@ class _BitWriter:
 
 def _encode_plane_blocks(plane, q):
     """DCT + quantize all 8x8 blocks of a [H,W] float plane (H,W mult of 8).
-    Returns int32 [n_blocks_y, n_blocks_x, 64] in zigzag order."""
+    Returns int32 [n_blocks_y, n_blocks_x, 64] in zigzag order.
+
+    The separable DCT runs as two [8B, 8] x [8, 8] f32 sgemms (one per
+    axis) instead of an einsum — BLAS-shaped and single precision,
+    ~5x faster at identical visual quality (the reference encoder is
+    an integer LLM FDCT anyway, jpeg.zig:631, so there is no bit parity
+    to preserve on the encode side)."""
     h, w = plane.shape
     basis = _dct_basis()
-    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3) - 128.0
-    coef = np.einsum("ux,byxz,vz->byuv", basis, blocks, basis, optimize=True)
-    quant = np.round(coef / q).astype(np.int32)
+    blocks = (plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8).astype(np.float32, copy=False))
+    # the transpose+reshape above always yields a fresh buffer, so the
+    # in-place subtract never aliases the caller's plane
+    blocks -= np.float32(128.0)
+    nb = blocks.shape[0]
+    bt = np.ascontiguousarray(basis.T)
+    # pass 1 over x: t[(b,z), u] = sum_x blocks[b,x,z] basis[u,x]
+    t = blocks.transpose(0, 2, 1).reshape(nb * 8, 8) @ bt
+    # pass 2 over z: c[(b,u), v] = sum_z t[b,z,u] basis[v,z]
+    t = t.reshape(nb, 8, 8).transpose(0, 2, 1).reshape(nb * 8, 8) @ bt
+    coef = t.reshape(nb, 8, 8)
+    # int16 keeps every downstream pass (zigzag gather, MCU interleave)
+    # at half the traffic; quantized baseline coefficients are < 2^11
+    quant = np.round(coef / q.astype(np.float32)).astype(np.int16)
     return quant.reshape(h // 8, w // 8, 64)[..., _ZIGZAG]
 
 
@@ -356,15 +375,16 @@ def encode(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> byte
     qc = np.clip(np.floor((_Q_CHROMA * scale + 50) / 100), 1, 255)
 
     if gray:
-        y = arr[..., 0].astype(np.float64)
+        y = arr[..., 0].astype(np.float32)
         planes = [(y, ql, 1, 1, 0)]
         sh, sv = 1, 1
     else:
-        rgb = arr[..., :3].astype(np.float64)
+        rgb = arr[..., :3].astype(np.float32)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = (b - y) / 1.772 + 128.0
-        cr = (r - y) / 1.402 + 128.0
+        f = np.float32
+        y = f(0.299) * r + f(0.587) * g + f(0.114) * b
+        cb = (b - y) / f(1.772) + f(128.0)
+        cr = (r - y) / f(1.402) + f(128.0)
         sh = 2 if subsampling in ("422", "420") else 1
         sv = 2 if subsampling == "420" else 1
         if sh > 1 or sv > 1:
