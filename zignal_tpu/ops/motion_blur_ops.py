@@ -266,7 +266,19 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                                     bool(ins.all()), bool(ins.any())))
                 coords.append(jax.device_put(sxs))
                 coords.append(jax.device_put(sys_))
-                layout.append((i0, j0, th, tw, samples))
+                # union source box over all in-bounds samples: ONE
+                # gather per tile instead of one per (tile, sample) —
+                # the ~0.03 ms fixed cost per take times 20 samples x
+                # 16 tiles was ~10 ms of pure dispatch (r2 measurement)
+                active = [s for s in range(n_samples) if samples[s][5]]
+                if active:
+                    ub = (min(samples[s][0] for s in active),
+                          max(samples[s][1] for s in active),
+                          min(samples[s][2] for s in active),
+                          max(samples[s][3] for s in active))
+                else:
+                    ub = None
+                layout.append((i0, j0, th, tw, samples, active, ub))
 
         u8_in = arr.dtype == jnp.uint8
 
@@ -285,31 +297,40 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
             a = a_in.astype(jnp.float32)
             out_rows = []
             row = []
-            for ti, (i0, j0, th, tw, samples) in enumerate(layout):
+            for ti, (i0, j0, th, tw, samples, active, ub) in \
+                    enumerate(layout):
                 sxs = coord_args[2 * ti]
                 sys_ = coord_args[2 * ti + 1]
                 total = jnp.zeros((th, tw, c), jnp.float32)
                 count = jnp.zeros((th, tw, 1), jnp.float32)
                 n_always = 0
-                for s in range(n_samples):
-                    by0, by1, bx0, bx1, all_in, any_in = samples[s]
-                    if not any_in:
-                        continue  # sample fully outside for this tile
-                    sx = sxs[s]
-                    sy = sys_[s]
-                    x0 = jnp.floor(sx)
-                    y0 = jnp.floor(sy)
-                    fx = (sx - x0)[..., None]
-                    fy = (sy - y0)[..., None]
-                    bw = bx1 - bx0
-                    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1) - bx0
-                    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1) - by0
+                if active:
+                    # one batched gather from the tile's union box for
+                    # every in-bounds sample (indices/weights identical
+                    # to the old per-sample takes — pure data movement,
+                    # so bit-exactness is untouched)
+                    uby0, uby1, ubx0, ubx1 = ub
+                    ubw = ubx1 - ubx0
+                    sel = np.asarray(active)
+                    sxa = sxs[sel]
+                    sya = sys_[sel]
+                    x0 = jnp.floor(sxa)
+                    y0 = jnp.floor(sya)
+                    fxs = (sxa - x0)[..., None]
+                    fys = (sya - y0)[..., None]
+                    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1) - ubx0
+                    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1) - uby0
                     box = jax.lax.slice(
-                        patch, (by0, bx0, 0), (by1, bx1, 4 * c))
-                    g = jnp.take(box.reshape(-1, 4 * c),
-                                 (y0i * bw + x0i).reshape(-1),
-                                 axis=0).reshape(th, tw, 4 * c)
-                    g = g.astype(jnp.float32)
+                        patch, (uby0, ubx0, 0), (uby1, ubx1, 4 * c))
+                    g_all = jnp.take(box.reshape(-1, 4 * c),
+                                     (y0i * ubw + x0i).reshape(-1),
+                                     axis=0).reshape(len(active), th, tw,
+                                                     4 * c)
+                for si, s in enumerate(active):
+                    all_in = samples[s][4]
+                    fx = fxs[si]
+                    fy = fys[si]
+                    g = g_all[si].astype(jnp.float32)
                     v0 = g[..., 0:c] * (1 - fx) + g[..., c:2 * c] * fx
                     v1 = (g[..., 2 * c:3 * c] * (1 - fx)
                           + g[..., 3 * c:4 * c] * fx)
@@ -318,6 +339,8 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                         total = total + val
                         n_always += 1
                     else:
+                        sx = sxa[si]
+                        sy = sya[si]
                         inside = ((sx >= 0) & (sx < w)
                                   & (sy >= 0) & (sy < h))[..., None]
                         total = total + jnp.where(inside, val, 0.0)
