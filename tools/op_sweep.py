@@ -1,0 +1,59 @@
+import sys, time
+sys.path.insert(0, '/root/repo')
+import numpy as np, jax, jax.numpy as jnp
+from functools import partial
+sys.path.insert(0, '/root/repo')
+import bench
+
+rng = np.random.default_rng(0)
+img = jax.device_put(rng.integers(0, 256, (1024, 1024, 3), np.uint8))
+gray = jax.device_put(rng.integers(0, 256, (1024, 1024, 1), np.uint8))
+
+from zignal_tpu.ops.convolution import gaussian_blur
+from zignal_tpu.ops.interpolation import resize
+from zignal_tpu.enums import Interpolation
+from zignal_tpu.ops.integral import box_blur, sharpen
+from zignal_tpu.ops.binary import dilate, erode, otsu_threshold
+from zignal_tpu.ops.enhancement import autocontrast, equalize
+from zignal_tpu.ops.order_stat import median_blur
+from zignal_tpu.ops.edges import canny
+from zignal_tpu.ops.pyramid import ImagePyramid
+from zignal_tpu.color._array import convert_array
+
+OPS = [
+    ("gaussian_blur s2", lambda x: gaussian_blur(x, 2.0), img),
+    ("resize bilinear 2x down", lambda x: resize(x, 512, 512, Interpolation.BILINEAR), img),
+    ("resize bicubic 2x down", lambda x: resize(x, 512, 512, Interpolation.BICUBIC), img),
+    ("resize lanczos 2x down", lambda x: resize(x, 512, 512, Interpolation.LANCZOS), img),
+    ("resize bilinear 2x up", lambda x: resize(x, 2048, 2048, Interpolation.BILINEAR), img),
+    ("box_blur r3", lambda x: box_blur(x, 3), img),
+    ("sharpen r2", lambda x: sharpen(x, 2), img),
+    ("dilate r3", lambda x: dilate(x[..., 0], 3)[..., None], gray),
+    ("median_blur r2", lambda x: median_blur(x, 2), img),
+    ("canny", lambda x: canny(x[..., 0].astype(jnp.float32)), gray),
+    ("equalize", lambda x: equalize(x), img),
+    ("autocontrast", lambda x: autocontrast(x), img),
+    ("rgb->oklab->rgb", lambda x: jnp.clip(jnp.round(convert_array(convert_array(x.astype(jnp.float32)/255., 'rgb','oklab'),'oklab','rgb')*255.),0,255).astype(jnp.uint8), img),
+]
+
+def timer(fn, x, n_small=2, n_large=12):
+    @partial(jax.jit, static_argnames=("n",))
+    def looped(x, n):
+        def body(i, acc):
+            xi = jnp.bitwise_xor(x, i.astype(x.dtype))
+            return acc + jnp.sum(fn(xi).astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+    float(looped(x, n_small)); float(looped(x, n_large))
+    ests = []
+    for _ in range(3):
+        t0=time.perf_counter(); float(looped(x, n_small)); ts=time.perf_counter()-t0
+        t0=time.perf_counter(); float(looped(x, n_large)); tl=time.perf_counter()-t0
+        ests.append((tl-ts)/(n_large-n_small))
+    return sorted(ests)[1]
+
+for name, fn, x in OPS:
+    try:
+        t = timer(fn, x)
+        print(f"{name:28s} {t*1e3:7.2f} ms/Mpix", flush=True)
+    except Exception as e:
+        print(f"{name:28s} FAILED {str(e)[:80]}", flush=True)
