@@ -83,6 +83,15 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int64,
         ]
+        lib.zt_clt_build.restype = ctypes.c_int
+        lib.zt_clt_build.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+        ]
+        lib.zt_sixel_emit.restype = ctypes.c_int64
+        lib.zt_sixel_emit.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
         lib.zt_zlib_rle_compress.restype = ctypes.c_int64
         lib.zt_zlib_rle_compress.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,

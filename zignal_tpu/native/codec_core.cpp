@@ -8,6 +8,7 @@
 // Build: zignal_tpu/native/build.py (g++ -O3 -shared -fPIC).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <vector>
@@ -422,6 +423,105 @@ long zt_jpeg_entropy_encode(const int16_t* blocks, long nblocks,
         if (!put((1u << pad) - 1, pad)) return -1;
     }
     return di;
+}
+
+// ---------------------------------------------------------------------------
+// 5-bit RGB cube -> nearest-palette-index table (reference:
+// quantize.zig ColorLookupTable). Brute force over the palette per
+// cell with FIRST-minimum tie-break (lowest palette index), identical
+// to np.argmin over the distance matrix. The palette loop is branch-
+// light and autovectorizes over entries.
+int zt_clt_build(const uint8_t* palette, long n, uint8_t* table) {
+    if (n <= 0 || n > 256) return -1;
+    int32_t pr[256], pg[256], pb[256];
+    for (long i = 0; i < n; ++i) {
+        pr[i] = palette[3 * i];
+        pg[i] = palette[3 * i + 1];
+        pb[i] = palette[3 * i + 2];
+    }
+    for (int r = 0; r < 32; ++r) {
+        int cr = (r << 3) | (r >> 2);
+        for (int g = 0; g < 32; ++g) {
+            int cg = (g << 3) | (g >> 2);
+            for (int b = 0; b < 32; ++b) {
+                int cb = (b << 3) | (b >> 2);
+                int32_t bestd = INT32_MAX;
+                int best = 0;
+                for (long i = 0; i < n; ++i) {
+                    int32_t dr = cr - pr[i];
+                    int32_t dg = cg - pg[i];
+                    int32_t db = cb - pb[i];
+                    int32_t d = dr * dr + dg * dg + db * db;
+                    // strict < keeps the FIRST index among ties
+                    if (d < bestd) { bestd = d; best = (int)i; }
+                }
+                table[(r * 32 + g) * 32 + b] = (uint8_t)best;
+            }
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Sixel band emitter (reference: src/terminal/sixel.zig emit loop).
+// idx: [h][w] palette indices; emits the band section of the sixel
+// stream (everything between the palette definitions and the ST):
+// per 6-row band, per used color ascending: "#<c>" + RLE'd sixel
+// chars ('!'<run><ch> for runs > 3), colors separated by "$", bands by
+// "-" (no trailing "-"). Byte-identical to the python fallback.
+long zt_sixel_emit(const uint8_t* idx, long h, long w, uint8_t* out,
+                   long cap) {
+    std::vector<uint8_t> bits((size_t)256 * w);
+    bool used[256];
+    long pos = 0;
+    auto put = [&](const char* s, long n) -> bool {
+        if (pos + n > cap) return false;
+        std::memcpy(out + pos, s, n);
+        pos += n;
+        return true;
+    };
+    char tmp[32];
+    for (long band = 0; band < h; band += 6) {
+        int rows = (int)(h - band < 6 ? h - band : 6);
+        std::memset(bits.data(), 0, bits.size());
+        std::memset(used, 0, sizeof used);
+        for (int r = 0; r < rows; ++r) {
+            const uint8_t* row = idx + (band + r) * w;
+            uint8_t bit = (uint8_t)(1 << r);
+            for (long x = 0; x < w; ++x) {
+                bits[(size_t)row[x] * w + x] |= bit;
+                used[row[x]] = true;
+            }
+        }
+        bool first = true;
+        for (int c = 0; c < 256; ++c) {
+            if (!used[c]) continue;
+            if (!first && !put("$", 1)) return -1;
+            first = false;
+            int n = snprintf(tmp, sizeof tmp, "#%d", c);
+            if (!put(tmp, n)) return -1;
+            const uint8_t* b = &bits[(size_t)c * w];
+            long end = w;
+            while (end > 0 && b[end - 1] == 0) end--;
+            long x = 0;
+            while (x < end) {
+                uint8_t v = b[x];
+                long run = 1;
+                while (x + run < end && b[x + run] == v) run++;
+                char ch = (char)(v + 63);
+                if (run > 3) {
+                    n = snprintf(tmp, sizeof tmp, "!%ld%c", run, ch);
+                    if (!put(tmp, n)) return -1;
+                } else {
+                    for (long k = 0; k < run; ++k)
+                        if (!put(&ch, 1)) return -1;
+                }
+                x += run;
+            }
+        }
+        if (band + 6 < h && !put("-", 1)) return -1;
+    }
+    return pos;
 }
 
 // ---------------------------------------------------------------------------

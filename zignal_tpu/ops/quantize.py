@@ -64,6 +64,21 @@ class ColorLookupTable:
 
     def __init__(self, palette: np.ndarray):
         self.palette = np.asarray(palette, dtype=np.uint8)
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is not None and self.palette.ndim == 2 \
+                and self.palette.shape[1] == 3:
+            import ctypes
+
+            table = np.empty(32 * 32 * 32, np.uint8)
+            pal = np.ascontiguousarray(self.palette)
+            rc = lib.zt_clt_build(
+                pal.ctypes.data_as(ctypes.c_char_p), len(pal),
+                table.ctypes.data_as(ctypes.c_char_p))
+            if rc == 0:
+                self.table = table.reshape(32, 32, 32)
+                return
         q = np.arange(32, dtype=np.int32)
         c8 = (q << 3) | (q >> 2)  # cell center reconstruction to 8-bit
         rr, gg, bb = np.meshgrid(c8, c8, c8, indexing="ij")

@@ -59,6 +59,29 @@ def _rle(chars: np.ndarray) -> str:
     return "".join(out)
 
 
+def _emit_bands_native(indices: np.ndarray) -> str | None:
+    """Native band emitter (byte-identical to the python loop below;
+    the per-(band, color) RLE in python was ~0.5 s per 512^2 frame)."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    h, w = indices.shape
+    src = np.ascontiguousarray(indices, dtype=np.uint8)
+    # worst case: every column a distinct literal char per color ->
+    # bounded by bands * (256 colors * (5 + w)); cap generously
+    cap = (h // 6 + 1) * (256 * 8 + 6 * w) + 1024
+    out = ctypes.create_string_buffer(cap)
+    rc = lib.zt_sixel_emit(src.ctypes.data_as(ctypes.c_char_p), h, w,
+                           out, cap)
+    if rc < 0:
+        return None
+    return out.raw[:rc].decode("ascii")
+
+
 def sixel_from_array(arr: np.ndarray, options: SixelOptions | None = None,
                      profile: Profile | None = None) -> str:
     """Encode a uint8 [H, W, 3] array as a sixel escape sequence."""
@@ -85,27 +108,32 @@ def sixel_from_array(arr: np.ndarray, options: SixelOptions | None = None,
         b = (int(p[2]) * 100 + 127) // 255
         out.append(f"#{i};2;{r};{g};{b}")
 
-    for band_start in range(0, h, 6):
-        band = indices[band_start:band_start + 6]
-        rows_in_band = band.shape[0]
-        used = np.unique(band)
-        first_color = True
-        for color in used:
-            # bits: for each column, OR of (1 << row) where idx == color
-            eq = band == color  # [rows, w]
-            weights = (1 << np.arange(rows_in_band, dtype=np.uint8))[:, None]
-            bits = (eq * weights).sum(axis=0).astype(np.uint8)
-            if not first_color:
-                out.append("$")  # carriage return within band
-            first_color = False
-            out.append(f"#{color}")
-            # trim trailing zero-bit columns
-            nz = np.nonzero(bits)[0]
-            end = nz[-1] + 1 if len(nz) else 0
-            out.append(_rle(bits[:end]))
-        out.append("-")  # next band
-    if out[-1] == "-":
-        out.pop()
+    body = _emit_bands_native(indices)
+    if body is not None:
+        out.append(body)
+    else:
+        for band_start in range(0, h, 6):
+            band = indices[band_start:band_start + 6]
+            rows_in_band = band.shape[0]
+            used = np.unique(band)
+            first_color = True
+            for color in used:
+                # bits: per column, OR of (1 << row) where idx == color
+                eq = band == color  # [rows, w]
+                weights = (1 << np.arange(rows_in_band,
+                                          dtype=np.uint8))[:, None]
+                bits = (eq * weights).sum(axis=0).astype(np.uint8)
+                if not first_color:
+                    out.append("$")  # carriage return within band
+                first_color = False
+                out.append(f"#{color}")
+                # trim trailing zero-bit columns
+                nz = np.nonzero(bits)[0]
+                end = nz[-1] + 1 if len(nz) else 0
+                out.append(_rle(bits[:end]))
+            out.append("-")  # next band
+        if out[-1] == "-":
+            out.pop()
     out.append("\x1b\\")
     result = "".join(out)
     t4 = time.perf_counter_ns()
