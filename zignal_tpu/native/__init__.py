@@ -83,6 +83,11 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int64,
         ]
+        lib.zt_median_cut.restype = ctypes.c_int64
+        lib.zt_median_cut.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p,
+        ]
         lib.zt_clt_build.restype = ctypes.c_int
         lib.zt_clt_build.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,

@@ -426,6 +426,141 @@ long zt_jpeg_entropy_encode(const int16_t* blocks, long nblocks,
 }
 
 // ---------------------------------------------------------------------------
+// Adaptive median-cut palette (reference: quantize.zig medianCut).
+// Exactly replicates the python implementation in ops/quantize.py:
+// 5-bit binning in ascending key order, boxes split at the weighted
+// median of the widest channel (first-max channel on ties), next box
+// chosen by max volume*population score with earliest-insertion
+// tie-break, final palette = floor of per-box weighted means in box
+// insertion order. Verified palette-identical in tests.
+namespace mcut {
+struct Item { uint8_t c[3]; int32_t cnt; };
+struct Box {
+    std::vector<Item> items;
+    int64_t pop = 0, score = 0;
+    int lo[3], hi[3];
+    bool dead = false;
+};
+inline void finish_box(Box& b) {
+    for (int d = 0; d < 3; ++d) { b.lo[d] = 255; b.hi[d] = 0; }
+    for (const Item& it : b.items)
+        for (int d = 0; d < 3; ++d) {
+            if (it.c[d] < b.lo[d]) b.lo[d] = it.c[d];
+            if (it.c[d] > b.hi[d]) b.hi[d] = it.c[d];
+        }
+    bool splittable = b.items.size() > 1 &&
+        (b.hi[0] > b.lo[0] || b.hi[1] > b.lo[1] || b.hi[2] > b.lo[2]);
+    if (splittable) {
+        int64_t vol = (int64_t)(b.hi[0] - b.lo[0] + 1)
+                      * (b.hi[1] - b.lo[1] + 1) * (b.hi[2] - b.lo[2] + 1);
+        b.score = vol * b.pop;
+    } else {
+        b.score = 0;
+    }
+}
+}  // namespace mcut
+
+// rgb: [npix*3] u8. palette_out: [max_colors*3]. Returns palette size.
+long zt_median_cut(const uint8_t* rgb, long npix, long max_colors,
+                   uint8_t* palette_out) {
+    using namespace mcut;
+    if (npix <= 0 || max_colors <= 0) return -1;
+    if (max_colors > 256) max_colors = 256;
+    std::vector<int32_t> count(32768, 0);
+    for (long i = 0; i < npix; ++i) {
+        int key = ((rgb[3 * i] >> 3) << 10) | ((rgb[3 * i + 1] >> 3) << 5)
+                  | (rgb[3 * i + 2] >> 3);
+        count[key]++;
+    }
+    std::vector<Box> boxes;
+    boxes.reserve(2 * max_colors + 2);
+    boxes.emplace_back();
+    Box& root = boxes[0];
+    for (int key = 0; key < 32768; ++key) {
+        if (!count[key]) continue;
+        int r5 = key >> 10, g5 = (key >> 5) & 31, b5 = key & 31;
+        Item it;
+        it.c[0] = (uint8_t)((r5 << 3) | (r5 >> 2));
+        it.c[1] = (uint8_t)((g5 << 3) | (g5 >> 2));
+        it.c[2] = (uint8_t)((b5 << 3) | (b5 >> 2));
+        it.cnt = count[key];
+        root.items.push_back(it);
+        root.pop += count[key];
+    }
+    long n_colors = (long)root.items.size();
+    long target = n_colors < max_colors ? n_colors : max_colors;
+    finish_box(root);
+
+    // max-heap on (score, earliest insertion seq); lazy deletion
+    struct HE { int64_t score; long seq; size_t bi; };
+    auto cmp = [](const HE& a, const HE& b) {
+        if (a.score != b.score) return a.score < b.score;
+        return a.seq > b.seq;
+    };
+    std::vector<HE> heap;
+    auto hpush = [&](size_t bi, long seq) {
+        heap.push_back({boxes[bi].score, seq, bi});
+        std::push_heap(heap.begin(), heap.end(), cmp);
+    };
+    long seq = 0;
+    hpush(0, seq++);
+    long n_live = 1;
+    while (n_live < target && !heap.empty()) {
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        HE top = heap.back();
+        heap.pop_back();
+        if (boxes[top.bi].dead) continue;
+        if (top.score == 0) break;
+        Box src = std::move(boxes[top.bi]);
+        boxes[top.bi].dead = true;
+        n_live--;
+        int dim = 0;
+        int ext = src.hi[0] - src.lo[0];
+        for (int d = 1; d < 3; ++d)  // strict >: first max wins ties
+            if (src.hi[d] - src.lo[d] > ext) { ext = src.hi[d] - src.lo[d]; dim = d; }
+        std::stable_sort(src.items.begin(), src.items.end(),
+                         [dim](const Item& a, const Item& b) {
+                             return a.c[dim] < b.c[dim];
+                         });
+        int64_t half = src.pop / 2;
+        int64_t acc = 0;
+        size_t cut = src.items.size();
+        for (size_t i = 0; i < src.items.size(); ++i) {
+            acc += src.items[i].cnt;
+            if (acc >= half) { cut = i + 1; break; }
+        }
+        if (cut < 1) cut = 1;
+        if (cut > src.items.size() - 1) cut = src.items.size() - 1;
+        Box left, right;
+        left.items.assign(src.items.begin(), src.items.begin() + cut);
+        right.items.assign(src.items.begin() + cut, src.items.end());
+        for (const Item& it : left.items) left.pop += it.cnt;
+        right.pop = src.pop - left.pop;
+        finish_box(left);
+        finish_box(right);
+        boxes.push_back(std::move(left));
+        hpush(boxes.size() - 1, seq++);
+        boxes.push_back(std::move(right));
+        hpush(boxes.size() - 1, seq++);
+        n_live += 2;
+    }
+    long out = 0;
+    for (const Box& b : boxes) {
+        if (b.dead) continue;
+        uint64_t s[3] = {0, 0, 0}, wsum = 0;
+        for (const Item& it : b.items) {
+            for (int d = 0; d < 3; ++d)
+                s[d] += (uint64_t)it.c[d] * (uint64_t)it.cnt;
+            wsum += (uint64_t)it.cnt;
+        }
+        for (int d = 0; d < 3; ++d)
+            palette_out[3 * out + d] = (uint8_t)(s[d] / wsum);
+        out++;
+    }
+    return out;
+}
+
+// ---------------------------------------------------------------------------
 // 5-bit RGB cube -> nearest-palette-index table (reference:
 // quantize.zig ColorLookupTable). Brute force over the palette per
 // cell with FIRST-minimum tie-break (lowest palette index), identical

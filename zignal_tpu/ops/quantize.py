@@ -117,6 +117,19 @@ def median_cut(arr: np.ndarray, max_colors: int) -> np.ndarray:
     median of their largest dimension, prioritized by volume*population.
     """
     a = arr.reshape(-1, 3)
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None and len(a) > 0:
+        import ctypes
+
+        pal = np.empty((min(max_colors, 256), 3), np.uint8)
+        src = np.ascontiguousarray(a, dtype=np.uint8)
+        rc = lib.zt_median_cut(
+            src.ctypes.data_as(ctypes.c_char_p), len(a),
+            min(max_colors, 256), pal.ctypes.data_as(ctypes.c_char_p))
+        if rc > 0:
+            return pal[:rc].copy()
     keys = ((a[:, 0].astype(np.int64) >> 3) << 10) | \
            ((a[:, 1].astype(np.int64) >> 3) << 5) | (a[:, 2].astype(np.int64) >> 3)
     uniq, counts = np.unique(keys, return_counts=True)
