@@ -180,10 +180,20 @@ def bench_codec_roundtrip():
         png.encode(out_np)
     t_enc = (time.perf_counter() - t0) / 3
 
+    # attribution: through the axon tunnel the raw upload+download of
+    # the image pair alone costs ~100 ms (~20 MB/s link) — the
+    # end-to-end figure is transfer-bound here; co-located hardware
+    # would be codec-bound at ~1/(t_dec + t_enc/4 + device)
+    t0 = time.perf_counter()
+    dev = jax.device_put(arr)
+    np.asarray(dev)
+    transfer = time.perf_counter() - t0
     emit("end-to-end resize (JPEG decode -> device resize -> PNG encode)",
          round(mpix / t, 2), "MPix/s", round((mpix / t) / 100.0, 2),
          jpeg_decode_mpix_s=round(mpix / t_dec, 1),
-         png_encode_mpix_s=round(mpix / 4 / t_enc, 1))
+         png_encode_mpix_s=round(mpix / 4 / t_enc, 1),
+         tunnel_transfer_floor_ms=round(transfer * 1e3, 1),
+         host_codec_only_mpix_s=round(mpix / (t_dec + t_enc), 1))
 
 
 def bench_colorspace(jax, jnp):
