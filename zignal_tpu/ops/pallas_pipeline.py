@@ -368,6 +368,8 @@ def fused_resize_blur_oklab(batch, out_rows: int, out_cols: int,
                        jnp.bfloat16),                   # s_dhi
         ],
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),  # images are independent:
+            # lets Mosaic overlap the next image's DMA with compute
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, jnp.asarray(wy_p).astype(jnp.bfloat16),
