@@ -22,58 +22,108 @@ def histogram256(plane, weights=None):
     """256-bin histogram of a u8/int plane (any shape); `weights` (same
     shape, values in {0,1} or small ints) turns it into a masked count.
 
-    Lowered as a one-hot bf16 matmul on the MXU — ~100x faster than an
-    XLA scatter-add on TPU (measured 0.09 ms vs 9.0 ms for 1024^2).
-    Counts are exact: one-hot {0,1} and 128-wide f32 accumulation stay
-    integral; the cross-row reduction runs in int32."""
+    Nibble outer product on the MXU: hist2d[hi, lo] = sum over pixels
+    of onehot(hi(x)) * onehot(lo(x)), i.e. a batched [128,16]^T @
+    [128,16] contraction per 128-pixel row — the same MAC count as the
+    old 256-wide one-hot mat-vec but 8x less one-hot construction work
+    on the VPU (~100x faster than an XLA scatter-add either way).
+    Counts are exact: one-hot {0,1} products and per-row f32 partials
+    (<= 128 * max weight) are integral; the cross-row reduction runs in
+    int32. f32 operands are bf16-exact on TPU and keep the CPU backend
+    happy (its DotThunk lacks batched bf16 support)."""
     f = plane.reshape(-1)
     pad = (-f.size) % 128
     if pad:
         f = jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
     rows = f.reshape(-1, 128).astype(jnp.int32)
-    bins = jnp.arange(256, dtype=jnp.int32)
-    onehot = (rows[:, :, None] == bins).astype(jnp.bfloat16)
-    if weights is None:
-        vec = jnp.ones((128,), jnp.bfloat16)
-        part = jnp.einsum("rkb,k->rb", onehot, vec,
-                          preferred_element_type=jnp.float32)
-    else:
+    idx = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((rows >> 4)[..., None] == idx).astype(jnp.float32)
+    oh_lo = ((rows & 15)[..., None] == idx).astype(jnp.float32)
+    if weights is not None:
         wf = weights.reshape(-1)
         if pad:
             wf = jnp.concatenate([wf, jnp.zeros((pad,), wf.dtype)])
-        wrows = wf.reshape(-1, 128).astype(jnp.bfloat16)
-        part = jnp.einsum("rkb,rk->rb", onehot, wrows,
-                          preferred_element_type=jnp.float32)
-    hist = part.astype(jnp.int32).sum(axis=0)
+        oh_hi = oh_hi * wf.reshape(-1, 128).astype(jnp.float32)[..., None]
+    part = jnp.einsum("rkh,rkl->rhl", oh_hi, oh_lo,
+                      preferred_element_type=jnp.float32)
+    hist = part.astype(jnp.int32).sum(axis=0).reshape(256)
     if pad and weights is None:
         hist = hist.at[0].add(-pad)
     return hist
+
+
+def histogram256_multi(arr):
+    """[..., C] u8 -> [C, 256] per-channel histograms in ONE nibble
+    outer-product einsum (see histogram256; a python per-channel loop
+    paid the dispatch + reduction three times over)."""
+    c = arr.shape[-1]
+    f = jnp.moveaxis(arr.reshape(-1, c), -1, 0).reshape(c, -1)  # [C, N]
+    n = f.shape[1]
+    pad = (-n) % 128
+    if pad:
+        f = jnp.concatenate([f, jnp.zeros((c, pad), f.dtype)], axis=1)
+    rows = f.reshape(c, -1, 128).astype(jnp.int32)
+    idx = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((rows >> 4)[..., None] == idx).astype(jnp.float32)
+    oh_lo = ((rows & 15)[..., None] == idx).astype(jnp.float32)
+    part = jnp.einsum("crkh,crkl->crhl", oh_hi, oh_lo,
+                      preferred_element_type=jnp.float32)
+    hist = part.astype(jnp.int32).sum(axis=1).reshape(c, 256)
+    if pad:
+        hist = hist.at[:, 0].add(-pad)
+    return hist
+
+
+def lut_apply_u8_per_channel(arr, luts):
+    """``out[..., c] = luts[c][arr[..., c]]`` for u8 arr [..., C] and
+    luts [C, 256] — the nibble decomposition of lut_apply_u8 with the
+    channel as a batched contraction dim, one fused op for all
+    channels."""
+    xi = arr.astype(jnp.int32)
+    idx = jnp.arange(16, dtype=jnp.int32)
+    # f32 operands for CPU-backend portability; bf16-exact on TPU (see
+    # histogram256_multi)
+    oh_hi = ((xi >> 4)[..., None] == idx).astype(jnp.float32)
+    mask_lo = ((xi & 15)[..., None] == idx).astype(jnp.float32)
+    t = luts.astype(jnp.float32).reshape(-1, 16, 16)
+    cand = jnp.einsum("...ch,chl->...cl", oh_hi, t,
+                      preferred_element_type=jnp.float32)
+    return jnp.sum(cand * mask_lo, axis=-1).astype(jnp.uint8)
 
 
 def lut_apply_u8(plane, lut):
     """``lut[plane]`` for a u8/int plane and a [256] or [256, C] u8 LUT
     (the LUT may be a traced device array, e.g. equalize's CDF table).
 
-    Lowered as a telescoping staircase sum: ``lut[x] = lut[0] +
-    sum_v (lut[v] - lut[v-1]) * (x >= v)`` — 255 fused compare+FMA VPU
-    ops per pixel. Exact: every partial sum equals lut[min(x, v)], an
-    integer in [0, 255], so f32 arithmetic is lossless. Per-pixel
-    gathers and the one-hot formulation are both far slower on TPU: a
-    gather pays ~3 ns/row, and one-hot-times-table is a mat-VEC, which
-    cannot use the MXU (measured ~2.6 ms/MPix vs ~0.2 ms for this)."""
-    lutf = lut.astype(jnp.float32)
-    steps = lutf[1:] - lutf[:-1]
+    Nibble decomposition: with x = 16*hi + lo and the LUT viewed as a
+    [16, 16] table T, ``lut[x] = select_lo(onehot(hi) @ T)`` — the
+    16-wide one-hot contraction rides the MXU (XLA fuses the one-hot
+    into the dot operand, as in histogram256) and the final pick is a
+    16-term masked sum on the VPU, ~16x less elementwise work than the
+    previous 255-step staircase sum (measured 2.5x end-to-end). Exact:
+    one-hot is {0,1}, T entries are u8 integers (exact in bf16), and
+    every f32 partial stays an integer in [0, 255]. Per-pixel gathers
+    and the full 256-wide one-hot mat-vec are both far slower on TPU
+    (gathers pay ~3 ns/row; the mat-VEC cannot batch onto the MXU)."""
     xi = plane.astype(jnp.int32)
+    idx = jnp.arange(16, dtype=jnp.int32)
+    # f32 operands for CPU-backend portability; bf16-exact on TPU (see
+    # histogram256_multi)
+    oh_hi = ((xi >> 4)[..., None] == idx).astype(jnp.float32)
+    mask_lo = ((xi & 15)[..., None] == idx).astype(jnp.float32)
     if lut.ndim == 1:
-        acc = jnp.zeros(plane.shape, jnp.float32) + lutf[0]
-        for v in range(1, 256):
-            acc = acc + steps[v - 1] * (xi >= v)
-        return acc.astype(jnp.uint8)
-    acc = jnp.zeros((*plane.shape, lut.shape[1]), jnp.float32) + lutf[0]
-    ge = xi[..., None]
-    for v in range(1, 256):
-        acc = acc + steps[v - 1] * (ge >= v)
-    return acc.astype(jnp.uint8)
+        t = lut.astype(jnp.float32).reshape(16, 16)
+        cand = jax.lax.dot_general(
+            oh_hi, t, (((oh_hi.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [..., 16] candidates
+        return jnp.sum(cand * mask_lo, axis=-1).astype(jnp.uint8)
+    c = lut.shape[1]
+    t = lut.astype(jnp.float32).reshape(16, 16 * c)
+    cand = jax.lax.dot_general(
+        oh_hi, t, (((oh_hi.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    cand = cand.reshape(*plane.shape, 16, c)
+    return jnp.sum(cand * mask_lo[..., None], axis=-2).astype(jnp.uint8)
 
 
 def otsu_threshold(plane):

@@ -63,26 +63,29 @@ def autocontrast(arr, cutoff: float = 0.0, skip_alpha: bool = True):
 @partial(jax.jit, static_argnames=("skip_alpha",))
 def equalize(arr, skip_alpha: bool = True):
     """Per-channel histogram equalization via integer CDF LUT
-    (enhancement.zig:84-150). arr: u8 [H, W, C]."""
+    (enhancement.zig:84-150). arr: u8 [H, W, C]. All channels ride one
+    batched histogram einsum and one batched LUT apply (the former
+    per-channel loop tripled the MXU dispatches)."""
+    from .binary import histogram256_multi, lut_apply_u8_per_channel
+
     h, w, ch = arr.shape
     total = h * w
-    chans = []
-    for i in range(ch):
-        if skip_alpha and ch == 4 and i == 3:
-            chans.append(arr[..., i])
-            continue
-        plane = arr[..., i]
-        hist = histogram256(plane)
-        cdf = jnp.cumsum(hist)
-        nonzero = cdf > 0
-        cdf_min = jnp.where(jnp.any(nonzero), cdf[jnp.argmax(nonzero)], 0)
-        denom = total - cdf_min
-        ident = jnp.arange(256, dtype=jnp.uint8)
-        # u32 arithmetic per the reference (enhancement.zig uses u32):
-        # int32 would wrap for (cdf - cdf_min) > 2^31/255 ~ 8.4 Mpix.
-        num = (cdf - cdf_min).astype(jnp.uint32) * jnp.uint32(255)
-        den = jnp.maximum(denom, 1).astype(jnp.uint32)
-        lut = jnp.where(cdf >= cdf_min, (num // den).astype(jnp.uint8), 0)
-        lut = jnp.where(denom == 0, ident, lut)
-        chans.append(lut_apply_u8(plane, lut))
-    return jnp.stack(chans, axis=-1)
+    hists = histogram256_multi(arr)                     # [C, 256]
+    cdf = jnp.cumsum(hists, axis=1)
+    nonzero = cdf > 0
+    cdf_min = jnp.where(
+        jnp.any(nonzero, axis=1),
+        jnp.take_along_axis(cdf, jnp.argmax(nonzero, axis=1)[:, None],
+                            axis=1)[:, 0], 0)           # [C]
+    denom = total - cdf_min
+    ident = jnp.arange(256, dtype=jnp.uint8)
+    # u32 arithmetic per the reference (enhancement.zig uses u32):
+    # int32 would wrap for (cdf - cdf_min) > 2^31/255 ~ 8.4 Mpix.
+    num = (cdf - cdf_min[:, None]).astype(jnp.uint32) * jnp.uint32(255)
+    den = jnp.maximum(denom, 1).astype(jnp.uint32)[:, None]
+    luts = jnp.where(cdf >= cdf_min[:, None],
+                     (num // den).astype(jnp.uint8), 0)
+    luts = jnp.where((denom == 0)[:, None], ident[None, :], luts)
+    if skip_alpha and ch == 4:
+        luts = luts.at[3].set(ident)  # alpha passes through
+    return lut_apply_u8_per_channel(arr, luts)
