@@ -35,3 +35,24 @@ def test_incremental():
     assert h.values[0, 7] == 1
     h.remove_value(0, 7)
     assert h.values[0, 7] == 0
+
+
+def test_histogram256_weighted_and_multi_match_numpy():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zignal_tpu.ops.binary import histogram256, histogram256_multi
+
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, 256, (123, 77), dtype=np.uint8)
+    w = rng.integers(0, 4, x.shape).astype(np.int32)
+    got = np.asarray(histogram256(jnp.asarray(x), weights=jnp.asarray(w)))
+    want = np.bincount(x.ravel(), weights=w.ravel(),
+                       minlength=256).astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+
+    rgb = rng.integers(0, 256, (50, 61, 3), dtype=np.uint8)
+    multi = np.asarray(histogram256_multi(jnp.asarray(rgb)))
+    for c in range(3):
+        np.testing.assert_array_equal(
+            multi[c], np.bincount(rgb[..., c].ravel(), minlength=256))
