@@ -337,6 +337,19 @@ def bench_features_stretch():
         canvas.draw_circle((256, 256), 40 + i * 2, (0, 255, 128))
     t_canvas = time.perf_counter() - t0
 
+    # attribution: each detect_and_compute fetches the packed pyramid +
+    # score maps (~0.9 MB) through the ~20 MB/s tunnel — measure the
+    # raw round-trip of an equivalent buffer so the artifact shows how
+    # much of orb_ms is link latency rather than compute
+    import jax
+
+    probe = np.zeros((dim, dim, 3), np.uint8)
+    dev = jax.device_put(probe)
+    np.asarray(dev)  # warm
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(probe))
+    t_link = time.perf_counter() - t0
+
     total = t_orb + t_hough + t_canvas
     emit("ORB+match / Hough / Canvas stretch (512^2)",
          round(total * 1000, 1), "ms", None,
@@ -344,7 +357,8 @@ def bench_features_stretch():
          n_matches=len(matches),
          hough_ms=round(t_hough * 1000, 1),
          n_lines=len(lines),
-         canvas_ms=round(t_canvas * 1000, 1))
+         canvas_ms=round(t_canvas * 1000, 1),
+         tunnel_roundtrip_ms_per_image=round(t_link * 1000, 1))
 
 
 def main():
