@@ -159,9 +159,9 @@ def threshold_apply(plane, threshold):
 @partial(jax.jit, static_argnames=("radius",))
 def adaptive_mean_threshold(plane, radius: int, c: float):
     """out = src > window_mean - c (binary.zig:86-118). plane: u8 [H,W]."""
-    from .integral import _box_sums, integral_image
+    from .integral import _box_sums_exact
 
-    sums, area = _box_sums(integral_image(plane[..., None]), radius)
+    sums, area = _box_sums_exact(plane[..., None], radius)
     mean = sums[..., 0] / area[..., 0]
     return jnp.where(plane.astype(jnp.float32) > mean - c, 255, 0).astype(jnp.uint8)
 
