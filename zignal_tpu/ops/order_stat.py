@@ -73,13 +73,36 @@ def _rank_of(percentile: float, total: int) -> int:
     return min(max(rank, 0), total - 1)
 
 
+def _batcher_pairs(n: int):
+    """Compare-exchange pairs of Batcher's odd-even mergesort for n a
+    power of two (191 CEs for n=32 vs 300 for a 25-wide transposition
+    network)."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
+
+
 def _sorted_window(arr, radius: int, border: BorderMode):
     """Sorted window samples as a LIST of [H, W, C] arrays.
 
-    For windows up to 7x7 an odd-even transposition network of fused
-    jnp.minimum/maximum chains sorts in place — XLA fuses the whole
-    network into one elementwise kernel, far cheaper than jnp.sort over
-    a materialized [..., k*k] axis."""
+    For windows up to 7x7 a sorting network of fused jnp.minimum/maximum
+    chains sorts in place — XLA fuses the whole network into one
+    elementwise kernel and dead-code-eliminates comparisons that don't
+    feed the ranks a caller consumes; far cheaper than jnp.sort over a
+    materialized [..., k*k] axis. u8 inputs use Batcher's odd-even
+    mergesort padded to a power of two with 255 sentinels (every
+    sentinel CE constant-folds; sentinels sort above or tie with every
+    real value, so positions 0..k*k-1 are value-identical to the
+    unpadded sort); other dtypes keep the transposition network."""
     k2 = (2 * radius + 1) ** 2
     if k2 <= 49:
         padded = None
@@ -95,6 +118,15 @@ def _sorted_window(arr, radius: int, border: BorderMode):
         else:
             win = _window_stack(arr, radius, border)
             parts = [win[..., t] for t in range(k2)]
+        if arr.dtype == jnp.uint8 and k2 > 2:
+            n = 1 << (k2 - 1).bit_length()
+            sent = jnp.full_like(parts[0], 255)
+            parts = parts + [sent] * (n - k2)
+            for a, b in _batcher_pairs(n):
+                lo = jnp.minimum(parts[a], parts[b])
+                hi = jnp.maximum(parts[a], parts[b])
+                parts[a], parts[b] = lo, hi
+            return parts[:k2]
         for rnd in range(k2):
             for i in range(rnd % 2, k2 - 1, 2):
                 lo = jnp.minimum(parts[i], parts[i + 1])
