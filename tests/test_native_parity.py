@@ -111,3 +111,23 @@ def test_png_filter_and_encode_roundtrip_without_native(fallback):
     back_nat, _ = png.decode(native_bytes)
     np.testing.assert_array_equal(back_nat, img)
     np.testing.assert_array_equal(back_py, img)
+
+
+def test_error_diffusion_dither_matches_python(fallback):
+    from zignal_tpu.ops.dither import DitherMode, apply_dither
+    from zignal_tpu.ops.quantize import median_cut
+
+    for mode in (DitherMode.FLOYD_STEINBERG, DitherMode.ATKINSON):
+        src = _synth(48, 37, seed=13)
+        pal = median_cut(src, 16)
+        a_img = src.copy()
+        idx_a = apply_dither(a_img, pal, mode=mode)
+        disable, restore = fallback
+        saved = disable()
+        try:
+            b_img = src.copy()
+            idx_b = apply_dither(b_img, pal, mode=mode)
+        finally:
+            restore(saved)
+        np.testing.assert_array_equal(a_img, b_img)
+        np.testing.assert_array_equal(idx_a, idx_b)
