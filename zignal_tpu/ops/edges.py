@@ -69,17 +69,19 @@ def _quantized_nms(gx, gy, magnitude):
 
 
 def _dilate8(mask):
-    out = mask
-    for dr in (-1, 0, 1):
-        for dc in (-1, 0, 1):
-            if dr or dc:
-                out = out | _shift(mask, dr, dc, fill=False)
-    return out
+    """3x3 neighborhood OR, separable: rows then columns (4 shifts
+    instead of 8 — the box OR factors exactly)."""
+    h = mask | _shift(mask, 0, -1, fill=False) | _shift(mask, 0, 1,
+                                                        fill=False)
+    return h | _shift(h, -1, 0, fill=False) | _shift(h, 1, 0, fill=False)
 
 
 def _hysteresis(candidate, gradients, t_low, t_high):
     """Grow strong edges (grad >= high) through weak ones (grad >= low),
-    8-connected, to a fixpoint (edges.zig:499-580)."""
+    8-connected, to a fixpoint (edges.zig:499-580). Each while_loop
+    iteration takes FOUR masked growth steps — growth is monotone, so
+    the fixpoint is unchanged and the convergence reduce runs 4x less
+    often."""
     weak = candidate & (gradients >= t_low)
     strong = candidate & (gradients >= t_high)
 
@@ -89,7 +91,9 @@ def _hysteresis(candidate, gradients, t_low, t_high):
 
     def body(state):
         _, cur = state
-        grown = (weak & _dilate8(cur)) | cur
+        grown = cur
+        for _ in range(4):
+            grown = (weak & _dilate8(grown)) | grown
         return cur, grown
 
     first = (weak & _dilate8(strong)) | strong
