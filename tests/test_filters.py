@@ -119,6 +119,31 @@ def test_box_blur_oracle():
             assert np.array_equal(got[r, cc], want), (r, cc)
 
 
+def test_box_blur_large_radius_exact_int32_path():
+    """radius >= 128 pushes the window-sum bound past 2^24: sums stay int32
+    and the rounding division is all-integer (exact), instead of an f32 cast
+    that would round (ADVICE r2)."""
+    src = RNG.integers(0, 256, (160, 150, 1), dtype=np.uint8)
+    radius = 130
+    got = np.asarray(box_blur(src, radius))
+    got_sh = np.asarray(sharpen(src, radius))
+    h, w, _ = src.shape
+    xs = src.astype(np.int64)
+    sat = np.pad(xs, ((1, 0), (1, 0), (0, 0))).cumsum(0).cumsum(1)
+    r1 = np.clip(np.arange(h) - radius, 0, None)
+    r2 = np.clip(np.arange(h) + radius, None, h - 1)
+    c1 = np.clip(np.arange(w) - radius, 0, None)
+    c2 = np.clip(np.arange(w) + radius, None, w - 1)
+    s = (sat[r2 + 1][:, c2 + 1] - sat[r1][:, c2 + 1]
+         - sat[r2 + 1][:, c1] + sat[r1][:, c1])
+    area = ((r2 - r1 + 1)[:, None] * (c2 - c1 + 1)[None, :])[..., None]
+    q, rem = np.divmod(s, area)
+    want = np.clip(q + (2 * rem >= area), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
+    want_sh = np.clip(2 * xs - q - (2 * rem > area), 0, 255).astype(np.uint8)
+    assert np.array_equal(got_sh, want_sh)
+
+
 def test_sharpen_formula():
     src = RNG.integers(0, 256, (8, 8, 1), dtype=np.uint8)
     got = np.asarray(sharpen(src, 1))

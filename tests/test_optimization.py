@@ -349,3 +349,99 @@ def test_hungarian_matches_scipy_oracle():
         ri, ci = scipy_opt.linear_sum_assignment(c)
         want = c[ri, ci].sum()
         assert result.total_cost == pytest.approx(want, abs=1e-9), (rows, cols)
+
+
+# ---------------------------------------------------------------------------
+# GlobalOptimizer: ask-tell engine (reference: global_search.zig:155-341)
+# ---------------------------------------------------------------------------
+
+
+def _bowl(v):
+    return sum((x - 1.5) ** 2 for x in v)
+
+
+def test_global_optimizer_step_converges_and_is_deterministic():
+    """Mirrors reference test 'step() reports progress and is deterministic'
+    (global_search.zig:684)."""
+    opt = zignal.GlobalOptimizer([(-5, 5), (-5, 5)], seed=42)
+    saw_improvement = False
+    for _ in range(60):
+        s = opt.step(_bowl)
+        assert isinstance(s.y, float)
+        assert len(s.x) == 2
+        if s.improved:
+            saw_improvement = True
+    assert saw_improvement
+    x, y = opt.best()
+    assert y < 0.5
+
+    opt2 = zignal.GlobalOptimizer([(-5, 5), (-5, 5)], seed=42)
+    for _ in range(60):
+        opt2.step(_bowl)
+    x2, y2 = opt2.best()
+    assert x == x2 and y == y2
+
+
+def test_global_optimizer_batch_ask_vectorized_objective():
+    """Batch-ask + one vectorized evaluation per round converges to the same
+    optimum as the closed-loop optimize() (the reference's parallel pool,
+    global_search.zig:276-341, as vmapped/batched evaluation per SURVEY)."""
+    import numpy as np
+
+    opt = zignal.GlobalOptimizer([(-5, 5), (-5, 5)], seed=7)
+    for _ in range(15):
+        X = opt.ask(8)
+        Y = ((np.asarray(X) - 1.5) ** 2).sum(axis=1)  # one batched call
+        opt.tell(X, Y)
+    x, y = opt.best()
+    assert opt.num_evaluations == 120
+    x_ref, y_ref = zignal.optimize(_bowl, bounds=[(-5, 5), (-5, 5)],
+                                   max_evals=120, seed=7)
+    assert y < 0.1 and y_ref < 0.1  # both find the bowl minimum
+    assert abs(x[0] - 1.5) < 0.3 and abs(x[1] - 1.5) < 0.3
+
+
+def test_global_optimizer_batch_ask_distinct_candidates():
+    opt = zignal.GlobalOptimizer([(-1, 1)], seed=3)
+    # burn through the init schedule
+    X = opt.ask(6)
+    opt.tell(X, [_bowl(v) for v in X])
+    X = opt.ask(6)
+    assert len({tuple(v) for v in X}) == 6  # liar lowering keeps them apart
+
+
+def test_global_optimizer_warm_start_and_best():
+    opt = zignal.GlobalOptimizer([(0, 10)], seed=0)
+    with pytest.raises(ValueError):
+        opt.best()
+    opt.add_evaluation([2.0], 4.0)
+    opt.add_evaluation([3.0], 1.0)
+    x, y = opt.best()
+    assert x == [3.0] and y == 1.0
+
+
+def test_global_optimizer_maximize_policy():
+    opt = zignal.GlobalOptimizer([(-4, 4)], policy=zignal.OptimizationPolicy.MAX,
+                                 seed=1)
+    for _ in range(50):
+        opt.step(lambda v: -(v[0] - 2.0) ** 2)
+    x, y = opt.best()
+    assert abs(x[0] - 2.0) < 0.3
+    assert y > -0.1
+
+
+def test_global_optimizer_integer_snapping():
+    opt = zignal.GlobalOptimizer([(0, 10)], is_integer=[True], seed=5)
+    X = opt.ask(8)
+    for v in X:
+        assert v[0] == int(v[0])
+
+
+def test_global_optimizer_tell_validates():
+    opt = zignal.GlobalOptimizer([(0, 1), (0, 1)], seed=0)
+    with pytest.raises(ValueError):
+        opt.tell([[0.5]], [1.0])  # wrong dim
+    with pytest.raises(ValueError):
+        opt.tell([[0.5, 0.5], [0.2, 0.2]], [1.0])  # length mismatch
+    with pytest.raises(ValueError):
+        opt.tell([0.5, 0.5], float("nan"))

@@ -150,9 +150,12 @@ def main():
     from zignal_tpu.color._array import convert_array
     x8 = rng.integers(0, 256, (2, 320, 448, 3), dtype=np.uint8)
     xd = jax.device_put(x8)
+    # baseline via the raw XLA lowering (_resize_bilinear_u8), NOT resize():
+    # resize() may itself dispatch to the fused Pallas kernel on TPU, which
+    # would compare the kernel against itself
+    from zignal_tpu.ops.interpolation import _resize_bilinear_u8
     got = np.asarray(fused_resize_blur_oklab(xd, 128, 128, 2.0, oklab=False))
-    want = np.asarray(gaussian_blur(
-        resize(xd, 128, 128, Interpolation.BILINEAR), 2.0))
+    want = np.asarray(gaussian_blur(_resize_bilinear_u8(xd, 128, 128), 2.0))
     ok = np.array_equal(got, want)
     print("pallas fused u8 stages exact on TPU:", ok, flush=True)
     fails += not ok

@@ -26,7 +26,8 @@ from .colormaps import Colormap
 from .font import BitmapFont
 from .motion_blur import MotionBlur
 from .optimization import (
-    Assignment, OptimizationPolicy, optimize, solve_assignment_problem,
+    Assignment, GlobalOptimizer, OptimizationPolicy, optimize,
+    solve_assignment_problem,
 )
 from .perlin import perlin, perlin_array
 from .pca import PCA
@@ -67,6 +68,7 @@ __all__ = [
     "Canvas", "BitmapFont", "AnimatedImage",
     "perlin", "perlin_array",
     "OptimizationPolicy", "Assignment", "solve_assignment_problem", "optimize",
+    "GlobalOptimizer",
     "SimilarityTransform", "AffineTransform", "ProjectiveTransform", "ConvexHull",
     "EcLevel", "QrDecodeResult", "qrcode_encode", "qrcode_decode",
 ]

@@ -125,17 +125,23 @@ class Canvas:
         exact; zero-coverage pixels in skipped tiles are left untouched.
         A 512-px diagonal line drops from ~262k to ~40k evaluated px."""
         binary = DrawMode(mode) != DrawMode.SOFT
-        # open (1, w) / (h, 1) grids: every dist_fn mixes x and y, so
-        # broadcasting yields the full field without materializing two
-        # [h, w] meshes per tile
+        # open (1, w) / (h, 1) grids: dist_fns that mix x and y broadcast to
+        # the full field without materializing two [h, w] meshes per tile;
+        # the explicit broadcast_to below enforces full shape even for a
+        # dist_fn that depends on a single axis
         def open_grid(x0, y0, x1, y1):
             return (np.arange(x0, x1, dtype=np.float32)[None, :],
                     np.arange(y0, y1, dtype=np.float32)[:, None])
 
+        def field(x0, y0, x1, y1):
+            xg, yg = open_grid(x0, y0, x1, y1)
+            return np.broadcast_to(np.asarray(dist_fn(xg, yg),
+                                              dtype=np.float32),
+                                   (y1 - y0, x1 - x0))
+
         if (bx1 - bx0) * (by1 - by0) <= (1 << 14) or prune is None:
-            xg, yg = open_grid(bx0, by0, bx1, by1)
-            self._composite(self._coverage(dist_fn(xg, yg), mode), color,
-                            (bx0, by0), binary=binary)
+            self._composite(self._coverage(field(bx0, by0, bx1, by1), mode),
+                            color, (bx0, by0), binary=binary)
             return
         margin = tile * math.sqrt(0.5) + 1.5
         for ty in range(by0, by1, tile):
@@ -144,8 +150,7 @@ class Canvas:
                 tx1 = min(tx + tile, bx1)
                 if prune((tx + tx1) / 2.0, (ty + ty1) / 2.0) > margin:
                     continue
-                xg, yg = open_grid(tx, ty, tx1, ty1)
-                self._composite(self._coverage(dist_fn(xg, yg), mode),
+                self._composite(self._coverage(field(tx, ty, tx1, ty1), mode),
                                 color, (tx, ty), binary=binary)
 
     # -- lines --------------------------------------------------------------

@@ -853,6 +853,10 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
         n_tokens++;
     }
     lit_cnt[256] = 1;  // EOB
+    // empty input would leave EOB as the sole symbol -> a 1-bit
+    // incomplete code that strict inflaters may reject; add a dummy
+    // literal so the tree is complete for any decoder
+    if (n == 0) lit_cnt[0] = 1;
 
     uint8_t lit_len[286];
     uint32_t lit_code[286];

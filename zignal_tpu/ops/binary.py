@@ -159,10 +159,11 @@ def threshold_apply(plane, threshold):
 @partial(jax.jit, static_argnames=("radius",))
 def adaptive_mean_threshold(plane, radius: int, c: float):
     """out = src > window_mean - c (binary.zig:86-118). plane: u8 [H,W]."""
-    from .integral import _box_sums_exact
+    from .integral import _box_sums_exact, _mean_parts
 
     sums, area = _box_sums_exact(plane[..., None], radius)
-    mean = sums[..., 0] / area[..., 0]
+    q, frac = _mean_parts(sums, area)
+    mean = q[..., 0] if frac is None else (q + frac)[..., 0]
     return jnp.where(plane.astype(jnp.float32) > mean - c, 255, 0).astype(jnp.uint8)
 
 

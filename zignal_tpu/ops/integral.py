@@ -78,7 +78,34 @@ def _box_sums_exact(arr, radius: int):
         (r2 - r1 + 1).astype(np.float32)[:, None]
         * (c2 - c1 + 1).astype(np.float32)[None, :]
     )
-    return sums.astype(jnp.float32), jnp.asarray(area)[..., None]
+    # keep the exact dtype: for radius >= 128 the sum bound 255*(2r+1)^2
+    # passes 2^24 and a cast to f32 would round, breaking the contract
+    # above — consumers split int32 sums into (quotient, remainder) instead
+    return sums, jnp.asarray(area)[..., None]
+
+
+def _mean_parts(sums, area):
+    """Window mean decomposed as (q, frac): q = sums // area exact, frac =
+    remainder/area in [0, 1). For f32 sums (bound < 2^24) q is the float
+    mean with frac = 0. Keeps large-radius paths exact where a raw
+    int32->f32 cast of the sums would round."""
+    if sums.dtype == jnp.int32:
+        a = area.astype(jnp.int32)
+        q = sums // a
+        rem = sums - q * a
+        return q.astype(jnp.float32), rem.astype(jnp.float32) / area
+    return sums / area, None
+
+
+def _mean_round_u8(sums, area):
+    """floor(mean + 0.5) as u8, exact for both sum dtypes."""
+    if sums.dtype == jnp.int32:
+        a = area.astype(jnp.int32)
+        q = sums // a
+        rem = sums - q * a
+        return jnp.clip(q + (2 * rem >= a), 0, 255).astype(jnp.uint8)
+    vals = sums / area
+    return jnp.clip(jnp.floor(vals + 0.5), 0, 255).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("radius",))
@@ -89,12 +116,9 @@ def box_blur(arr, radius: int):
         return arr
     if arr.dtype == jnp.uint8:
         sums, area = _box_sums_exact(arr, radius)
-    else:  # float inputs are not integer-valued: keep the SAT path
-        sums, area = _box_sums(integral_image(arr), radius)
-    vals = sums / area
-    if arr.dtype == jnp.uint8:
-        return jnp.clip(jnp.floor(vals + 0.5), 0, 255).astype(jnp.uint8)
-    return vals.astype(arr.dtype)
+        return _mean_round_u8(sums, area)
+    sums, area = _box_sums(integral_image(arr), radius)
+    return (sums / area).astype(arr.dtype)
 
 
 @partial(jax.jit, static_argnames=("radius",))
@@ -104,10 +128,15 @@ def sharpen(arr, radius: int):
         return arr
     if arr.dtype == jnp.uint8:
         sums, area = _box_sums_exact(arr, radius)
-    else:
-        sums, area = _box_sums(integral_image(arr), radius)
-    blurred = sums / area
-    vals = 2.0 * arr.astype(jnp.float32) - blurred
-    if arr.dtype == jnp.uint8:
+        if sums.dtype == jnp.int32:
+            # floor(2t - s/a + 0.5) = 2t - q - (2*rem > a), all-integer
+            a = area.astype(jnp.int32)
+            q = sums // a
+            rem = sums - q * a
+            t2 = 2 * arr.astype(jnp.int32)
+            return jnp.clip(t2 - q - (2 * rem > a), 0, 255).astype(jnp.uint8)
+        vals = 2.0 * arr.astype(jnp.float32) - sums / area
         return jnp.clip(jnp.floor(vals + 0.5), 0, 255).astype(jnp.uint8)
+    sums, area = _box_sums(integral_image(arr), radius)
+    vals = 2.0 * arr.astype(jnp.float32) - sums / area
     return vals.astype(arr.dtype)

@@ -2,7 +2,7 @@
 solver (reference: src/optimization/)."""
 
 from .assignment import Assignment, OptimizationPolicy, solve_assignment_problem
-from .global_search import optimize
+from .global_search import GlobalOptimizer, Step, optimize
 
 __all__ = ["OptimizationPolicy", "Assignment", "solve_assignment_problem",
-           "optimize"]
+           "optimize", "GlobalOptimizer", "Step"]

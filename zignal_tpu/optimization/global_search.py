@@ -12,11 +12,13 @@ exploit the same vectorized candidate set).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from .assignment import OptimizationPolicy
 
-__all__ = ["optimize"]
+__all__ = ["optimize", "GlobalOptimizer", "Step"]
 
 
 def _validate_bounds(bounds, is_integer):
@@ -129,6 +131,204 @@ def optimize(objective, bounds, max_evals=100, policy=OptimizationPolicy.MIN,
 
     best_i = int(np.argmax(ys) if maximize else np.argmin(ys))
     return [float(v) for v in xs[best_i]], float(ys[best_i])
+
+
+@dataclasses.dataclass(frozen=True)
+class Step:
+    """Result of one ask+evaluate+tell iteration (reference:
+    global_search.zig:125 `Step` — point, value, and whether it improved)."""
+
+    x: list
+    y: float
+    improved: bool
+    move: str  # 'init' | 'random' | 'explore' | 'exploit'
+
+
+class GlobalOptimizer:
+    """Incremental ask-tell engine for MaxLIPO+TR global search (reference:
+    src/optimization/global_search.zig:155 `GlobalOptimizer` — init/step/
+    best/addEvaluation; its pooled `optimize` at :276-341 evaluates several
+    outstanding asks concurrently).
+
+    TPU-native equivalent of the reference's async evaluation pool:
+    `ask(k)` proposes k distinct candidates per round — subsequent picks see
+    the earlier ones as pending points with a pessimistic "liar" value so the
+    surrogate is lowered near them (the reference's rule at
+    global_search.zig:383: outstanding asks lower the surrogate near
+    themselves, and at most one trust-region ask is outstanding at a time).
+    Evaluate the whole batch with one vectorized/vmapped objective call and
+    feed the results back via `tell`.
+
+    >>> opt = GlobalOptimizer([(-5, 5)] * 2, seed=0)
+    >>> for _ in range(20):
+    ...     X = opt.ask(8)                       # (8, 2) candidates
+    ...     Y = ((np.asarray(X) - 1) ** 2).sum(1)  # vectorized objective
+    ...     opt.tell(X, Y)
+    >>> x, y = opt.best()
+    """
+
+    def __init__(self, bounds, policy=OptimizationPolicy.MIN, is_integer=None,
+                 seed=None, pure_random_probability=0.02,
+                 num_random_samples=5000, trust_region_eps=0.0):
+        self._policy = OptimizationPolicy(policy)
+        self._lo, self._hi = _validate_bounds(bounds, is_integer)
+        self._dim = len(bounds)
+        self._int_mask = np.array(
+            [bool(v) for v in (is_integer or [False] * self._dim)])
+        self._rng = np.random.default_rng(seed)
+        self._span = self._hi - self._lo
+        self._num_random_samples = int(num_random_samples)
+        self._pure_random_probability = float(pure_random_probability)
+        self._trust_region_eps = float(trust_region_eps)
+        self._xs: list[np.ndarray] = []
+        self._ys: list[float] = []
+        self._pending: list[tuple[np.ndarray, bool]] = []  # (x, is_exploit)
+        self._asked = 0            # total asks ever issued (drives init phase)
+        self._explore_next = True
+        self._n_init = max(2 * self._dim, 3) + 1  # center + random seeds
+
+    # -- internals ---------------------------------------------------------
+
+    @property
+    def _maximize(self):
+        return self._policy == OptimizationPolicy.MAX
+
+    def _snap(self, x):
+        x = np.clip(np.asarray(x, dtype=np.float64), self._lo, self._hi)
+        if self._int_mask.any():
+            x = np.where(self._int_mask, np.round(x), x)
+        return x
+
+    def _better(self, a, b):
+        return a > b if self._maximize else a < b
+
+    def _augmented(self):
+        """Observed points plus pending asks carrying a pessimistic value, so
+        batched asks spread out instead of re-picking the same region."""
+        X = np.stack(self._xs)
+        Y = np.asarray(self._ys, dtype=np.float64)
+        if self._pending:
+            liar = float(Y.min() if self._maximize else Y.max())
+            X = np.concatenate([X, np.stack([p for p, _ in self._pending])])
+            Y = np.concatenate([Y, np.full(len(self._pending), liar)])
+        return X, Y
+
+    def _propose_one(self):
+        """One candidate + its move label, honoring the init schedule, the
+        pure-random floor, and the explore/exploit alternation."""
+        if self._asked < self._n_init:
+            if self._asked == 0:
+                return self._snap((self._lo + self._hi) / 2.0), "init"
+            return (self._snap(self._lo + self._rng.random(self._dim)
+                               * self._span), "init")
+        if not self._xs or self._rng.random() < self._pure_random_probability:
+            return (self._snap(self._lo + self._rng.random(self._dim)
+                               * self._span), "random")
+        X, Y = self._augmented()
+        explore = self._explore_next
+        self._explore_next = not self._explore_next
+        exploit_outstanding = any(flag for _, flag in self._pending)
+        if not explore and not exploit_outstanding:
+            best_i = int(np.argmax(self._ys) if self._maximize
+                         else np.argmin(self._ys))
+            cand = _trust_region_candidate(
+                np.stack(self._xs), np.asarray(self._ys), best_i, self._lo,
+                self._hi, self._maximize, self._rng, self._snap,
+                self._trust_region_eps)
+            if cand is not None:
+                return cand, "exploit"
+        cand = _surrogate_candidate(X, Y, self._lo, self._hi, self._span,
+                                    self._maximize, self._rng,
+                                    self._num_random_samples, self._snap)
+        return cand, "explore"
+
+    # -- public API --------------------------------------------------------
+
+    def ask(self, k=1):
+        """Propose k candidate points to evaluate. Returns a list of k
+        float lists; evaluate them (in any order, e.g. one vectorized call)
+        and report results with `tell`."""
+        k = int(k)
+        if k < 1:
+            raise ValueError("k must be positive")
+        out = []
+        for _ in range(k):
+            cand, move = self._propose_one()
+            self._asked += 1
+            self._pending.append((np.asarray(cand, dtype=np.float64),
+                                  move == "exploit"))
+            out.append([float(v) for v in cand])
+        return out
+
+    def _ask_one_with_move(self):
+        cand, move = self._propose_one()
+        self._asked += 1
+        self._pending.append((np.asarray(cand, dtype=np.float64),
+                              move == "exploit"))
+        return [float(v) for v in cand], move
+
+    def tell(self, x, y):
+        """Report objective value(s). Accepts one point (`x` a length-dim
+        sequence, `y` a number) or a batch (`x` a (k, dim) array / list of
+        points, `y` length-k). Points need not come from `ask` — unasked
+        points are accepted as warm starts (reference addEvaluation,
+        global_search.zig:250)."""
+        X = np.asarray(x, dtype=np.float64)
+        if X.ndim == 1:
+            X = X[None, :]
+            Y = [y]
+        else:
+            Y = np.asarray(y, dtype=np.float64).ravel()
+            if len(Y) != len(X):
+                raise ValueError("tell: x and y lengths differ")
+        if X.shape[1] != self._dim:
+            raise ValueError("tell: point dimension mismatch")
+        for xi, yi in zip(X, Y):
+            yi = float(yi)
+            if not np.isfinite(yi):
+                raise ValueError("objective value must be finite")
+            self._xs.append(self._snap(xi))
+            self._ys.append(yi)
+            # retire the matching pending ask, if any
+            for j, (p, _) in enumerate(self._pending):
+                if np.array_equal(p, self._xs[-1]):
+                    self._pending.pop(j)
+                    break
+
+    def add_evaluation(self, x, y):
+        """Warm-start with an already-evaluated point (reference:
+        global_search.zig:250 addEvaluation)."""
+        self.tell(x, y)
+
+    def step(self, objective):
+        """One ask+evaluate+tell transaction (reference:
+        global_search.zig:257 step). Returns a `Step`."""
+        if not callable(objective):
+            raise TypeError("objective must be callable")
+        prev_best = None
+        if self._ys:
+            prev_best = (max(self._ys) if self._maximize else min(self._ys))
+        x, move = self._ask_one_with_move()
+        val = objective(list(x))
+        if isinstance(val, bool) or not isinstance(val, (int, float)):
+            raise TypeError("objective must return a number")
+        y = float(val)
+        self.tell(x, y)
+        improved = prev_best is None or self._better(y, prev_best)
+        return Step(x=x, y=y, improved=improved, move=move)
+
+    def best(self):
+        """Current best (x, y); raises if nothing has been told yet
+        (reference: global_search.zig:244 best)."""
+        if not self._ys:
+            raise ValueError("no evaluations yet")
+        best_i = int(np.argmax(self._ys) if self._maximize
+                     else np.argmin(self._ys))
+        return [float(v) for v in self._xs[best_i]], float(self._ys[best_i])
+
+    @property
+    def num_evaluations(self):
+        return len(self._ys)
 
 
 def _surrogate_candidate(X, Y, lo, hi, span, maximize, rng, n_samples, snap):
