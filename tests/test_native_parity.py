@@ -131,3 +131,57 @@ def test_error_diffusion_dither_matches_python(fallback):
             restore(saved)
         np.testing.assert_array_equal(a_img, b_img)
         np.testing.assert_array_equal(idx_a, idx_b)
+
+
+def test_host_resize_bit_identical_to_device(fallback):
+    """Native + numpy host resize == device resize, byte for byte, so the
+    placement layer is invisible in output (ops/host_resize.py)."""
+    import jax
+
+    from zignal_tpu.enums import Interpolation
+    from zignal_tpu.ops.host_resize import host_resize_u8
+    from zignal_tpu.ops.interpolation import resize
+
+    rng = np.random.default_rng(42)
+    disable, restore = fallback
+    for (h, w, c, oh, ow) in [
+        (64, 80, 3, 32, 40),      # clean downscale
+        (57, 43, 3, 120, 91),     # fractional upscale
+        (120, 160, 1, 37, 53),    # gray, odd downscale
+        (33, 33, 4, 66, 22),      # rgba, mixed
+        (1, 7, 3, 5, 5),          # degenerate row
+    ]:
+        src = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        for method in (Interpolation.BILINEAR,
+                       Interpolation.NEAREST):
+            want = np.asarray(resize(jax.device_put(src), oh, ow, method))
+            got_native = host_resize_u8(src, oh, ow, method)
+            saved = disable()
+            try:
+                got_numpy = host_resize_u8(src, oh, ow, method)
+            finally:
+                restore(saved)
+            assert np.array_equal(got_native, want), (h, w, c, oh, ow, method)
+            assert np.array_equal(got_numpy, want), (h, w, c, oh, ow, method)
+
+
+def test_image_resize_placement_host_matches_device():
+    """Image.resize under forced host placement == forced device placement."""
+    import os
+
+    import zignal_tpu as zignal
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, (90, 110, 3), dtype=np.uint8)
+    old = os.environ.get("ZT_PLACEMENT")
+    try:
+        os.environ["ZT_PLACEMENT"] = "host"
+        a = zignal.Image.from_numpy(src.copy()).resize((45, 55))
+        os.environ["ZT_PLACEMENT"] = "device"
+        b = zignal.Image.from_numpy(src.copy()).resize((45, 55))
+    finally:
+        if old is None:
+            os.environ.pop("ZT_PLACEMENT", None)
+        else:
+            os.environ["ZT_PLACEMENT"] = old
+    assert np.array_equal(a.to_numpy(), b.to_numpy())

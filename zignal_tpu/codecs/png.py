@@ -434,7 +434,12 @@ def _deflate(scanlines: bytes, level: int) -> bytes:
         return co.compress(data) + co.flush()
 
     a = _c2(zlib.Z_DEFAULT_STRATEGY, sample)
-    b = _c2(zlib.Z_RLE, sample)
+    # RLE side of the sample via the native one-shot encoder when present
+    # (~20x faster than zlib on the sample; sizes track Z_RLE closely
+    # enough for a 5%-margin relative decision)
+    b = _native_rle_deflate(sample)
+    if b is None:
+        b = _c2(zlib.Z_RLE, sample)
     use_rle = len(b) <= 1.05 * len(a)
     if use_rle:
         out = _native_rle_deflate(scanlines)

@@ -10,6 +10,8 @@ U_t^T in [0,1] pixel space, then round + clamp to u8.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 from .image import Image
@@ -228,6 +230,48 @@ class FeatureDistributionMatching:
         )
         out = jnp.floor(res * 255.0 + 0.5).astype(jnp.uint8)
         return out.reshape(x.shape[0], x.shape[1], x.shape[2], 3)
+
+    def match_sharded(self, source_dev, target: Image, mesh,
+                      axis_name: str = "batch"):
+        """FDM on a single H-sharded [H, W, 3] u8 device array: source
+        statistics via psum over the mesh (parallel.spatial
+        .spatial_mean_cov_image), 3x3 SVD on host, then the pixel map
+        runs shard-local with no resharding. Returns a new sharded
+        array; matches the single-device update() within f32
+        reduction-order tolerance (reference: fdm.zig:141-272)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .parallel.spatial import spatial_mean_cov_image
+
+        self.set_target(target)
+        if self._target_gray:
+            raise ValueError("match_sharded requires a color target")
+        mean_s, cov_s = spatial_mean_cov_image(mesh, axis_name)(source_dev)
+        mean_s = np.asarray(mean_s, dtype=np.float64)
+        cov_s = np.asarray(cov_s, dtype=np.float64)
+        u_s, s_s, _ = np.linalg.svd(cov_s)
+        sigma = np.zeros((3, 3))
+        for i in range(3):
+            if s_s[i] > 1e-10:
+                sigma[i, i] = np.sqrt(self._target_s[i] / s_s[i])
+        w = u_s @ sigma @ self._target_u.T
+        bias = self._target_mean - mean_s @ w
+
+        spec = NamedSharding(mesh, PartitionSpec(axis_name, None, None))
+
+        @partial(jax.jit, in_shardings=(spec, None, None),
+                 out_shardings=spec)
+        def apply_map(dev, wj, bj):
+            x = dev.astype(jnp.float32) / 255.0
+            res = jnp.clip(
+                jnp.einsum("hwc,cd->hwd", x, wj, precision="highest") + bj,
+                0.0, 1.0)
+            return jnp.floor(res * 255.0 + 0.5).astype(jnp.uint8)
+
+        return apply_map(source_dev, jnp.asarray(w, jnp.float32),
+                         jnp.asarray(bias, jnp.float32))
 
     def __repr__(self):
         return "FeatureDistributionMatching()"

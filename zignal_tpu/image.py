@@ -452,9 +452,24 @@ class Image:
                 raise ValueError("Size must be positive")
         else:
             raise TypeError("size must be a scale factor or a (rows, cols) tuple")
+        method = Interpolation(method)
+        # transfer-aware placement: a host-resident image with a
+        # bit-identical host lowering skips the device round-trip when the
+        # link cost exceeds host compute (placement.py; remote-tunnel CLI)
+        if self._np is not None and self._dev is None:
+            from .ops.host_resize import HOST_METHODS, host_resize_u8
+            from .placement import prefer_host
+
+            nb_in = self._np.nbytes
+            nb_out = rows * cols * self._np.shape[2]
+            if method in HOST_METHODS and prefer_host(
+                    nb_in, nb_out,
+                    (nb_in + nb_out) / self._np.shape[2] / 1e6):
+                return Image._from_host(
+                    host_resize_u8(self._np, rows, cols, method), self._space)
         from .ops.interpolation import resize as resize_op
 
-        out = resize_op(self._device(), rows, cols, Interpolation(method))
+        out = resize_op(self._device(), rows, cols, method)
         return Image._from_device(out, self._space)
 
     def letterbox(self, size, method: Interpolation = Interpolation.BILINEAR) -> "Image":

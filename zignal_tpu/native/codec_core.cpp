@@ -7,6 +7,7 @@
 //
 // Build: zignal_tpu/native/build.py (g++ -O3 -shared -fPIC).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -826,31 +827,78 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
     using namespace zdef;
     if (cap < 16) return -1;
 
-    // pass 1: tokenize into (literal | run) and histogram. Runs are
-    // distance-1 matches: at i, match length = count of src[i] ==
-    // src[i-1] forward, >= 3 to take (mirrors Z_RLE's emission).
+    // pass 1: tokenize into (literal | run) ONCE, recording runs so the
+    // emit pass never re-scans. Runs are distance-1 matches: at i, match
+    // length = count of src[i] == src[i-1] forward, >= 3 to take (mirrors
+    // Z_RLE's emission). Equal-neighbor pairs are located 8 bytes at a
+    // time via the XOR zero-byte trick — photographic residuals are
+    // nearly run-free, so the fast path dominates.
     uint32_t lit_cnt[286] = {0};
-    long i = 0;
-    long n_tokens = 0;
-    uint32_t dist_cnt[1] = {0};
-    while (i < n) {
-        long run = 0;
-        if (i > 0) {
-            uint8_t b = src[i - 1];
+    static thread_local std::vector<long> run_pos;
+    static thread_local std::vector<int> run_len;
+    run_pos.clear();
+    run_len.clear();
+    {
+        long i = 1;
+        while (i < n) {
+            // skip to the next position with src[i] == src[i-1]
+            while (i + 8 <= n) {
+                uint64_t a, b;
+                std::memcpy(&a, src + i, 8);
+                std::memcpy(&b, src + i - 1, 8);
+                uint64_t x = a ^ b;
+                // zero-byte detect
+                uint64_t z = (x - 0x0101010101010101ULL) & ~x
+                             & 0x8080808080808080ULL;
+                if (z) {
+                    i += __builtin_ctzll(z) >> 3;
+                    break;
+                }
+                i += 8;
+            }
+            if (i + 8 > n) {  // scalar tail
+                while (i < n && src[i] != src[i - 1]) i++;
+            }
+            if (i >= n) break;
+            // measure the stretch of equal-to-previous bytes; take runs
+            // of >= 3, each capped at 258, exactly as the serial
+            // tokenizer would (a stretch of length L yields
+            // floor(L/258) full runs + remainder-if->=3)
+            uint8_t v = src[i - 1];
             long j = i;
-            long lim = i + 258 < n ? i + 258 : n;
-            while (j < lim && src[j] == b) j++;
-            run = j - i;
+            while (j < n && src[j] == v) j++;
+            long stretch = j - i;
+            long p = i;
+            while (stretch >= 3) {
+                long take = stretch < 258 ? stretch : 258;
+                // the serial tokenizer only re-takes a run if the NEXT
+                // byte still equals its predecessor, which holds inside
+                // a uniform stretch; remainders < 3 fall back to literals
+                run_pos.push_back(p);
+                run_len.push_back((int)take);
+                lit_cnt[257 + length_code((int)take)]++;
+                p += take;
+                stretch -= take;
+            }
+            i = j;
         }
-        if (run >= 3) {
-            lit_cnt[257 + length_code((int)run)]++;
-            dist_cnt[0]++;
-            i += run;
-        } else {
-            lit_cnt[src[i]]++;
-            i++;
+    }
+    // literal histogram: all bytes, 4 banks to break the carried
+    // dependency, then subtract the run-covered bytes
+    {
+        uint32_t h0[256] = {0}, h1[256] = {0}, h2[256] = {0}, h3[256] = {0};
+        long i = 0;
+        for (; i + 4 <= n; i += 4) {
+            h0[src[i]]++;
+            h1[src[i + 1]]++;
+            h2[src[i + 2]]++;
+            h3[src[i + 3]]++;
         }
-        n_tokens++;
+        for (; i < n; i++) h0[src[i]]++;
+        for (int s = 0; s < 256; s++)
+            lit_cnt[s] += h0[s] + h1[s] + h2[s] + h3[s];
+        for (size_t r = 0; r < run_pos.size(); r++)
+            lit_cnt[src[run_pos[r]]] -= (uint32_t)run_len[r];
     }
     lit_cnt[256] = 1;  // EOB
     // empty input would leave EOB as the sole symbol -> a 1-bit
@@ -934,40 +982,43 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
         else if (t.first == 18) bw.put(t.second, 7);
     }
 
-    // pass 2: emit tokens. Fused (code | len<<20) entries keep the
-    // literal fast path to one table load; the bounds check moves out
-    // of the loop (worst case per token is ~26 bits, so staying 8
-    // bytes clear of cap is safe between checks).
+    // pass 2: emit straight from the pass-1 token records — the literal
+    // loop is a pure table-load + bit-append with no run probing. Fused
+    // (code | len<<20) entries keep it to one load per literal; the
+    // bounds check hoists out (<= 15 bits per literal, so 128 literals
+    // stay 256 bytes clear of cap).
     uint32_t fused[286];
     for (int s = 0; s < 286; s++)
         fused[s] = lit_code[s] | ((uint32_t)lit_len[s] << 20);
-    i = 0;
-    while (i < n) {
-        if (bw.pos + 512 > cap) return -1;  // 128 tokens * <=26 bits
-        long lim_i = i + 128 < n ? i + 128 : n;
-        while (i < lim_i) {
-            uint8_t s = src[i];
-            if (i > 0 && s == src[i - 1]) {
-                long j = i + 1;
-                long lim = i + 258 < n ? i + 258 : n;
-                while (j < lim && src[j] == s) j++;
-                long run = j - i;
-                if (run >= 3) {
-                    int lc = length_code((int)run);
-                    bw.put(lit_code[257 + lc], lit_len[257 + lc]);
-                    if (LXBITS[lc])
-                        bw.put((uint32_t)(run - LBASE[lc]), LXBITS[lc]);
-                    bw.put(dst_code[0], dst_len[0]);  // dist 1
-                    i += run;
-                    break;  // re-check the output bound
-                }
+    auto emit_literals = [&](long p, long e) -> bool {
+        while (p < e) {
+            if (bw.pos + 512 > cap) return false;
+            long lim = p + 128 < e ? p + 128 : e;
+            for (; lim - p >= 2; p += 2) {
+                uint32_t e0 = fused[src[p]], e1 = fused[src[p + 1]];
+                bw.put(e0 & 0xFFFFF, (int)(e0 >> 20));
+                bw.put(e1 & 0xFFFFF, (int)(e1 >> 20));
             }
-            uint32_t e = fused[s];
-            bw.put(e & 0xFFFFF, (int)(e >> 20));
-            i++;
+            for (; p < lim; p++) {
+                uint32_t e0 = fused[src[p]];
+                bw.put(e0 & 0xFFFFF, (int)(e0 >> 20));
+            }
         }
-        if (bw.fail) return -1;
+        return true;
+    };
+    long lp = 0;
+    for (size_t r = 0; r < run_pos.size(); r++) {
+        if (!emit_literals(lp, run_pos[r])) return -1;
+        if (bw.pos + 64 > cap) return -1;
+        int run = run_len[r];
+        int lc = length_code(run);
+        bw.put(lit_code[257 + lc], lit_len[257 + lc]);
+        if (LXBITS[lc]) bw.put((uint32_t)(run - LBASE[lc]), LXBITS[lc]);
+        bw.put(dst_code[0], dst_len[0]);  // dist 1
+        lp = run_pos[r] + run;
     }
+    if (!emit_literals(lp, n)) return -1;
+    if (bw.fail) return -1;
     bw.put(lit_code[256], lit_len[256]);  // EOB
     bw.flush_byte();
     if (bw.fail) return -1;
@@ -987,6 +1038,107 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
     dst[bw.pos++] = (uint8_t)(adler >> 8);
     dst[bw.pos++] = (uint8_t)adler;
     return bw.pos;
+}
+
+// ---------------------------------------------------------------------------
+// Host-side u8 resize, bit-identical to the device lowerings
+// (ops/interpolation.py _resize_bilinear_u8 / _resize_nearest): same f32
+// align-centers coordinate math ((dst+0.5)*ratio-0.5), 8.8 fixed-point
+// weights with truncation, mirror borders, >>16 truncating final divide.
+// Used by the transfer-aware placement layer when the device link cost
+// exceeds host compute (remote-tunnel CLI paths).
+
+static inline long zt_mirror_index(long i, long n) {
+    if (i >= 0 && i < n) return i;
+    if (n == 1) return 0;
+    long period = 2 * (n - 1);
+    long m = i % period;
+    if (m < 0) m += period;
+    return m >= n ? period - m : m;
+}
+
+long zt_resize_bilinear_u8(const uint8_t* src, long sh, long sw, long c,
+                           uint8_t* dst, long dh, long dw) {
+    if (sh < 1 || sw < 1 || dh < 1 || dw < 1 || c < 1 || c > 4) return -1;
+    const long sstride = sw * c;
+    const long dstride = dw * c;
+    // per-output-column taps: indices premultiplied by c, weights 8-bit
+    std::vector<int32_t> xa(dw), xb(dw), fx(dw);
+    {
+        float ratio = (float)sw / (float)dw;
+        for (long ox = 0; ox < dw; ox++) {
+            float sf = ((float)ox + 0.5f) * ratio - 0.5f;
+            float fl = std::floor(sf);
+            long i0 = (long)fl;
+            int f = (int)((sf - fl) * 256.0f);  // trunc, matches np.trunc
+            xa[ox] = (int32_t)(zt_mirror_index(i0, sw) * c);
+            xb[ox] = (int32_t)(zt_mirror_index(i0 + 1, sw) * c);
+            fx[ox] = f;
+        }
+    }
+    std::vector<uint16_t> trow(sstride);  // row pass max 255*256 = 65280
+    uint16_t* t = trow.data();
+    float ratio_y = (float)sh / (float)dh;
+    for (long oy = 0; oy < dh; oy++) {
+        float sf = ((float)oy + 0.5f) * ratio_y - 0.5f;
+        float fl = std::floor(sf);
+        long i0 = (long)fl;
+        int fy = (int)((sf - fl) * 256.0f);
+        const uint8_t* ra = src + zt_mirror_index(i0, sh) * sstride;
+        const uint8_t* rb = src + zt_mirror_index(i0 + 1, sh) * sstride;
+        const int wy0 = 256 - fy, wy1 = fy;
+        for (long k = 0; k < sstride; k++)  // autovectorizes (widening MAC)
+            t[k] = (uint16_t)(ra[k] * wy0 + rb[k] * wy1);
+        uint8_t* out = dst + oy * dstride;
+        if (c == 3) {
+            for (long ox = 0; ox < dw; ox++) {
+                const int32_t a = xa[ox], b = xb[ox];
+                const int32_t w0 = 256 - fx[ox], w1 = fx[ox];
+                out[ox * 3 + 0] = (uint8_t)(((int32_t)t[a] * w0 + (int32_t)t[b] * w1) >> 16);
+                out[ox * 3 + 1] = (uint8_t)(((int32_t)t[a + 1] * w0 + (int32_t)t[b + 1] * w1) >> 16);
+                out[ox * 3 + 2] = (uint8_t)(((int32_t)t[a + 2] * w0 + (int32_t)t[b + 2] * w1) >> 16);
+            }
+        } else {
+            for (long ox = 0; ox < dw; ox++) {
+                const int32_t a = xa[ox], b = xb[ox];
+                const int32_t w0 = 256 - fx[ox], w1 = fx[ox];
+                for (long ch = 0; ch < c; ch++)
+                    out[ox * c + ch] = (uint8_t)(
+                        ((int32_t)t[a + ch] * w0 + (int32_t)t[b + ch] * w1) >> 16);
+            }
+        }
+    }
+    return 0;
+}
+
+long zt_resize_nearest_u8(const uint8_t* src, long sh, long sw, long c,
+                          uint8_t* dst, long dh, long dw) {
+    if (sh < 1 || sw < 1 || dh < 1 || dw < 1 || c < 1 || c > 4) return -1;
+    const long sstride = sw * c;
+    std::vector<int32_t> xs(dw);
+    {
+        float ratio = (float)sw / (float)dw;
+        for (long ox = 0; ox < dw; ox++) {
+            // Zig @round = half away from zero; coords > -0.5 so floor(x+0.5)
+            float sf = ((float)ox + 0.5f) * ratio - 0.5f;
+            long x = (long)std::floor(sf + 0.5f);
+            if (x < 0) x = 0;
+            if (x >= sw) x = sw - 1;
+            xs[ox] = (int32_t)(x * c);
+        }
+    }
+    float ratio_y = (float)sh / (float)dh;
+    for (long oy = 0; oy < dh; oy++) {
+        float sf = ((float)oy + 0.5f) * ratio_y - 0.5f;
+        long y = (long)std::floor(sf + 0.5f);
+        if (y < 0) y = 0;
+        if (y >= sh) y = sh - 1;
+        const uint8_t* row = src + y * sstride;
+        uint8_t* out = dst + oy * dw * c;
+        for (long ox = 0; ox < dw; ox++)
+            std::memcpy(out + ox * c, row + xs[ox], (size_t)c);
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -23,11 +23,22 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.convolution import gaussian_kernel
+from .spatial import (  # noqa: F401  (re-exported surface)
+    halo_extend, spatial_adaptive_mean_threshold, spatial_box_blur,
+    spatial_dilate, spatial_erode, spatial_mean_cov_image,
+    spatial_median_blur, spatial_op, spatial_sharpen, spatial_sobel,
+    spatial_ssim,
+)
 
 __all__ = [
     "make_mesh", "shard_batch", "replicate", "sharded_pipeline",
     "spatial_gaussian_blur", "global_mean_cov", "spatial_histogram",
     "spatial_equalize",
+    # generic spatial sharding (parallel/spatial.py)
+    "halo_extend", "spatial_op", "spatial_box_blur", "spatial_sharpen",
+    "spatial_adaptive_mean_threshold", "spatial_sobel", "spatial_dilate",
+    "spatial_erode", "spatial_median_blur", "spatial_ssim",
+    "spatial_mean_cov_image",
 ]
 
 

@@ -1,0 +1,331 @@
+"""Generic spatial (H-axis) sharding with halo exchange (SURVEY §5
+"sharding-transparent op surface"; VERDICT r2 item 3).
+
+One primitive covers every windowed op: exchange ``radius`` INPUT rows
+with ring neighbors over ICI (``lax.ppermute``), synthesize the global
+top/bottom halos per border mode, run the UNCHANGED single-device op on
+the extended block, and crop the halo rows from the output. Output row j
+of the extended block only reads input rows [j-radius, j+radius] — all
+real data for the kept rows — so the op's own border logic is exercised
+only on rows that are cropped away, and the sharded result is
+bit-identical to the single-device op (tests/test_spatial_sharding.py).
+
+Ops with clamped-window semantics (box blur family: window areas shrink
+at the global edges) do not fit the crop trick directly; they get
+dedicated bodies that combine ZERO halos with a global area table.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..enums import BorderMode
+
+__all__ = [
+    "halo_extend", "spatial_op",
+    "spatial_box_blur", "spatial_sharpen", "spatial_adaptive_mean_threshold",
+    "spatial_sobel", "spatial_dilate", "spatial_erode",
+    "spatial_median_blur", "spatial_ssim", "spatial_mean_cov_image",
+]
+
+
+def _rings(n):
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [((i + 1) % n, i) for i in range(n)]
+    return fwd, bwd
+
+
+def halo_extend(local, radius: int, border: BorderMode, axis_name: str,
+                n: int):
+    """Extend an H-sharded local block with ``radius`` rows of halo on
+    each side: ring ``ppermute`` for interior boundaries, border-mode
+    synthesis (zero / replicate / mirror; wrap falls out of the ring)
+    at the global edges. Must be called inside shard_map."""
+    h_loc = local.shape[0]
+    if radius > h_loc or (border == BorderMode.MIRROR and radius + 1 > h_loc):
+        raise ValueError(
+            f"shard of {h_loc} rows too small for halo radius {radius}; "
+            "use fewer chips or a smaller window")
+    if radius == 0:
+        return local
+    fwd, bwd = _rings(n)
+    up = jax.lax.ppermute(local[h_loc - radius:], axis_name, fwd)
+    down = jax.lax.ppermute(local[:radius], axis_name, bwd)
+    if border != BorderMode.WRAP:
+        idx = jax.lax.axis_index(axis_name)
+        if border == BorderMode.ZERO:
+            top = jnp.zeros_like(up)
+            bot = jnp.zeros_like(down)
+        elif border == BorderMode.REPLICATE:
+            top = jnp.repeat(local[:1], radius, axis=0)
+            bot = jnp.repeat(local[-1:], radius, axis=0)
+        else:  # MIRROR: reflect without the edge row (border.zig:46)
+            top = jnp.flip(local[1:radius + 1], axis=0)
+            bot = jnp.flip(local[h_loc - radius - 1:h_loc - 1], axis=0)
+        up = jnp.where(idx == 0, top, up)
+        down = jnp.where(idx == n - 1, bot, down)
+    return jnp.concatenate([up, local, down], axis=0)
+
+
+def spatial_op(mesh: Mesh, fn, radius: int,
+               border: BorderMode = BorderMode.MIRROR,
+               axis_name: str = "batch", ndim: int = 3, jit: bool = True):
+    """Lift a single-device windowed op to an H-sharded multi-chip op.
+
+    ``fn`` maps an [H, ...] block to an [H, ...] block using only input
+    rows within ``radius`` of each output row, with ``border`` as its
+    vertical border semantics. The wrapper is then bit-exact vs ``fn``
+    on the unsharded image. ``ndim``: rank of the image (2 or 3)."""
+    n = mesh.devices.size
+    border = BorderMode(border)
+
+    def body(local):
+        ext = halo_extend(local, radius, border, axis_name, n)
+        out = fn(ext)
+        return jax.lax.slice_in_dim(out, radius, radius + local.shape[0],
+                                    axis=0)
+
+    spec = P(axis_name, *([None] * (ndim - 1)))
+    sm = shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec)
+    return jax.jit(sm) if jit else sm
+
+
+# ---------------------------------------------------------------------------
+# Clamped-window family (box blur / sharpen / adaptive threshold):
+# ZERO halos make the window SUMS correct everywhere (absent rows add 0),
+# and the true clamped area comes from a global per-row extent table
+# sliced at the chip's offset. Exact integer rounding as ops/integral.py.
+# ---------------------------------------------------------------------------
+
+
+def _clamped_row_extents(total: int, radius: int) -> np.ndarray:
+    i = np.arange(total)
+    r1 = np.clip(i - radius, 0, None)
+    r2 = np.clip(i + radius, None, total - 1)
+    return (r2 - r1 + 1).astype(np.int32)
+
+
+def _sharded_box_sums(local, h_total: int, radius: int, axis_name: str,
+                      n: int):
+    """Exact clamped-window sums + areas for an H-sharded [h, W, C] u8
+    block. Returns (sums int32/f32-exact, area int32 [h, W, 1])."""
+    from ..ops.integral import _clamped_band
+    from ..ops.mxu_resample import build_tap_matrix, exact_axis_apply
+
+    h_loc, w = local.shape[0], local.shape[1]
+    ext = halo_extend(local, radius, BorderMode.ZERO, axis_name, n)
+    # horizontal: stock clamped band (W is unsharded)
+    band_w = _clamped_band(w, radius)
+    # vertical: full (2r+1)-tap band over the extended rows — zero halos
+    # mean absent rows contribute nothing, exactly like clamping
+    base_h = np.arange(h_loc)[:, None] + np.arange(2 * radius + 1)[None, :]
+    band_h = build_tap_matrix(base_h, np.ones(2 * radius + 1, np.int64),
+                              h_loc + 2 * radius, h_loc)
+    t, tb = exact_axis_apply(ext, band_h, 255, axis=0)
+    sums, _ = exact_axis_apply(t.astype(jnp.float32)
+                               if t.dtype != jnp.int32 else t,
+                               band_w, tb, axis=1)
+    idx = jax.lax.axis_index(axis_name)
+    rows_ext = jnp.asarray(_clamped_row_extents(h_total, radius))
+    row_e = jax.lax.dynamic_slice_in_dim(rows_ext, idx * h_loc, h_loc)
+    col_e = jnp.asarray(_clamped_row_extents(w, radius))
+    area = (row_e[:, None] * col_e[None, :])[..., None]
+    return sums, area
+
+
+def _round_div_u8(sums, area):
+    if sums.dtype == jnp.int32:
+        q = sums // area
+        rem = sums - q * area
+        return jnp.clip(q + (2 * rem >= area), 0, 255).astype(jnp.uint8)
+    af = area.astype(jnp.float32)
+    return jnp.clip(jnp.floor(sums / af + 0.5), 0, 255).astype(jnp.uint8)
+
+
+def spatial_box_blur(mesh: Mesh, h_total: int, radius: int,
+                     axis_name: str = "batch"):
+    """H-sharded box blur of [H, W, C] u8, bit-exact vs ops.integral
+    .box_blur (reference clamped-window semantics, integral.zig)."""
+    n = mesh.devices.size
+
+    def body(local):
+        if radius == 0:
+            return local
+        sums, area = _sharded_box_sums(local, h_total, radius, axis_name, n)
+        return _round_div_u8(sums, area)
+
+    spec = P(axis_name, None, None)
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec))
+
+
+def spatial_sharpen(mesh: Mesh, h_total: int, radius: int,
+                    axis_name: str = "batch"):
+    """H-sharded unsharp mask (2*orig - box mean), bit-exact vs
+    ops.integral.sharpen."""
+    n = mesh.devices.size
+
+    def body(local):
+        if radius == 0:
+            return local
+        sums, area = _sharded_box_sums(local, h_total, radius, axis_name, n)
+        if sums.dtype == jnp.int32:
+            q = sums // area
+            rem = sums - q * area
+            t2 = 2 * local.astype(jnp.int32)
+            return jnp.clip(t2 - q - (2 * rem > area), 0, 255) \
+                .astype(jnp.uint8)
+        vals = 2.0 * local.astype(jnp.float32) - sums / area.astype(jnp.float32)
+        return jnp.clip(jnp.floor(vals + 0.5), 0, 255).astype(jnp.uint8)
+
+    spec = P(axis_name, None, None)
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec))
+
+
+def spatial_adaptive_mean_threshold(mesh: Mesh, h_total: int, radius: int,
+                                    c: float, axis_name: str = "batch"):
+    """H-sharded adaptive mean threshold of a [H, W] u8 plane, matching
+    ops.binary.adaptive_mean_threshold (binary.zig:86-118)."""
+    n = mesh.devices.size
+
+    def body(plane):
+        local = plane[..., None]
+        sums, area = _sharded_box_sums(local, h_total, radius, axis_name, n)
+        if sums.dtype == jnp.int32:
+            q = sums // area
+            rem = sums - q * area
+            mean = (q.astype(jnp.float32)
+                    + rem.astype(jnp.float32) / area.astype(jnp.float32))
+        else:
+            mean = sums / area.astype(jnp.float32)
+        mean = mean[..., 0]
+        return jnp.where(plane.astype(jnp.float32) > mean - c, 255, 0) \
+            .astype(jnp.uint8)
+
+    spec = P(axis_name, None)
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec))
+
+
+# ---------------------------------------------------------------------------
+# Crop-trick instances of stock ops
+# ---------------------------------------------------------------------------
+
+
+def spatial_sobel(mesh: Mesh, axis_name: str = "batch"):
+    """H-sharded sobel magnitude of a [H, W] f32 plane (REPLICATE
+    borders, as ops.convolution.sobel_magnitude)."""
+    from ..ops.convolution import sobel_magnitude
+
+    return spatial_op(mesh, sobel_magnitude, 1, BorderMode.REPLICATE,
+                      axis_name, ndim=2)
+
+
+def spatial_dilate(mesh: Mesh, ksize: int = 3, iterations: int = 1,
+                   axis_name: str = "batch"):
+    """H-sharded binary dilation of a [H, W] u8 mask (zero-background
+    padding, as ops.binary.dilate)."""
+    from ..ops.binary import dilate
+
+    return spatial_op(mesh, partial(dilate, ksize=ksize,
+                                    iterations=iterations),
+                      (ksize // 2) * iterations, BorderMode.ZERO,
+                      axis_name, ndim=2)
+
+
+def spatial_erode(mesh: Mesh, ksize: int = 3, iterations: int = 1,
+                  axis_name: str = "batch"):
+    from ..ops.binary import erode
+
+    return spatial_op(mesh, partial(erode, ksize=ksize,
+                                    iterations=iterations),
+                      (ksize // 2) * iterations, BorderMode.ZERO,
+                      axis_name, ndim=2)
+
+
+def spatial_median_blur(mesh: Mesh, radius: int, axis_name: str = "batch"):
+    """H-sharded median blur of [H, W, C] u8 (MIRROR borders, as
+    ops.order_stat.median_blur)."""
+    from ..ops.order_stat import median_blur
+
+    return spatial_op(mesh, partial(median_blur, radius=radius), radius,
+                      BorderMode.MIRROR, axis_name, ndim=3)
+
+
+# ---------------------------------------------------------------------------
+# Windowed global reductions
+# ---------------------------------------------------------------------------
+
+
+def spatial_ssim(mesh: Mesh, h_total: int, axis_name: str = "batch"):
+    """Mean SSIM of two H-sharded [H, W, C] u8 images: global means via
+    psum, 5-row halos for the 11x11 valid windows, per-chip masked
+    window sums psum'd to the global mean (matches ops.metrics.ssim to
+    f32 reduction-order tolerance)."""
+    from ..ops.metrics import _ssim_window_1d, _valid_sep_conv, \
+        luminance_plane
+
+    n = mesh.devices.size
+    k1d = _ssim_window_1d()
+    c1 = (0.01 * 255.0) ** 2
+    c2 = (0.03 * 255.0) ** 2
+    r = 5
+
+    def body(a, b):
+        h_loc = a.shape[0]
+        x = luminance_plane(a)
+        y = luminance_plane(b)
+        cnt = jax.lax.psum(jnp.float32(x.size), axis_name)
+        gx = jax.lax.psum(jnp.sum(x), axis_name) / cnt
+        gy = jax.lax.psum(jnp.sum(y), axis_name) / cnt
+        xc = halo_extend(x - gx, r, BorderMode.ZERO, axis_name, n)
+        yc = halo_extend(y - gy, r, BorderMode.ZERO, axis_name, n)
+        mu_xc = _valid_sep_conv(xc, k1d)
+        mu_yc = _valid_sep_conv(yc, k1d)
+        mu_x = mu_xc + gx
+        mu_y = mu_yc + gy
+        sigma_x = jnp.maximum(0.0, _valid_sep_conv(xc * xc, k1d)
+                              - mu_xc * mu_xc)
+        sigma_y = jnp.maximum(0.0, _valid_sep_conv(yc * yc, k1d)
+                              - mu_yc * mu_yc)
+        sigma_xy = _valid_sep_conv(xc * yc, k1d) - mu_xc * mu_yc
+        num = (2.0 * mu_x * mu_y + c1) * (2.0 * sigma_xy + c2)
+        den = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)
+        smap = num / den
+        # window with local ext top row t has global center chip0+t;
+        # keep centers owned by this chip AND globally valid
+        idx = jax.lax.axis_index(axis_name)
+        centers = idx * h_loc + jnp.arange(smap.shape[0])
+        valid = (centers >= r) & (centers <= h_total - 1 - r)
+        smap = smap * valid[:, None].astype(jnp.float32)
+        total = jax.lax.psum(jnp.sum(smap), axis_name)
+        count = jax.lax.psum(
+            jnp.sum(valid.astype(jnp.float32)) * smap.shape[1], axis_name)
+        return total / count
+
+    spec = P(axis_name, None, None)
+    return jax.jit(shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                             out_specs=P()))
+
+
+def spatial_mean_cov_image(mesh: Mesh, axis_name: str = "batch"):
+    """Two-pass channel mean + covariance (1/(n-1), FDM normalization) of
+    a single H-sharded [H, W, 3] u8 image, reduced with psum — the
+    sharded statistics stage of FDM (fdm.zig:141-272)."""
+
+    def body(local):
+        x = local.astype(jnp.float32).reshape(-1, 3) / 255.0
+        cnt = jax.lax.psum(jnp.float32(x.shape[0]), axis_name)
+        mean = jax.lax.psum(jnp.sum(x, axis=0), axis_name) / cnt
+        xc = x - mean
+        ss = jax.lax.psum(xc.T @ xc, axis_name)
+        cov = ss / jnp.maximum(cnt - 1.0, 1.0)
+        return mean, cov
+
+    return jax.jit(shard_map(
+        body, mesh=mesh, in_specs=P(axis_name, None, None),
+        out_specs=(P(), P())))
