@@ -69,3 +69,39 @@ def test_spatial_equalize_matches_single_device(mesh8):
     got = np.asarray(spatial_equalize(mesh8)(jnp.asarray(img)))
     want = np.asarray(equalize(jnp.asarray(img)))
     assert np.array_equal(got, want)
+
+
+def test_init_distributed_single_process_smoke():
+    """Single-process coordinator smoke for the multi-host wrapper
+    (SURVEY §5 distributed backend). A real multi-host run needs
+    multiple containers; here we verify the coordinator handshake,
+    idempotent re-init, and that the global mesh spans jax.devices()."""
+    import os
+    import subprocess
+    import sys
+
+    # init must precede ANY backend touch, and this process's backend is
+    # already up (conftest) — run the handshake in a fresh interpreter
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from zignal_tpu.parallel import init_distributed, make_global_mesh
+init_distributed(coordinator_address="localhost:12793",
+                 num_processes=1, process_id=0)
+init_distributed(coordinator_address="localhost:12793",
+                 num_processes=1, process_id=0)  # idempotent re-init
+assert jax.process_count() == 1
+mesh = make_global_mesh()
+assert mesh.devices.size == len(jax.devices())
+print("DIST_OK")
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120, env=env)
+    if "unavailable" in r.stderr or "No module named" in r.stderr:
+        pytest.skip(f"jax.distributed unavailable: {r.stderr[-200:]}")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "DIST_OK" in r.stdout

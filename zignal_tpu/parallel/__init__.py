@@ -31,6 +31,7 @@ from .spatial import (  # noqa: F401  (re-exported surface)
 )
 
 __all__ = [
+    "init_distributed", "make_global_mesh",
     "make_mesh", "shard_batch", "replicate", "sharded_pipeline",
     "spatial_gaussian_blur", "global_mean_cov", "spatial_histogram",
     "spatial_equalize",
@@ -40,6 +41,50 @@ __all__ = [
     "spatial_erode", "spatial_median_blur", "spatial_ssim",
     "spatial_mean_cov_image",
 ]
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None,
+                     local_device_ids=None) -> None:
+    """Initialize the multi-host (DCN) runtime (SURVEY §5 "Distributed
+    communication backend": ``jax.distributed.initialize`` is the
+    TPU-native scale-out beyond one pod slice).
+
+    On Cloud TPU pods all arguments are inferred from the metadata
+    server; elsewhere pass ``coordinator_address`` ("host:port"),
+    ``num_processes`` and ``process_id`` explicitly. Call BEFORE any
+    other jax API touches a backend. Safe to call twice (the second
+    call is a no-op if the runtime is already initialized).
+
+    After initialization, ``jax.devices()`` spans every host;
+    ``make_global_mesh()`` builds the cross-host mesh, and every
+    sharded op in this package runs unchanged — XLA routes intra-slice
+    collectives over ICI and cross-host collectives over DCN.
+
+    Untestable end-to-end in a single-container environment; the smoke
+    test runs a 1-process coordinator (tests/test_parallel.py).
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already initialized" in msg or "only be called once" in msg:
+            return
+        raise
+
+
+def make_global_mesh(axis_name: str = "batch") -> Mesh:
+    """1-D mesh over ALL devices of every initialized process (multi-host
+    companion of make_mesh; requires init_distributed on each host)."""
+    return Mesh(np.array(jax.devices()), (axis_name,))
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:
