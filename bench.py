@@ -227,18 +227,19 @@ def bench_codec_roundtrip():
 
 def bench_colorspace(jax, jnp):
     """BASELINE config 2: batched colorspace chain + autocontrast +
-    equalize, fully fused on device."""
-    from zignal_tpu.color._array import convert_array
+    equalize, fully fused on device. The chain runs through
+    color.convert_chain (color/_chain.py), which eliminates the exact
+    inverse pairs at junctions (gamma round-trips, in-chain cyl hops)
+    while running every conversion's own math — u8 outputs are
+    bit-identical to the sequential convert_array chain (tested)."""
+    from zignal_tpu.color import convert_chain
     from zignal_tpu.ops.enhancement import autocontrast, equalize
+
+    spaces = ("rgb", "lab", "rgb", "oklch", "rgb", "xyb", "rgb")
 
     def chain(x):
         f = x.astype(jnp.float32) / 255.0
-        lab = convert_array(f, "rgb", "lab")
-        f = convert_array(lab, "lab", "rgb")
-        ok = convert_array(f, "rgb", "oklch")
-        f = convert_array(ok, "oklch", "rgb")
-        xyb = convert_array(f, "rgb", "xyb")
-        f = convert_array(xyb, "xyb", "rgb")
+        f = convert_chain(f, spaces)
         u8 = jnp.clip(jnp.round(f * 255.0), 0, 255).astype(jnp.uint8)
         eq = equalize(u8[0])
         ac = autocontrast(u8[1] if u8.shape[0] > 1 else u8[0])

@@ -88,3 +88,64 @@ def test_blend_arrays_matches_scalar():
             assert abs(int(got[0]) - want.r) <= 1
             assert abs(int(got[1]) - want.g) <= 1
             assert abs(int(got[2]) - want.b) <= 1
+
+
+# ---------------------------------------------------------------------------
+# convert_chain (color/_chain.py): fused junctions == sequential chain
+# ---------------------------------------------------------------------------
+
+
+def test_convert_chain_matches_sequential_u8_exact():
+    """The benchmark chain through lab/oklch/xyb: fused junctions must be
+    u8-identical to folding convert_array."""
+    import numpy as np
+
+    from zignal_tpu.color import convert_array, convert_chain
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    f = x.astype(np.float32) / 255.0
+    spaces = ("rgb", "lab", "rgb", "oklch", "rgb", "xyb", "rgb")
+    got = np.asarray(convert_chain(f, spaces))
+    seq = f
+    for a, b in zip(spaces, spaces[1:]):
+        seq = convert_array(seq, a, b)
+    seq = np.asarray(seq)
+    g8 = np.clip(np.round(got * 255.0), 0, 255).astype(np.uint8)
+    s8 = np.clip(np.round(seq * 255.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(g8, s8)
+    assert float(np.max(np.abs(got - seq))) < 1e-3
+
+
+def test_convert_chain_intermediate_targets_match():
+    """Chains ending in a non-rgb space return that space's values."""
+    import numpy as np
+
+    from zignal_tpu.color import convert_array, convert_chain
+
+    rng = np.random.default_rng(6)
+    f = rng.random((16, 16, 3), dtype=np.float32)
+    for spaces in (("rgb", "lab"), ("rgb", "oklch"), ("rgb", "xyb"),
+                   ("rgb", "lab", "lch"), ("rgb", "oklab", "oklch", "oklab"),
+                   ("rgb", "xyz", "lab", "rgb", "hsv")):
+        got = np.asarray(convert_chain(f, spaces))
+        seq = f
+        for a, b in zip(spaces, spaces[1:]):
+            seq = convert_array(seq, a, b)
+        seq = np.asarray(seq)
+        assert got.shape == seq.shape, spaces
+        # hue channels live on 0-360; scale tolerance per channel range
+        scale = np.maximum(1.0, np.abs(seq).max(axis=(0, 1), keepdims=True))
+        assert float(np.max(np.abs(got - seq) / scale)) < 2e-3, spaces
+
+
+def test_convert_chain_two_spaces_equals_convert_array():
+    import numpy as np
+
+    from zignal_tpu.color import convert_array, convert_chain
+
+    rng = np.random.default_rng(7)
+    f = rng.random((8, 8, 3), dtype=np.float32)
+    got = np.asarray(convert_chain(f, ("rgb", "oklab")))
+    want = np.asarray(convert_array(f, "rgb", "oklab"))
+    assert np.allclose(got, want, atol=1e-6)

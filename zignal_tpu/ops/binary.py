@@ -44,9 +44,23 @@ def histogram256(plane, weights=None):
         if pad:
             wf = jnp.concatenate([wf, jnp.zeros((pad,), wf.dtype)])
         oh_hi = oh_hi * wf.reshape(-1, 128).astype(jnp.float32)[..., None]
-    part = jnp.einsum("rkh,rkl->rhl", oh_hi, oh_lo,
-                      preferred_element_type=jnp.float32)
-    hist = part.astype(jnp.int32).sum(axis=0).reshape(256)
+    # reduce over rows INSIDE the contraction while the f32 partial sums
+    # stay exact integers (counts < 2^24); chunk larger planes
+    max_w = 255 if weights is not None else 1
+    chunk = (1 << 24) // (128 * max_w)
+    if rows.shape[0] <= chunk:
+        part = jnp.einsum("rkh,rkl->hl", oh_hi, oh_lo,
+                          preferred_element_type=jnp.float32)
+        hist = part.astype(jnp.int32).reshape(256)
+    else:
+        acc = None
+        for s in range(0, rows.shape[0], chunk):
+            p = jnp.einsum("rkh,rkl->hl", oh_hi[s:s + chunk],
+                           oh_lo[s:s + chunk],
+                           preferred_element_type=jnp.float32)
+            p = p.astype(jnp.int32)
+            acc = p if acc is None else acc + p
+        hist = acc.reshape(256)
     if pad and weights is None:
         hist = hist.at[0].add(-pad)
     return hist
@@ -66,9 +80,22 @@ def histogram256_multi(arr):
     idx = jnp.arange(16, dtype=jnp.int32)
     oh_hi = ((rows >> 4)[..., None] == idx).astype(jnp.float32)
     oh_lo = ((rows & 15)[..., None] == idx).astype(jnp.float32)
-    part = jnp.einsum("crkh,crkl->crhl", oh_hi, oh_lo,
-                      preferred_element_type=jnp.float32)
-    hist = part.astype(jnp.int32).sum(axis=1).reshape(c, 256)
+    # row reduction inside the contraction (exact: counts < 2^24);
+    # chunk planes larger than that
+    chunk = (1 << 24) // 128
+    if rows.shape[1] <= chunk:
+        part = jnp.einsum("crkh,crkl->chl", oh_hi, oh_lo,
+                          preferred_element_type=jnp.float32)
+        hist = part.astype(jnp.int32).reshape(c, 256)
+    else:
+        acc = None
+        for s in range(0, rows.shape[1], chunk):
+            p = jnp.einsum("crkh,crkl->chl", oh_hi[:, s:s + chunk],
+                           oh_lo[:, s:s + chunk],
+                           preferred_element_type=jnp.float32)
+            p = p.astype(jnp.int32)
+            acc = p if acc is None else acc + p
+        hist = acc.reshape(c, 256)
     if pad:
         hist = hist.at[:, 0].add(-pad)
     return hist
@@ -78,17 +105,21 @@ def lut_apply_u8_per_channel(arr, luts):
     """``out[..., c] = luts[c][arr[..., c]]`` for u8 arr [..., C] and
     luts [C, 256] — the nibble decomposition of lut_apply_u8 with the
     channel as a batched contraction dim, one fused op for all
-    channels."""
+    channels. On TPU the one-hot operands are bf16 (exact for {0,1} and
+    u8 table entries, halves the blown-up [..., 16] traffic); the CPU
+    backend keeps f32 (its DotThunk rejects batched bf16 dots)."""
+    import jax as _jax
+
+    dt = jnp.bfloat16 if _jax.default_backend() == "tpu" else jnp.float32
     xi = arr.astype(jnp.int32)
     idx = jnp.arange(16, dtype=jnp.int32)
-    # f32 operands for CPU-backend portability; bf16-exact on TPU (see
-    # histogram256_multi)
-    oh_hi = ((xi >> 4)[..., None] == idx).astype(jnp.float32)
-    mask_lo = ((xi & 15)[..., None] == idx).astype(jnp.float32)
-    t = luts.astype(jnp.float32).reshape(-1, 16, 16)
+    oh_hi = ((xi >> 4)[..., None] == idx).astype(dt)
+    mask_lo = ((xi & 15)[..., None] == idx).astype(dt)
+    t = luts.astype(dt).reshape(-1, 16, 16)
     cand = jnp.einsum("...ch,chl->...cl", oh_hi, t,
                       preferred_element_type=jnp.float32)
-    return jnp.sum(cand * mask_lo, axis=-1).astype(jnp.uint8)
+    return jnp.sum(cand * mask_lo.astype(jnp.float32),
+                   axis=-1).astype(jnp.uint8)
 
 
 def lut_apply_u8(plane, lut):
