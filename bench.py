@@ -351,6 +351,50 @@ def bench_features_stretch():
     matches = BruteForceMatcher(cross_check=True).match(d1, d2)
     t_orb = time.perf_counter() - t0
 
+    # device-only attribution: the fused single-dispatch ORB program
+    # (pyramid+FAST+NMS+Harris+top-k+orientation+BRIEF) timed with the
+    # fori_loop pattern — everything above device time is tunnel latency
+    t_orb_device = None
+    try:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial as _partial
+
+        from zignal_tpu.features.orb import _orb_fused_impl
+
+        plane = jax.device_put(jnp.asarray(orb._plane(img)))
+        shapes = orb._level_shapes(dim, dim)
+        per = orb._features_per_level()
+        ks = tuple(0 if (per[l] == 0 or min(shapes[l]) < 16) else per[l]
+                   for l in range(orb.n_levels))
+        margs = tuple(float(max(3.0, orb.edge_threshold
+                                / orb.scale_factor ** l))
+                      for l in range(orb.n_levels))
+
+        @_partial(jax.jit, static_argnames=("n",))
+        def looped(x, n):
+            def body(i, acc):
+                xi = jnp.bitwise_xor(x, i.astype(jnp.uint8))
+                r = _orb_fused_impl(xi, orb.n_levels, orb.scale_factor,
+                                    orb.fast_threshold, ks, margs, True,
+                                    True)
+                return acc + jnp.sum(r)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        float(looped(plane, 1)), float(looped(plane, 6))
+        ests = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(looped(plane, 1))
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(looped(plane, 6))
+            tl = time.perf_counter() - t0
+            ests.append((tl - ts) / 5)
+        t_orb_device = sorted(ests)[1]
+    except Exception:
+        pass
+
     edges = img.sobel()
     hough = HoughTransform(256)
     acc = hough.compute(edges)  # warm
@@ -384,6 +428,8 @@ def bench_features_stretch():
     emit("ORB+match / Hough / Canvas stretch (512^2)",
          round(total * 1000, 1), "ms", None,
          orb_ms=round(t_orb * 1000, 1),
+         orb_device_ms_per_image=(round(t_orb_device * 1000, 2)
+                                  if t_orb_device else None),
          n_matches=len(matches),
          hough_ms=round(t_hough * 1000, 1),
          n_lines=len(lines),

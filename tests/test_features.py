@@ -194,3 +194,49 @@ class TestTracer:
         polys = Tracer(min_length=8).trace(edges)
         assert len(polys) == 1
         assert 2 <= len(polys[0]) <= 4  # corner kept, straights simplified
+
+
+class TestOrbDevicePath:
+    def test_device_path_matches_host_oracle(self):
+        """The fused single-dispatch device ORB must reproduce the host
+        path exactly (keypoints, order, responses, angles, descriptors)
+        on the CPU backend."""
+        rng = np.random.default_rng(5)
+        yy, xx = np.mgrid[0:200, 0:180].astype(np.float32)
+        img = np.clip(128 + 90 * np.sin(xx / 19) * np.cos(yy / 13)
+                      + rng.normal(0, 10, (200, 180)),
+                      0, 255).astype(np.uint8)
+        dev = Orb(n_features=150, n_levels=4)
+        host = Orb(n_features=150, n_levels=4, use_device=False)
+        kd, dd = dev.detect_and_compute(img)
+        kh, dh = host.detect_and_compute(img)
+        assert len(kd) == len(kh) and len(kd) > 0
+        for a, b, da, db in zip(kd, kh, dd, dh):
+            assert (a.x, a.y, a.octave) == (b.x, b.y, b.octave)
+            assert abs(a.angle - b.angle) < 1e-3
+            assert abs(a.response - b.response) <= 1e-3 * max(
+                1.0, abs(b.response))
+            assert np.array_equal(da.bits, db.bits)
+
+    def test_device_detect_only(self):
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (96, 96), dtype=np.uint8)
+        dev = Orb(n_features=60, n_levels=3)
+        host = Orb(n_features=60, n_levels=3, use_device=False)
+        kd = dev.detect(img)
+        kh = host.detect(img)
+        assert [(k.x, k.y, k.octave) for k in kd] \
+            == [(k.x, k.y, k.octave) for k in kh]
+
+    def test_device_fast_score_type(self):
+        rng = np.random.default_rng(10)
+        img = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+        dev = Orb(n_features=80, n_levels=3, score_type="fast_score")
+        host = Orb(n_features=80, n_levels=3, score_type="fast_score",
+                   use_device=False)
+        kd, dd = dev.detect_and_compute(img)
+        kh, dh = host.detect_and_compute(img)
+        assert [(k.x, k.y, k.octave, k.response) for k in kd] \
+            == [(k.x, k.y, k.octave, k.response) for k in kh]
+        for da, db in zip(dd, dh):
+            assert np.array_equal(da.bits, db.bits)

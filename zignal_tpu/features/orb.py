@@ -78,7 +78,13 @@ class Orb:
             n_desired.append(int(round(total * factor**lvl)))
         return n_desired
 
+    use_device: bool = True  # fused single-dispatch path (host = oracle)
+
     def detect(self, image) -> list:
+        if self.use_device:
+            kps, _ = self._device_detect_compute(self._plane(image),
+                                                 want_desc=False)
+            return kps
         levels, scores = self._analyze(self._plane(image))
         return self._detect_host(levels, scores)
 
@@ -87,9 +93,58 @@ class Orb:
         return self._compute_host(levels, keypoints)
 
     def detect_and_compute(self, image):
+        if self.use_device:
+            return self._device_detect_compute(self._plane(image),
+                                               want_desc=True)
         levels, scores = self._analyze(self._plane(image))
         kps = self._detect_host(levels, scores)
         return kps, self._compute_host(levels, kps)
+
+    def _device_detect_compute(self, plane, want_desc: bool):
+        """Whole ORB pipeline (pyramid + FAST + NMS + Harris + top-k +
+        orientation + rotated BRIEF) as ONE jitted device program and ONE
+        packed fetch (VERDICT r2 item 4 — the former flow fetched ~0.9 MB
+        of maps per image and ran orientation/BRIEF on the host)."""
+        h, w = plane.shape
+        shapes = self._level_shapes(h, w)
+        per_level = self._features_per_level()
+        ks, margins, lv_ids = [], [], []
+        for level in range(self.n_levels):
+            lh, lw = shapes[level]
+            skip = (level < self.first_level or per_level[level] == 0
+                    or min(lh, lw) < 16)
+            k = 0 if skip else per_level[level]
+            scale = self.scale_factor ** level
+            ks.append(k)
+            margins.append(float(max(3.0, self.edge_threshold / scale)))
+            if k:
+                lv_ids.append(level)
+        packed = np.asarray(_orb_fused_jit(
+            plane, self.n_levels, self.scale_factor, self.fast_threshold,
+            tuple(ks), tuple(margins),
+            self.score_type == "harris_score", want_desc))
+        # unpack: per selected level [resp f32 | x i32 | y i32 | valid u8
+        # -> one f32 slot | ang f32 | desc 32 u8-in-f32] rows of width 37
+        out_kps, out_desc = [], []
+        off = 0
+        width = 5 + (32 if want_desc else 0)
+        for level in lv_ids:
+            k = ks[level]
+            rows = packed[off:off + k * width].reshape(k, width)
+            off += k * width
+            scale = self.scale_factor ** level
+            for r in rows:
+                if r[3] < 0.5:  # invalid (padding of top-k / margin)
+                    continue
+                out_kps.append(KeyPoint(
+                    x=float(r[1]) * scale, y=float(r[2]) * scale,
+                    size=7.0 * scale, angle=float(r[4]),
+                    response=float(r[0]), octave=level))
+                if want_desc:
+                    out_desc.append(BinaryDescriptor(r[5:].astype(np.uint8)))
+        if want_desc:
+            return out_kps, out_desc
+        return out_kps, None
 
     def _plane(self, image):
         from ..image import Image
@@ -224,6 +279,155 @@ class _LazyJit:
 
 
 _orb_device_maps_jit = _LazyJit()
+
+
+def _harris_map_device(lvl, k: float = 0.04):
+    """Dense Harris response (7x7 gradient windows, _harris_batch
+    semantics): separable 7-tap window sums of ix^2/iy^2/ix*iy; the
+    4-pixel border where the host scores 0 is masked to 0."""
+    import jax.numpy as jnp
+
+    a = lvl.astype(jnp.float32)
+    h, w = a.shape
+    z = jnp.zeros_like(a)
+    ix = 0.5 * (jnp.concatenate([a[:, 1:], z[:, :1]], 1)
+                - jnp.concatenate([z[:, :1], a[:, :-1]], 1))
+    iy = 0.5 * (jnp.concatenate([a[1:], z[:1]], 0)
+                - jnp.concatenate([z[:1], a[:-1]], 0))
+
+    def box7(m):
+        p = jnp.pad(m, ((3, 3), (0, 0)))
+        acc = None
+        for dy in range(7):
+            row = p[dy:dy + h]
+            acc = row if acc is None else acc + row
+        p2 = jnp.pad(acc, ((0, 0), (3, 3)))
+        acc2 = None
+        for dx in range(7):
+            col = p2[:, dx:dx + w]
+            acc2 = col if acc2 is None else acc2 + col
+        return acc2
+
+    ixx = box7(ix * ix)
+    iyy = box7(iy * iy)
+    ixy = box7(ix * iy)
+    det = ixx * iyy - ixy * ixy
+    trace = ixx + iyy
+    resp = det - jnp.float32(k) * trace * trace
+    inner = jnp.zeros((h, w), bool).at[4:h - 4, 4:w - 4].set(True)
+    return jnp.where(inner, resp, 0.0)
+
+
+def _orb_fused_impl(plane, n_levels, scale_factor, thr0, ks, margins,
+                    harris, want_desc):
+    """Device side of Orb._device_detect_compute: returns one flat f32
+    vector of [resp, x, y, valid, angle, desc*32?] rows per kept level.
+    Everything (coordinates, descriptor bytes) is integer-valued and
+    f32-exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..features.fast import _nms_device, fast_response_map
+    from ..ops.pyramid import ImagePyramid
+
+    f32 = jnp.float32
+    pyr = ImagePyramid.build(plane, n_levels, scale_factor, 1.6)
+    circ = jnp.asarray(_CIRC)
+    xxm = jnp.asarray(_XX.astype(np.float32))
+    yym = jnp.asarray(_YY.astype(np.float32))
+    pat = jnp.asarray(_PAT)  # [256, 4]
+    pieces = []
+    for level, lvl in enumerate(pyr.levels):
+        K = ks[level]
+        if K == 0:
+            continue
+        h, w = lvl.shape
+        thr = max(5, int(thr0 * (0.9 ** level)))
+        scores = fast_response_map(lvl, thr, 9)
+        keep = _nms_device(scores)
+        if harris:
+            resp_map = _harris_map_device(lvl)
+        else:
+            resp_map = scores.astype(f32)
+        cand = jnp.where(keep & (scores > 0), resp_map, -jnp.inf)
+        top_resp, top_idx = jax.lax.top_k(cand.ravel(), K)
+        ysel = (top_idx // w).astype(jnp.int32)
+        xsel = (top_idx % w).astype(jnp.int32)
+        m = margins[level]
+        valid = (jnp.isfinite(top_resp)
+                 & (xsel >= m) & (xsel < w - m)
+                 & (ysel >= m) & (ysel < h - m))
+
+        # intensity-centroid orientation on 31x31 zero-padded patches
+        padded = jnp.pad(lvl, _HALF).astype(f32)
+
+        def one_angle(y, x):
+            patch = jax.lax.dynamic_slice(padded, (y, x), (31, 31))
+            wp = patch * circ
+            m00 = jnp.sum(wp)
+            m10 = jnp.sum(wp * xxm)
+            m01 = jnp.sum(wp * yym)
+            safe = jnp.maximum(m00, f32(1e-6))
+            ang = jnp.degrees(jnp.arctan2(m01 / safe, m10 / safe))
+            return jnp.where(m00 < 0.001, f32(0.0), ang)
+
+        angles = jax.vmap(one_angle)(ysel, xsel)
+
+        cols = [top_resp.astype(f32), xsel.astype(f32), ysel.astype(f32),
+                valid.astype(f32), angles]
+        if want_desc:
+            # rotated BRIEF: 512 samples per keypoint from the padded
+            # level (one gather); bounds masked on the true level
+            P = 32  # covers the rotated pattern excursion (<= ~22 px)
+            pb = jnp.pad(lvl, P).astype(jnp.int32).ravel()
+            wp_ = w + 2 * P
+            cos_a = jnp.cos(jnp.radians(angles))[:, None]
+            sin_a = jnp.sin(jnp.radians(angles))[:, None]
+            x1, y1, x2, y2 = (pat[:, i][None, :] for i in range(4))
+            kxf = xsel.astype(f32)[:, None]
+            kyf = ysel.astype(f32)[:, None]
+            rx1 = jnp.round(kxf + cos_a * x1 - sin_a * y1).astype(jnp.int32)
+            ry1 = jnp.round(kyf + sin_a * x1 + cos_a * y1).astype(jnp.int32)
+            rx2 = jnp.round(kxf + cos_a * x2 - sin_a * y2).astype(jnp.int32)
+            ry2 = jnp.round(kyf + sin_a * x2 + cos_a * y2).astype(jnp.int32)
+            ok = ((rx1 >= 0) & (rx1 < w) & (ry1 >= 0) & (ry1 < h)
+                  & (rx2 >= 0) & (rx2 < w) & (ry2 >= 0) & (ry2 < h))
+            i1 = (ry1 + P) * wp_ + rx1 + P
+            i2 = (ry2 + P) * wp_ + rx2 + P
+            p1 = jnp.take(pb, i1)
+            p2 = jnp.take(pb, i2)
+            bits = (ok & (p1 < p2)).astype(f32)        # [K, 256]
+            weights = jnp.asarray((1 << np.arange(8)).astype(np.float32))
+            desc = jnp.einsum("kcb,b->kc", bits.reshape(K, 32, 8), weights,
+                              precision="highest")     # [K, 32] in [0,255]
+            cols.append(desc)
+        row = jnp.concatenate([c[:, None] if c.ndim == 1 else c
+                               for c in cols], axis=1)
+        pieces.append(row.ravel())
+    if not pieces:
+        return jnp.zeros((0,), f32)
+    return jnp.concatenate(pieces)
+
+
+class _LazyFusedJit:
+    _fn = None
+
+    def __call__(self, plane, n_levels, scale_factor, thr0, ks, margins,
+                 harris, want_desc):
+        if _LazyFusedJit._fn is None:
+            import jax
+            from functools import partial as _p
+
+            _LazyFusedJit._fn = _p(jax.jit, static_argnames=(
+                "n_levels", "scale_factor", "thr0", "ks", "margins",
+                "harris", "want_desc"))(_orb_fused_impl)
+        return _LazyFusedJit._fn(plane, n_levels=n_levels,
+                                 scale_factor=scale_factor, thr0=thr0,
+                                 ks=ks, margins=margins, harris=harris,
+                                 want_desc=want_desc)
+
+
+_orb_fused_jit = _LazyFusedJit()
 
 
 def _orientation_batch(arr: np.ndarray, xs: np.ndarray,
