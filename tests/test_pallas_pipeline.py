@@ -51,10 +51,43 @@ def test_fused_sigma_variants_bit_exact(sigma):
 
 
 def test_fused_ok_gate():
-    assert not fused_ok((2, 256, 256, 4), 128, 128)   # rgba
-    assert not fused_ok((2, 256, 256, 3), 100, 128)   # oh % 64
-    assert not fused_ok((2, 256, 256, 3), 128, 96)    # ow % 128
-    assert not fused_ok((2, 2048, 256, 3), 128, 128)  # too tall
+    # widened r3 gate: rgba/gray, arbitrary output sizes, upscales OK
+    assert fused_ok((2, 256, 256, 4), 128, 128)
+    assert fused_ok((2, 256, 256, 3), 100, 128)
+    assert fused_ok((2, 256, 256, 3), 128, 96)
+    assert fused_ok((2, 2048, 256, 3), 128, 128)
+    assert fused_ok((1, 1080, 1920, 3), 360, 640)
+    assert fused_ok((1, 512, 512, 3), 700, 650)       # upscale
+    # still gated: tiny inputs, 2-channel, VMEM blowouts
+    assert not fused_ok((1, 64, 64, 3), 32, 32)       # h < 128
+    assert not fused_ok((1, 256, 30, 1), 128, 16)     # wl < 256
+    assert not fused_ok((2, 256, 256, 2), 128, 128)   # channels
+    assert not fused_ok((1, 4096, 4096, 3), 4096, 4096)  # VMEM
+
+
+@pytest.mark.parametrize("shape,oh,ow", [
+    ((1, 1080, 960, 3), 360, 640),    # arbitrary output, non-%64/%128
+    ((1, 300, 512, 3), 150, 300),     # odd output cols
+    ((2, 256, 256, 4), 100, 100),     # rgba
+    ((2, 256, 256, 1), 100, 190),     # gray
+    ((1, 256, 256, 3), 320, 288),     # upscale rows+cols
+])
+def test_fused_widened_shapes_bit_exact(shape, oh, ow):
+    x = jnp.asarray(RNG.integers(0, 256, shape, dtype=np.uint8))
+    assert fused_ok(shape, oh, ow, oklab=False)
+    got = np.asarray(fused_resize_blur_oklab(x, oh, ow, 1.5, oklab=False,
+                                             interpret=True))
+    want = np.asarray(gaussian_blur(resize(x, oh, ow,
+                                           Interpolation.BILINEAR), 1.5))
+    assert np.array_equal(got, want)
+
+
+def test_fused_widened_oklab_odd_output():
+    x = jnp.asarray(RNG.integers(0, 256, (1, 256, 320, 3), dtype=np.uint8))
+    got = np.asarray(fused_resize_blur_oklab(x, 100, 150, 2.0,
+                                             interpret=True))
+    want = np.asarray(resize_blur_oklab(x, 100, 150, 2.0))
+    assert np.max(np.abs(got - want)) < 5e-6
 
 
 def test_fused_sigma_zero_is_pure_resize():

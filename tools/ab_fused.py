@@ -62,5 +62,42 @@ def main():
               flush=True)
 
 
+def main_shapes():
+    """A/B fused vs XLA per widened shape class (r3 gate: arbitrary
+    outputs, rgba/gray, upscale). Same round-robin/min discipline."""
+    from zignal_tpu.enums import Interpolation
+    from zignal_tpu.ops.convolution import gaussian_blur
+    from zignal_tpu.ops.interpolation import _resize_bilinear_u8
+
+    rng = np.random.default_rng(0)
+    cases = [  # loop counts scaled so the differenced signal is >= ~20 ms
+        ("1080p->640x360", (4, 1080, 1920, 3), 360, 640, (2, 26)),
+        ("512->300 odd", (8, 512, 512, 3), 300, 300, (4, 64)),
+        ("rgba 256->100", (16, 256, 256, 4), 100, 100, (4, 84)),
+        ("gray 512->200", (16, 512, 512, 1), 200, 200, (4, 84)),
+        ("upscale 256->320", (8, 256, 256, 3), 320, 288, (4, 84)),
+    ]
+    for name, shape, oh, ow, (ns, nl) in cases:
+        x = jax.device_put(rng.integers(0, 256, shape, np.uint8))
+        mpix = shape[0] * shape[1] * shape[2] / 1e6
+        variants = [
+            ("fused", lambda y: fused_resize_blur_oklab(
+                y, oh, ow, 1.5, oklab=False)),
+            ("xla", lambda y: gaussian_blur(
+                _resize_bilinear_u8(y, oh, ow), 1.5)),
+        ]
+        best = {vn: 1e9 for vn, _ in variants}
+        for rnd in range(3):
+            for vn, fn in variants:
+                best[vn] = min(best[vn], loop_timer(fn, x, ns, nl, reps=1))
+        for vn, t in best.items():
+            print(json.dumps({
+                "case": name, "variant": vn, "best_ms": round(t * 1e3, 3),
+                "gpix_s": round(mpix / 1e3 / t, 2)}), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--shapes" in sys.argv:
+        main_shapes()
+    else:
+        main()

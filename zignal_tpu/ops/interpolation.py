@@ -424,14 +424,14 @@ def resize(arr, rows: int, cols: int, method=Interpolation.BILINEAR):
     if method == Interpolation.NEAREST:
         return _resize_nearest(arr, rows, cols)
     if method == Interpolation.BILINEAR:
-        if (arr.shape[-1] == 3 and arr.ndim in (3, 4)
+        if (arr.shape[-1] in (1, 3, 4) and arr.ndim in (3, 4)
                 and jax.default_backend() == "tpu"):
             # fused Pallas lowering (bit-identical; skips the NHWC
             # relayouts around the banded matmuls — ~2x on chip)
             from .pallas_pipeline import fused_ok, fused_resize_blur_oklab
 
             shape4 = arr.shape if arr.ndim == 4 else (1, *arr.shape)
-            if fused_ok(shape4, rows, cols):
+            if fused_ok(shape4, rows, cols, oklab=False):
                 out = fused_resize_blur_oklab(
                     arr.reshape(shape4), rows, cols, 0.0, oklab=False)
                 return out if arr.ndim == 4 else out[0]

@@ -43,23 +43,39 @@ __all__ = ["fused_resize_blur_oklab", "fused_ok"]
 
 _ROW_BLOCK = 64
 _LANE_BLOCK = 128
-_MAX_SIDE = 1024
+_VMEM_BUDGET = 80 * 1024 * 1024  # leave headroom under the 100 MB limit
 
 
 def _pad_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def fused_ok(shape, out_rows: int, out_cols: int) -> bool:
-    """Gate: 4-D u8 RGB batches with shapes this kernel's static tiling
-    supports; callers fall back to the XLA path otherwise."""
-    if len(shape) != 4 or shape[3] != 3:
+def _vmem_estimate(h, wl, ohp, owlp, oklab):
+    """Bytes of VMEM the kernel needs: u8 input + bf16 scratch planes +
+    the output block (weights are comparatively tiny)."""
+    est = h * wl                      # input u8
+    est += 2 * 2 * ohp * wl           # s_lo / s_hi bf16
+    est += 3 * 2 * ohp * owlp         # s_res / s_dlo / s_dhi bf16
+    est += (4 if oklab else 1) * ohp * owlp   # output block
+    return est
+
+
+def fused_ok(shape, out_rows: int, out_cols: int, oklab: bool = True) -> bool:
+    """Gate: 4-D u8 batches (1/3/4 channels) whose working set fits the
+    VMEM budget; arbitrary output sizes (blocks are padded and the halo
+    sliced off) and upscales are supported. Callers fall back to the XLA
+    path otherwise."""
+    if len(shape) != 4 or shape[3] not in (1, 3, 4):
         return False
-    _, h, w, _ = shape
-    return (h <= _MAX_SIDE and w <= _MAX_SIDE
-            and out_rows % _ROW_BLOCK == 0 and out_cols % _LANE_BLOCK == 0
-            and out_rows <= h and out_cols <= w
-            and h >= 2 * _ROW_BLOCK and 3 * w >= 2 * _LANE_BLOCK)
+    _, h, w, c = shape
+    if out_rows < 1 or out_cols < 1:
+        return False
+    wl, owl = w * c, out_cols * c
+    if h < 2 * _ROW_BLOCK or wl < 2 * _LANE_BLOCK:
+        return False
+    ohp = _pad_to(out_rows, _ROW_BLOCK)
+    owlp = _pad_to(owl, _LANE_BLOCK)
+    return _vmem_estimate(h, wl, ohp, owlp, oklab) <= _VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------------
@@ -121,10 +137,21 @@ def _pack_col_blocks(M: np.ndarray, cols_pb: int, align: int = 128):
     return packs, offs, ks
 
 
-def _interleave3(M: np.ndarray) -> np.ndarray:
-    """kron(M, I_3): the [dst, src] band acting per-channel on the
-    channel-interleaved lane axis [dst*3, src*3]."""
-    return np.kron(M, np.eye(3, dtype=M.dtype))
+def _interleave3(M: np.ndarray, c: int = 3) -> np.ndarray:
+    """kron(M, I_c): the [dst, src] band acting per-channel on the
+    channel-interleaved lane axis [dst*c, src*c]."""
+    if c == 1:
+        return M
+    return np.kron(M, np.eye(c, dtype=M.dtype))
+
+
+def _pad_dst_rows(M: np.ndarray, dst_p: int) -> np.ndarray:
+    """Pad a [dst, src] band matrix to dst_p rows by replicating the last
+    real row's taps — padded output rows duplicate the last real row and
+    are sliced off after the kernel."""
+    if M.shape[0] == dst_p:
+        return M
+    return np.vstack([M, np.repeat(M[-1:], dst_p - M.shape[0], axis=0)])
 
 
 def _bilinear_matrix(src_n: int, dst_n: int) -> np.ndarray:
@@ -303,16 +330,23 @@ def fused_resize_blur_oklab(batch, out_rows: int, out_cols: int,
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, c = batch.shape
-    assert c == 3 and fused_ok(batch.shape, out_rows, out_cols)
-    wl, owl = w * 3, out_cols * 3
+    assert fused_ok(batch.shape, out_rows, out_cols, oklab)
+    assert c == 3 or not oklab, "oklab epilogue needs RGB"
+    wl, owl = w * c, out_cols * c
+    ohp = _pad_to(out_rows, _ROW_BLOCK)
+    owlp = _pad_to(owl, _LANE_BLOCK)
     has_blur = sigma > 0
 
-    wy = _bilinear_matrix(h, out_rows)                    # [OH, H]
-    wx = _interleave3(_bilinear_matrix(w, out_cols))      # [OWL, WL]
+    wy = _pad_dst_rows(_bilinear_matrix(h, out_rows), ohp)       # [OHp, H]
+    wx = _pad_dst_rows(
+        _interleave3(_bilinear_matrix(w, out_cols), c), owlp)    # [OWLp, WL]
     checks = [(wy, 255), (wx, 65535)]
     if has_blur:
-        by = _blur_matrix(out_rows, sigma)                # [OH, OH]
-        bx = _interleave3(_blur_matrix(out_cols, sigma))  # [OWL, OWL]
+        by = _pad_dst_rows(_blur_matrix(out_rows, sigma), ohp)
+        by = np.hstack([by, np.zeros((ohp, ohp - out_rows), by.dtype)])
+        bx = _pad_dst_rows(_interleave3(_blur_matrix(out_cols, sigma), c),
+                           owlp)
+        bx = np.hstack([bx, np.zeros((owlp, owlp - owl), bx.dtype)])
         checks += [(bx, 255), (by, 65535)]
 
     # exactness preconditions (mirrors mxu_resample digit bounds)
@@ -331,11 +365,15 @@ def fused_resize_blur_oklab(batch, out_rows: int, out_cols: int,
         by_p = np.zeros((1, 8, 8), np.float32)
         bx_offs, bx_k, by_offs, by_k = [0], [8], [0], [8]
 
-    from ..color._array import _RGB2OKLMS, _OKLMS2LAB
-    mix1 = _mix_roll_coefs(_RGB2OKLMS, owl)
-    mix2 = _mix_roll_coefs(_OKLMS2LAB, owl)
+    if oklab:
+        from ..color._array import _RGB2OKLMS, _OKLMS2LAB
+        mix1 = _mix_roll_coefs(_RGB2OKLMS, owlp)
+        mix2 = _mix_roll_coefs(_OKLMS2LAB, owlp)
+    else:  # dummies (the kernel never reads them)
+        mix1 = np.zeros((5, owlp), np.float32)
+        mix2 = np.zeros((5, owlp), np.float32)
 
-    plan = (h, wl, out_rows, owl, tuple(ry_offs), tuple(ry_k),
+    plan = (h, wl, ohp, owlp, tuple(ry_offs), tuple(ry_k),
             tuple(rx_offs), tuple(rx_k), tuple(bx_offs), tuple(bx_k),
             tuple(by_offs), tuple(by_k))
     kernel = _build_kernel(plan, oklab, has_blur)
@@ -355,16 +393,16 @@ def fused_resize_blur_oklab(batch, out_rows: int, out_cols: int,
             pl.BlockSpec(mix1.shape, lambda i: (0, 0)),
             pl.BlockSpec(mix2.shape, lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, out_rows, owl), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, out_rows, owl), out_dtype),
+        out_specs=pl.BlockSpec((1, ohp, owlp), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ohp, owlp), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((out_rows, wl), jnp.bfloat16),   # s_lo
-            pltpu.VMEM((out_rows, wl), jnp.bfloat16),   # s_hi
-            pltpu.VMEM((out_rows, owl) if has_blur or oklab else (8, 128),
+            pltpu.VMEM((ohp, wl), jnp.bfloat16),   # s_lo
+            pltpu.VMEM((ohp, wl), jnp.bfloat16),   # s_hi
+            pltpu.VMEM((ohp, owlp) if has_blur or oklab else (8, 128),
                        jnp.bfloat16),                   # s_res
-            pltpu.VMEM((out_rows, owl) if has_blur else (8, 128),
+            pltpu.VMEM((ohp, owlp) if has_blur else (8, 128),
                        jnp.bfloat16),                   # s_dlo
-            pltpu.VMEM((out_rows, owl) if has_blur else (8, 128),
+            pltpu.VMEM((ohp, owlp) if has_blur else (8, 128),
                        jnp.bfloat16),                   # s_dhi
         ],
         compiler_params=pltpu.CompilerParams(
@@ -377,4 +415,5 @@ def fused_resize_blur_oklab(batch, out_rows: int, out_cols: int,
       jnp.asarray(bxt_p).astype(jnp.bfloat16),
       jnp.asarray(by_p).astype(jnp.bfloat16),
       jnp.asarray(mix1), jnp.asarray(mix2))
-    return out.reshape(b, out_rows, out_cols, 3)
+    out = out[:, :out_rows, :owl]
+    return out.reshape(b, out_rows, out_cols, c)
