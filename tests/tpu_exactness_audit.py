@@ -168,6 +168,144 @@ def main():
           flush=True)
     fails += not ok
 
+    # ------------------------------------------------------------------
+    # r3 additions (VERDICT r2 weak #7): canny, order-stat variants,
+    # quantize LUT, runtime-matrix warp, radial zoom, enhancement bf16
+    # lowerings, convert_chain, fused ORB — TPU vs the jax CPU backend,
+    # which the pytest suite pins against per-pixel reference oracles.
+    cpu = jax.devices("cpu")[0]
+
+    def on_cpu(fn, *args):
+        cargs = [jax.device_put(np.asarray(a), cpu) for a in args]
+        with jax.default_device(cpu):
+            return np.asarray(fn(*cargs))
+
+    # 9) canny (device-side hysteresis loop)
+    from zignal_tpu.ops.edges import canny
+    g9 = rng.random((160, 170), dtype=np.float32) * 255.0
+    got = np.asarray(canny(jax.device_put(g9), 1.4, 40.0, 120.0))
+    want = on_cpu(lambda x: canny(x, 1.4, 40.0, 120.0), g9)
+    ok = np.array_equal(got, want)
+    print("canny exact on TPU:", ok, flush=True)
+    fails += not ok
+
+    # 10) percentile + alpha-trimmed blurs (Batcher networks)
+    from zignal_tpu.ops.order_stat import alpha_trimmed_mean_blur, \
+        percentile_blur
+    c10 = rng.integers(0, 256, (96, 88, 3), dtype=np.uint8)
+    got = np.asarray(percentile_blur(jax.device_put(c10), 2, 0.3))
+    want = on_cpu(lambda x: percentile_blur(x, 2, 0.3), c10)
+    ok = np.array_equal(got, want)
+    print("percentile blur exact on TPU:", ok, flush=True)
+    fails += not ok
+    got = np.asarray(alpha_trimmed_mean_blur(jax.device_put(c10), 2, 0.2))
+    want = on_cpu(lambda x: alpha_trimmed_mean_blur(x, 2, 0.2), c10)
+    ok = np.array_equal(got, want)
+    print("alpha-trimmed blur exact on TPU:", ok, flush=True)
+    fails += not ok
+
+    # 11) quantize: the 32^3 LUT is APPROXIMATE nearest by design
+    # (5-bit cells, quantize.zig ColorLookupTable) — audit the table
+    # contract instead: every cell entry is the exhaustive nearest
+    # palette color to the cell CENTER with first-min tie-break, for
+    # the native builder (the python fallback computes exactly this)
+    from zignal_tpu.ops.quantize import ColorLookupTable, median_cut
+    img11 = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    pal = median_cut(img11, 64)
+    clt = ColorLookupTable(pal)
+    q = np.arange(32, dtype=np.int64)
+    c8 = (q << 3) | (q >> 2)
+    rr, gg, bb = np.meshgrid(c8, c8, c8, indexing="ij")
+    cells = np.stack([rr, gg, bb], -1).reshape(-1, 3)
+    d = ((cells[:, None, :] - pal[None, :, :].astype(np.int64)) ** 2) \
+        .sum(-1)
+    want_tab = np.argmin(d, axis=1).astype(np.uint8).reshape(32, 32, 32)
+    ok = np.array_equal(clt.table, want_tab)
+    print("quantize 32^3 table exact (cell-center nearest):", ok, flush=True)
+    fails += not ok
+
+    # 12) runtime-matrix warp: coords are computed ON DEVICE, so TPU
+    # FMA contraction may flip floor() on a handful of pixels vs the
+    # CPU backend (documented deviation, CLAUDE.md) — require the
+    # overwhelming majority identical and the rest boundary flips
+    from zignal_tpu.ops.warp import warp
+    mat = np.array([[0.9, 0.12, 5.0], [-0.08, 1.05, -3.0],
+                    [0.0002, -0.0001, 1.0]], np.float64)
+    a12 = rng.integers(0, 256, (128, 144, 3), dtype=np.uint8)
+    got = np.asarray(warp(jax.device_put(a12), mat, 120, 130))
+    want = on_cpu(lambda x: warp(x, mat, 120, 130), a12)
+    frac = float((got != want).any(axis=-1).mean())
+    ok = frac < 2e-3
+    print(f"runtime-matrix warp matches CPU (diff frac {frac:.2e} < 2e-3):",
+          ok, flush=True)
+    fails += not ok
+
+    # 13) radial zoom blur (tile-decomposed static sampling)
+    from zignal_tpu.ops.motion_blur_ops import radial_blur
+    a13 = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    got = np.asarray(radial_blur(jax.device_put(a13), 128.0, 128.0, 0.4,
+                                 zoom=True))
+    want = on_cpu(lambda x: radial_blur(x, 128.0, 128.0, 0.4, zoom=True),
+                  a13)
+    ok = np.array_equal(got, want)
+    print("radial zoom exact on TPU:", ok, flush=True)
+    fails += not ok
+
+    # 14) equalize + autocontrast (bf16 nibble LUT path is TPU-only)
+    from zignal_tpu.ops.enhancement import autocontrast, equalize
+    a14 = rng.integers(0, 256, (200, 150, 3), dtype=np.uint8)
+    got = np.asarray(equalize(jax.device_put(a14)))
+    want = on_cpu(equalize, a14)
+    ok = np.array_equal(got, want)
+    print("equalize exact on TPU (bf16 LUT):", ok, flush=True)
+    fails += not ok
+    got = np.asarray(autocontrast(jax.device_put(a14), 0.02))
+    want = on_cpu(lambda x: autocontrast(x, 0.02), a14)
+    ok = np.array_equal(got, want)
+    print("autocontrast exact on TPU:", ok, flush=True)
+    fails += not ok
+
+    # 15) convert_chain: fused junctions u8-identical to sequential
+    from zignal_tpu.color import convert_array, convert_chain
+    a15 = rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+    f15 = jax.device_put(a15.astype(np.float32) / 255.0)
+    spaces = ("rgb", "lab", "rgb", "oklch", "rgb", "xyb", "rgb")
+    got = np.asarray(convert_chain(f15, spaces))
+    seq = f15
+    for sa, sb in zip(spaces, spaces[1:]):
+        seq = convert_array(seq, sa, sb)
+    seq = np.asarray(seq)
+    g8 = np.clip(np.round(got * 255), 0, 255).astype(np.uint8)
+    s8 = np.clip(np.round(seq * 255), 0, 255).astype(np.uint8)
+    ok = np.array_equal(g8, s8)
+    print("convert_chain u8-identical on TPU:", ok, flush=True)
+    fails += not ok
+
+    # 16) fused device ORB == host-oracle path (on-chip keypoints/descs)
+    from zignal_tpu.features.orb import Orb
+    yy16, xx16 = np.mgrid[0:192, 0:176].astype(np.float32)
+    img16 = np.clip(128 + 90 * np.sin(xx16 / 19) * np.cos(yy16 / 13)
+                    + rng.normal(0, 10, (192, 176)), 0, 255).astype(np.uint8)
+    kd, dd = Orb(n_features=120, n_levels=4).detect_and_compute(img16)
+    kh, dh = Orb(n_features=120, n_levels=4,
+                 use_device=False).detect_and_compute(img16)
+    ok = (len(kd) == len(kh) and len(kd) > 0
+          and all((a.x, a.y, a.octave) == (b.x, b.y, b.octave)
+                  and np.array_equal(da.bits, db.bits)
+                  for a, b, da, db in zip(kd, kh, dd, dh)))
+    print("fused ORB matches host oracle on TPU:", ok, flush=True)
+    fails += not ok
+
+    # 17) host-placement resize == device resize bytes
+    from zignal_tpu.ops.host_resize import host_resize_u8
+    a17 = rng.integers(0, 256, (222, 257, 3), dtype=np.uint8)
+    got = host_resize_u8(a17, 111, 128)
+    want = np.asarray(resize(jax.device_put(a17), 111, 128,
+                             Interpolation.BILINEAR))
+    ok = np.array_equal(got, want)
+    print("host resize == device resize:", ok, flush=True)
+    fails += not ok
+
     print("TOTAL FAILS:", fails, flush=True)
 
 if __name__ == "__main__":

@@ -110,7 +110,12 @@ def lut_apply_u8_per_channel(arr, luts):
     backend keeps f32 (its DotThunk rejects batched bf16 dots)."""
     import jax as _jax
 
-    dt = jnp.bfloat16 if _jax.default_backend() == "tpu" else jnp.float32
+    # honor an active jax.default_device(cpu) override (the hardware
+    # audit's CPU-oracle runs): the CPU backend's DotThunk rejects
+    # batched bf16 dots
+    _dev = _jax.config.jax_default_device
+    _plat = _dev.platform if _dev is not None else _jax.default_backend()
+    dt = jnp.bfloat16 if _plat == "tpu" else jnp.float32
     xi = arr.astype(jnp.int32)
     idx = jnp.arange(16, dtype=jnp.int32)
     oh_hi = ((xi >> 4)[..., None] == idx).astype(dt)
