@@ -148,3 +148,46 @@ def test_fdm_match_batch_validates():
         np.random.default_rng(0).integers(0, 256, (8, 8, 3), dtype=np.uint8))
     with pytest.raises(ValueError):
         fdm.match_batch(np.zeros((4, 4, 3), np.uint8), target)
+
+
+def test_pca_batched_device_variants_match_host():
+    """fit_array/transform_array/reconstruct_array (SURVEY TPU-equiv
+    "jnp, batched") agree with the host f64 fit to f32 statistics
+    precision, including sign-aligned components."""
+    import numpy as np
+
+    from zignal_tpu.pca import PCA
+
+    rng = np.random.default_rng(3)
+    # correlated 3-channel "image" data
+    base = rng.random((64, 64, 1))
+    img = np.concatenate([base * 0.9 + 0.05 * rng.random((64, 64, 1)),
+                          base * 0.5 + 0.1 * rng.random((64, 64, 1)),
+                          0.2 + 0.3 * rng.random((64, 64, 1))], axis=-1)
+
+    host = PCA()
+    host.fit(img.reshape(-1, 3), 2)
+    dev = PCA()
+    dev.fit_array(img, 2)
+
+    assert np.allclose(dev.mean, host.mean, atol=1e-5)
+    assert np.allclose(dev.eigenvalues, host.eigenvalues, rtol=1e-3,
+                       atol=1e-7)
+    # components defined up to sign
+    for k in range(2):
+        a = np.asarray(dev._components)[:, k]
+        b = np.asarray(host._components)[:, k]
+        assert np.allclose(a, b, atol=1e-3) or np.allclose(a, -b, atol=1e-3)
+
+    # round trip through the batched device path
+    coeffs = dev.transform_array(img)
+    assert coeffs.shape == (64, 64, 2)
+    back = np.asarray(dev.reconstruct_array(coeffs))
+    # top-2 of 3 correlated channels reconstructs well
+    assert float(np.abs(back - img).mean()) < 0.05
+
+    # transform_array matches the Matrix transform path
+    flat = img.reshape(-1, 3)
+    want = (flat - np.asarray(host._mean)) @ np.asarray(host._components)
+    got = np.asarray(host.transform_array(flat))
+    assert np.allclose(got, want, atol=1e-4)

@@ -306,6 +306,21 @@ def main():
     print("host resize == device resize:", ok, flush=True)
     fails += not ok
 
+    # 18) fused filter-chain Pallas kernel (compiled Mosaic path)
+    from zignal_tpu.ops.pallas_filter import fused_blur_sharpen_morph
+    from zignal_tpu.ops.binary import dilate, erode, threshold_apply
+    from zignal_tpu.ops.integral import sharpen as sharpen_op
+    x18 = rng.integers(0, 256, (256, 384), dtype=np.uint8)
+    got = np.asarray(fused_blur_sharpen_morph(jax.device_put(x18), 2.0, 2,
+                                              128.0))
+    b18 = convolve_separable(jax.device_put(x18[..., None]),
+                             gaussian_kernel(2.0), gaussian_kernel(2.0))
+    want = np.asarray(erode(dilate(threshold_apply(
+        sharpen_op(b18, 2)[..., 0], 128), 3), 3))
+    ok = np.array_equal(got, want)
+    print("pallas filter chain exact on TPU:", ok, flush=True)
+    fails += not ok
+
     print("TOTAL FAILS:", fails, flush=True)
 
 if __name__ == "__main__":

@@ -994,10 +994,15 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
         while (p < e) {
             if (bw.pos + 512 > cap) return false;
             long lim = p + 128 < e ? p + 128 : e;
+            // combine literal PAIRS off the accumulator's dependency
+            // chain (codes <= 15 bits each, so a pair is <= 30 bits —
+            // one put), then feed the chain one put per pair
             for (; lim - p >= 2; p += 2) {
                 uint32_t e0 = fused[src[p]], e1 = fused[src[p + 1]];
-                bw.put(e0 & 0xFFFFF, (int)(e0 >> 20));
-                bw.put(e1 & 0xFFFFF, (int)(e1 >> 20));
+                int l0 = (int)(e0 >> 20), l1 = (int)(e1 >> 20);
+                uint32_t code = (e0 & 0xFFFFF)
+                                | ((e1 & 0xFFFFF) << l0);
+                bw.put(code, l0 + l1);
             }
             for (; p < lim; p++) {
                 uint32_t e0 = fused[src[p]];

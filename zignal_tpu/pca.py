@@ -110,5 +110,64 @@ class PCA:
             raise ValueError(f"data must have {self.dim} columns")
         return Matrix._wrap((x - self._mean) @ self._components)
 
+    # -- TPU-batched variants (SURVEY §2 TPU-equiv: "jnp, batched") --------
+
+    def fit_array(self, arr, num_components=None) -> None:
+        """Device-statistics fit for image-scale data: [..., dim] array
+        with millions of samples. Mean + (n-1)-normalized covariance
+        run as one f32 device program (two-pass centered, the FDM
+        pattern); the tiny [dim, dim] eigendecomposition stays host
+        f64. Equivalent to fit() to f32 statistics precision."""
+        import jax.numpy as jnp
+
+        x = jnp.asarray(arr).astype(jnp.float32)
+        dim = x.shape[-1]
+        x = x.reshape(-1, dim)
+        n = x.shape[0]
+        if n < 2:
+            raise ValueError("at least 2 samples are required")
+        mean = jnp.mean(x, axis=0)
+        xc = x - mean
+        cov = (xc.T @ xc) / jnp.float32(n - 1)
+        cov = np.asarray(cov, dtype=np.float64)
+        self._mean = np.asarray(mean, dtype=np.float64)
+        evals, evecs = np.linalg.eigh(cov)      # ascending
+        order = np.argsort(evals)[::-1]
+        evals = np.maximum(evals[order], 0.0)
+        evecs = evecs[:, order]
+        max_components = min(n - 1, dim)
+        k = min(num_components or max_components, max_components)
+        self._components = evecs[:, :k].copy()
+        self._eigenvalues = evals[:k].copy()
+
+    def transform_array(self, arr):
+        """Batched device projection: [..., dim] -> [..., k] f32 jnp
+        array ((x - mean) @ components as one fused device matmul)."""
+        self._require_fit()
+        import jax.numpy as jnp
+
+        x = jnp.asarray(arr).astype(jnp.float32)
+        if x.shape[-1] != self.dim:
+            raise ValueError(f"data must have {self.dim} channels")
+        comp = jnp.asarray(self._components, jnp.float32)
+        mean = jnp.asarray(self._mean, jnp.float32)
+        return jnp.einsum("...d,dk->...k", x - mean, comp,
+                          precision="highest")
+
+    def reconstruct_array(self, coeffs):
+        """Batched device inverse of transform_array: [..., k] ->
+        [..., dim] f32."""
+        self._require_fit()
+        import jax.numpy as jnp
+
+        c = jnp.asarray(coeffs).astype(jnp.float32)
+        if c.shape[-1] != self.num_components:
+            raise ValueError(
+                f"coefficients must have {self.num_components} channels")
+        comp = jnp.asarray(self._components, jnp.float32)
+        mean = jnp.asarray(self._mean, jnp.float32)
+        return jnp.einsum("...k,dk->...d", c, comp,
+                          precision="highest") + mean
+
     def __repr__(self):
         return f"PCA(dim={self.dim}, num_components={self.num_components})"

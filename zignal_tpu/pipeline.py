@@ -20,7 +20,8 @@ from .enums import Interpolation
 from .ops.convolution import gaussian_kernel, convolve_separable
 from .ops.interpolation import resize as resize_op
 
-__all__ = ["resize_blur_oklab", "batched_resize", "batched_gaussian_blur"]
+__all__ = ["resize_blur_oklab", "batched_resize",
+           "batched_gaussian_blur", "filter_chain"]
 
 
 def batched_resize(batch, rows: int, cols: int,
@@ -62,3 +63,33 @@ def resize_blur_oklab(batch, out_rows: int, out_cols: int, sigma: float = 2.0,
     blurred = batched_gaussian_blur(small, sigma)
     rgb = blurred.astype(jnp.float32) / 255.0
     return convert_array(rgb, "rgb", "oklab")
+
+
+@partial(jax.jit, static_argnames=("sigma", "sharpen_radius", "thr"))
+def _filter_chain_xla(plane, sigma, sharpen_radius, thr):
+    from .ops.binary import dilate, erode, threshold_apply
+    from .ops.convolution import gaussian_blur
+    from .ops.integral import sharpen as sharpen_op
+
+    b = gaussian_blur(plane[..., None], sigma)
+    s = sharpen_op(b, sharpen_radius)
+    t = threshold_apply(s[..., 0], thr)
+    return erode(dilate(t, 3), 3)
+
+
+def filter_chain(plane, sigma: float = 2.0, sharpen_radius: int = 2,
+                 thr: float = 128.0):
+    """Gaussian blur -> unsharp mask -> threshold -> dilate3 -> erode3 on
+    a [H, W] u8 plane (the BASELINE config-3 chain). On TPU with
+    tile-aligned shapes this runs as ONE VMEM-resident Pallas kernel
+    (ops/pallas_filter.py, bit-identical to the XLA chain); other
+    shapes/backends take the fused XLA lowering."""
+    if jax.default_backend() == "tpu" and plane.dtype == jnp.uint8:
+        from .ops.pallas_filter import fused_blur_sharpen_morph, \
+            fused_filter_ok
+
+        if fused_filter_ok(plane.shape):
+            return fused_blur_sharpen_morph(plane, float(sigma),
+                                            int(sharpen_radius), float(thr))
+    return _filter_chain_xla(plane, float(sigma), int(sharpen_radius),
+                             float(thr))
