@@ -131,26 +131,28 @@ def _build_kernel(plan, thr: float):
             vals = 2.0 * blur - sums / area
             sh = jnp.clip(jnp.floor(vals + 0.5), 0.0, 255.0)
             s_m1[:, j * cpb:(j + 1) * cpb] = jnp.where(
-                sh > thr, f32(255.0), f32(0.0)).astype(jnp.bfloat16)
+                sh > thr, f32(255.0), f32(0.0))
 
         # ---- stage 5: 3x3 dilate then erode (zero padding) -----------
-        rows2 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         lanes2 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
         def shift(v, dy, dx, fill):
             out = v
-            if dx:
+            if dx:  # lane axis: supported roll + boundary mask
                 out = pltpu.roll(out, (-dx) % w, 1)
                 edge = (lanes2 >= w - dx) if dx > 0 else (lanes2 < -dx)
                 out = jnp.where(edge, fill, out)
-            if dy:
-                out = pltpu.roll(out, (-dy) % h, 0)
-                edge = (rows2 >= h - dy) if dy > 0 else (rows2 < -dy)
-                out = jnp.where(edge, fill, out)
+            if dy:  # sublane axis: Mosaic rejects dynamic_rotate on
+                # dimension 0 — slice + concat a fill row instead
+                fill_row = jnp.full((1, w), fill, out.dtype)
+                if dy < 0:
+                    out = jnp.concatenate([fill_row, out[:-1]], axis=0)
+                else:
+                    out = jnp.concatenate([out[1:], fill_row], axis=0)
             return out
 
         def pool(v, is_max):
-            fill = jnp.bfloat16(0.0)
+            fill = f32(0.0)
             op = jnp.maximum if is_max else jnp.minimum
             # separable 3-tap, rows then lanes (matches _pool_pass)
             t1 = op(op(shift(v, -1, 0, fill), v), shift(v, 1, 0, fill))
@@ -159,7 +161,8 @@ def _build_kernel(plan, thr: float):
         m = s_m1[:, :]
         m = pool(m, True)    # dilate
         m = pool(m, False)   # erode
-        o_ref[:, :] = m.astype(jnp.uint8)
+        # Mosaic only lowers int32 -> u8 casts
+        o_ref[:, :] = m.astype(jnp.int32).astype(jnp.uint8)
 
     return kernel
 
@@ -215,7 +218,7 @@ def fused_blur_sharpen_morph(x, sigma: float = 2.0, sharpen_radius: int = 2,
             pltpu.VMEM((h, w), jnp.bfloat16),   # s_hi
             pltpu.VMEM((h, w), jnp.bfloat16),   # s_blur
             pltpu.VMEM((h, w), jnp.bfloat16),   # s_box (unused spare)
-            pltpu.VMEM((h, w), jnp.bfloat16),   # s_m1
+            pltpu.VMEM((h, w), jnp.float32),    # s_m1 (rotates need f32)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
