@@ -36,6 +36,18 @@ OPS = [
     ("rgb->oklab->rgb", lambda x: jnp.clip(jnp.round(convert_array(convert_array(x.astype(jnp.float32)/255., 'rgb','oklab'),'oklab','rgb')*255.),0,255).astype(jnp.uint8), img),
 ]
 
+from zignal_tpu.color import convert_chain
+from zignal_tpu.pipeline import filter_chain
+
+OPS += [
+    ("convert_chain lab/oklch/xyb rt", lambda x: jnp.clip(jnp.round(
+        convert_chain(x.astype(jnp.float32) / 255.,
+                      ("rgb", "lab", "rgb", "oklch", "rgb", "xyb", "rgb"))
+        * 255.), 0, 255).astype(jnp.uint8), img),
+    ("filter_chain (fused on TPU)",
+     lambda x: filter_chain(x[..., 0])[..., None], gray),
+]
+
 def timer(fn, x, n_small=2, n_large=12):
     @partial(jax.jit, static_argnames=("n",))
     def looped(x, n):
