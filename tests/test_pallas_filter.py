@@ -38,7 +38,27 @@ def test_fused_filter_bit_exact(shape, sigma, radius, thr):
 
 def test_fused_filter_gate():
     assert fused_filter_ok((1024, 1024))
-    assert not fused_filter_ok((1000, 1024))   # rows not %64
-    assert not fused_filter_ok((1024, 1000))   # lanes not %128
+    assert fused_filter_ok((1000, 1024))       # arbitrary sizes pad
+    assert fused_filter_ok((1080, 1920))
     assert not fused_filter_ok((8192, 8192))   # VMEM
     assert not fused_filter_ok((64, 128, 1))   # rank
+    assert not fused_filter_ok((8, 128))       # too small
+
+
+@pytest.mark.parametrize("shape", [(1000, 1000), (1080, 500), (100, 130)])
+def test_fused_filter_padded_shapes_bit_exact(shape):
+    x = RNG.integers(0, 256, shape, dtype=np.uint8)
+    assert fused_filter_ok(shape)
+    got = np.asarray(fused_blur_sharpen_morph(
+        jnp.asarray(x), 2.0, 2, 128.0, interpret=True))
+    want = _xla_chain(x, 2.0, 2, 128)
+    assert np.array_equal(got, want)
+
+
+def test_fused_filter_batched():
+    x = RNG.integers(0, 256, (3, 128, 256), dtype=np.uint8)
+    got = np.asarray(fused_blur_sharpen_morph(
+        jnp.asarray(x), 1.5, 2, 128.0, interpret=True))
+    for i in range(3):
+        want = _xla_chain(x[i], 1.5, 2, 128)
+        assert np.array_equal(got[i], want), i

@@ -26,22 +26,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pallas_pipeline import (_pack_col_blocks, _pack_row_blocks,
-                              _LANE_BLOCK, _ROW_BLOCK)
+                              _pad_dst_rows, _pad_to, _LANE_BLOCK,
+                              _ROW_BLOCK)
 
 __all__ = ["fused_filter_ok", "fused_blur_sharpen_morph"]
 
 
 def fused_filter_ok(shape, morph_ksize: int = 3) -> bool:
-    """Gate: 2-D u8 planes with tile-aligned sides that fit VMEM."""
+    """Gate: 2-D u8 planes that fit VMEM after tile padding (arbitrary
+    sizes — blocks pad to 64x128 and the halo is sliced off)."""
     if len(shape) != 2:
         return False
     h, w = shape
-    if h % _ROW_BLOCK or w % _LANE_BLOCK:
+    if h < 16 or w < 16:
         return False
     if morph_ksize != 3:
         return False
+    hp = _pad_to(h, _ROW_BLOCK)
+    wp = _pad_to(w, _LANE_BLOCK)
     # u8 input + ~6 f32/bf16 scratch planes
-    return h * w * 26 <= 80 * 1024 * 1024
+    return hp * wp * 26 <= 80 * 1024 * 1024
 
 
 def _gauss_band(n: int, sigma: float) -> np.ndarray:
@@ -71,21 +75,32 @@ def _extents(n: int, radius: int) -> np.ndarray:
     return (r2 - r1 + 1).astype(np.float32)
 
 
+def _embed(m: np.ndarray, n_p: int) -> np.ndarray:
+    """Embed a real [n, n] band into [n_p, n_p]: padded rows replicate
+    the last real row's taps (sliced off after the kernel); padded cols
+    are zero (the padded input region contributes nothing)."""
+    m = _pad_dst_rows(m, n_p)
+    if m.shape[1] < n_p:
+        m = np.hstack([m, np.zeros((n_p, n_p - m.shape[1]), m.dtype)])
+    return m
+
+
 def _build_kernel(plan, thr: float):
-    (h, w, by_offs, by_k, bx_offs, bx_k, sy_offs, sy_k, sx_offs,
+    (h, w, hr, wr, by_offs, by_k, bx_offs, bx_k, sy_offs, sy_k, sx_offs,
      sx_k) = plan
     rpb = _ROW_BLOCK
     cpb = _LANE_BLOCK
 
     def kernel(x_ref, by_ref, bxt_ref, sy_ref, sxt_ref, arow_ref,
                acol_ref, o_ref, s_lo, s_hi, s_blur, s_box, s_m1):
+        # x_ref/o_ref blocks are [1, h, w] (grid over the batch)
         f32 = jnp.float32
         inv256 = f32(1.0 / 256.0)
         from jax.experimental.pallas import tpu as pltpu
 
         # ---- stage 1: row blur (contract H), digits out --------------
         for i in range(len(by_offs)):
-            xb = x_ref[by_offs[i]:by_offs[i] + by_k[i], :]
+            xb = x_ref[0, by_offs[i]:by_offs[i] + by_k[i], :]
             xb16 = xb.astype(jnp.int32).astype(f32).astype(jnp.bfloat16)
             t = jnp.dot(by_ref[i, :, :by_k[i]], xb16,
                         preferred_element_type=f32)
@@ -138,9 +153,10 @@ def _build_kernel(plan, thr: float):
 
         def shift(v, dy, dx, fill):
             out = v
-            if dx:  # lane axis: supported roll + boundary mask
+            if dx:  # lane axis: supported roll + boundary mask at the
+                # REAL image edge (the padded region is already zero)
                 out = pltpu.roll(out, (-dx) % w, 1)
-                edge = (lanes2 >= w - dx) if dx > 0 else (lanes2 < -dx)
+                edge = (lanes2 >= wr - dx) if dx > 0 else (lanes2 < -dx)
                 out = jnp.where(edge, fill, out)
             if dy:  # sublane axis: Mosaic rejects dynamic_rotate on
                 # dimension 0 — slice + concat a fill row instead
@@ -159,10 +175,19 @@ def _build_kernel(plan, thr: float):
             return op(op(shift(t1, 0, -1, fill), t1), shift(t1, 0, 1, fill))
 
         m = s_m1[:, :]
-        m = pool(m, True)    # dilate
-        m = pool(m, False)   # erode
+        if h > hr or w > wr:
+            rows2 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            real = (rows2 < hr) & (lanes2 < wr)
+            # zero the padded halo (background) before EACH pool — the
+            # dilate writes into the halo, which the erode must see as
+            # zeros exactly like the true-boundary padding
+            m = jnp.where(real, m, f32(0.0))
+            m = jnp.where(real, pool(m, True), f32(0.0))
+            m = pool(m, False)
+        else:
+            m = pool(pool(m, True), False)
         # Mosaic only lowers int32 -> u8 casts
-        o_ref[:, :] = m.astype(jnp.int32).astype(jnp.uint8)
+        o_ref[0, :, :] = m.astype(jnp.int32).astype(jnp.uint8)
 
     return kernel
 
@@ -171,19 +196,27 @@ def _build_kernel(plan, thr: float):
                                    "interpret"))
 def fused_blur_sharpen_morph(x, sigma: float = 2.0, sharpen_radius: int = 2,
                              thr: float = 128.0, interpret: bool = False):
-    """[H, W] u8 -> gaussian blur -> sharpen -> threshold(>thr) ->
-    dilate3 -> erode3 -> [H, W] u8 mask, one Pallas program. Caller must
-    check fused_filter_ok() first."""
+    """[H, W] or [B, H, W] u8 -> gaussian blur -> sharpen ->
+    threshold(>thr) -> dilate3 -> erode3 -> u8 mask, one Pallas program
+    (grid over the batch). Caller must check fused_filter_ok() on the
+    trailing [H, W] first."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    h, w = x.shape
-    assert fused_filter_ok(x.shape)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    b, hr, wr = x.shape
+    assert fused_filter_ok((hr, wr))
+    h = _pad_to(hr, _ROW_BLOCK)
+    w = _pad_to(wr, _LANE_BLOCK)
+    if (h, w) != (hr, wr):
+        x = jnp.pad(x, ((0, 0), (0, h - hr), (0, w - wr)))
 
-    by = _gauss_band(h, sigma)
-    bx = _gauss_band(w, sigma)
-    sy = _clamped_ones_band(h, sharpen_radius)
-    sx = _clamped_ones_band(w, sharpen_radius)
+    by = _embed(_gauss_band(hr, sigma), h)
+    bx = _embed(_gauss_band(wr, sigma), w)
+    sy = _embed(_clamped_ones_band(hr, sharpen_radius), h)
+    sx = _embed(_clamped_ones_band(wr, sharpen_radius), w)
     for m, bound in ((by, 255), (bx, 65535)):
         s = int(np.abs(m).sum(axis=1).max())
         assert s * 255 < (1 << 24) and s * bound + 32768 < (1 << 31)
@@ -192,27 +225,30 @@ def fused_blur_sharpen_morph(x, sigma: float = 2.0, sharpen_radius: int = 2,
     bxt_p, bx_offs, bx_k = _pack_col_blocks(bx, _LANE_BLOCK)
     sy_p, sy_offs, sy_k = _pack_row_blocks(sy, _ROW_BLOCK)
     sxt_p, sx_offs, sx_k = _pack_col_blocks(sx, _LANE_BLOCK)
-    arow = _extents(h, sharpen_radius).reshape(h, 1)
-    acol = _extents(w, sharpen_radius).reshape(1, w)
+    arow = np.ones((h, 1), np.float32)
+    arow[:hr, 0] = _extents(hr, sharpen_radius)
+    acol = np.ones((1, w), np.float32)
+    acol[0, :wr] = _extents(wr, sharpen_radius)
 
-    plan = (h, w, tuple(by_offs), tuple(by_k), tuple(bx_offs),
+    plan = (h, w, hr, wr, tuple(by_offs), tuple(by_k), tuple(bx_offs),
             tuple(bx_k), tuple(sy_offs), tuple(sy_k), tuple(sx_offs),
             tuple(sx_k))
     kernel = _build_kernel(plan, float(thr))
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((h, w), lambda: (0, 0)),
-            pl.BlockSpec(by_p.shape, lambda: (0, 0, 0)),
-            pl.BlockSpec(bxt_p.shape, lambda: (0, 0, 0)),
-            pl.BlockSpec(sy_p.shape, lambda: (0, 0, 0)),
-            pl.BlockSpec(sxt_p.shape, lambda: (0, 0, 0)),
-            pl.BlockSpec(arow.shape, lambda: (0, 0)),
-            pl.BlockSpec(acol.shape, lambda: (0, 0)),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec(by_p.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec(bxt_p.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec(sy_p.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec(sxt_p.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec(arow.shape, lambda i: (0, 0)),
+            pl.BlockSpec(acol.shape, lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((h, w), lambda: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((h, w), jnp.bfloat16),   # s_lo
             pltpu.VMEM((h, w), jnp.bfloat16),   # s_hi
@@ -221,6 +257,7 @@ def fused_blur_sharpen_morph(x, sigma: float = 2.0, sharpen_radius: int = 2,
             pltpu.VMEM((h, w), jnp.float32),    # s_m1 (rotates need f32)
         ],
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, jnp.asarray(by_p).astype(jnp.bfloat16),
@@ -228,3 +265,5 @@ def fused_blur_sharpen_morph(x, sigma: float = 2.0, sharpen_radius: int = 2,
       jnp.asarray(sy_p).astype(jnp.bfloat16),
       jnp.asarray(sxt_p).astype(jnp.bfloat16),
       jnp.asarray(arow), jnp.asarray(acol))
+    out = out[:, :hr, :wr]
+    return out[0] if squeeze else out

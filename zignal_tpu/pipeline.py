@@ -80,16 +80,20 @@ def _filter_chain_xla(plane, sigma, sharpen_radius, thr):
 def filter_chain(plane, sigma: float = 2.0, sharpen_radius: int = 2,
                  thr: float = 128.0):
     """Gaussian blur -> unsharp mask -> threshold -> dilate3 -> erode3 on
-    a [H, W] u8 plane (the BASELINE config-3 chain). On TPU with
-    tile-aligned shapes this runs as ONE VMEM-resident Pallas kernel
-    (ops/pallas_filter.py, bit-identical to the XLA chain); other
-    shapes/backends take the fused XLA lowering."""
-    if jax.default_backend() == "tpu" and plane.dtype == jnp.uint8:
+    a [H, W] or [B, H, W] u8 plane (the BASELINE config-3 chain). On TPU
+    this runs as ONE VMEM-resident Pallas kernel per image
+    (ops/pallas_filter.py, bit-identical to the XLA chain; arbitrary
+    sizes via pad+slice); other backends take the fused XLA lowering."""
+    if (jax.default_backend() == "tpu" and plane.dtype == jnp.uint8
+            and plane.ndim in (2, 3)):
         from .ops.pallas_filter import fused_blur_sharpen_morph, \
             fused_filter_ok
 
-        if fused_filter_ok(plane.shape):
+        if fused_filter_ok(plane.shape[-2:]):
             return fused_blur_sharpen_morph(plane, float(sigma),
                                             int(sharpen_radius), float(thr))
-    return _filter_chain_xla(plane, float(sigma), int(sharpen_radius),
-                             float(thr))
+    xla = partial(_filter_chain_xla, sigma=float(sigma),
+                  sharpen_radius=int(sharpen_radius), thr=float(thr))
+    if plane.ndim == 3:
+        return jax.vmap(xla)(plane)
+    return xla(plane)
