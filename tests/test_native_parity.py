@@ -152,8 +152,9 @@ def test_host_resize_bit_identical_to_device(fallback):
         (1, 7, 3, 5, 5),          # degenerate row
     ]:
         src = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
-        for method in (Interpolation.BILINEAR,
-                       Interpolation.NEAREST):
+        for method in (Interpolation.BILINEAR, Interpolation.NEAREST,
+                       Interpolation.BICUBIC, Interpolation.CATMULL_ROM,
+                       Interpolation.MITCHELL, Interpolation.LANCZOS):
             want = np.asarray(resize(jax.device_put(src), oh, ow, method))
             got_native = host_resize_u8(src, oh, ow, method)
             saved = disable()
@@ -161,8 +162,18 @@ def test_host_resize_bit_identical_to_device(fallback):
                 got_numpy = host_resize_u8(src, oh, ow, method)
             finally:
                 restore(saved)
-            assert np.array_equal(got_native, want), (h, w, c, oh, ow, method)
-            assert np.array_equal(got_numpy, want), (h, w, c, oh, ow, method)
+            if method == Interpolation.LANCZOS:
+                # float-weight path: XLA contracts mul+add into fma,
+                # numpy cannot -> +-1 on isolated pixels
+                for got in (got_native, got_numpy):
+                    d = np.abs(got.astype(int) - want.astype(int))
+                    assert d.max() <= 1, (h, w, c, oh, ow, method)
+                    assert (d > 0).mean() < 1e-3, (h, w, c, oh, ow, method)
+            else:
+                assert np.array_equal(got_native, want), \
+                    (h, w, c, oh, ow, method)
+                assert np.array_equal(got_numpy, want), \
+                    (h, w, c, oh, ow, method)
 
 
 def test_image_resize_placement_host_matches_device():

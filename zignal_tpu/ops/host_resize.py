@@ -8,7 +8,12 @@ the round-trip (measured: ~5-38 MB/s aggregate through the axon tunnel vs
 ops/interpolation.py exactly — same f32 align-centers coordinates
 (channel_ops.zig:144-191 semantics), 8.8 fixed-point weights with
 truncation, mirror borders, >>16 truncating divide — so placement is
-invisible in the output bytes.
+invisible in the output bytes for the integer-exact methods (nearest,
+bilinear, and the cubic family). Lanczos uses float weights; XLA
+contracts its multiply-add chain into FMAs, which numpy cannot
+reproduce, so the host Lanczos matches the device within +-1 on
+isolated pixels (same order as the device's own CPU-vs-TPU backend
+variation).
 """
 
 from __future__ import annotations
@@ -18,9 +23,21 @@ import numpy as np
 from ..enums import Interpolation
 from .interpolation import _axis_coords, resolve_index_np
 
-__all__ = ["host_resize_u8", "HOST_METHODS"]
+__all__ = ["host_resize_u8", "HOST_METHODS", "HOST_COST"]
 
-HOST_METHODS = (Interpolation.NEAREST, Interpolation.BILINEAR)
+HOST_METHODS = (Interpolation.NEAREST, Interpolation.BILINEAR,
+                Interpolation.BICUBIC, Interpolation.CATMULL_ROM,
+                Interpolation.MITCHELL, Interpolation.LANCZOS)
+
+# rough per-pixel work multiplier vs bilinear, for the placement model
+HOST_COST = {
+    Interpolation.NEAREST: 0.5,
+    Interpolation.BILINEAR: 1.0,
+    Interpolation.BICUBIC: 8.0,
+    Interpolation.CATMULL_ROM: 8.0,
+    Interpolation.MITCHELL: 8.0,
+    Interpolation.LANCZOS: 18.0,
+}
 
 
 def _bilinear_numpy(src: np.ndarray, rows: int, cols: int) -> np.ndarray:
@@ -48,6 +65,57 @@ def _nearest_numpy(src: np.ndarray, rows: int, cols: int) -> np.ndarray:
     return src[y][:, x]
 
 
+def _cubic_family_numpy(src: np.ndarray, rows: int, cols: int,
+                        kernel) -> np.ndarray:
+    """Exact-integer mirror of ops.interpolation._resize_cubic_family_u8
+    (same tables, int64 instead of exact-int f32)."""
+    from .interpolation import _SCALE, _cubic_axis_table, _trunc_div_np
+
+    sh, sw = src.shape[0], src.shape[1]
+    y_idx, wy = _cubic_axis_table(sh, rows, kernel)
+    x_idx, wx = _cubic_axis_table(sw, cols, kernel)
+    total = np.zeros((rows, cols, src.shape[2]), np.int64)
+    wsum = np.zeros((rows, cols), np.int64)
+    s64 = src.astype(np.int64)
+    for ky in range(4):
+        rowg = s64[y_idx[:, ky]]
+        for kx in range(4):
+            px = rowg[:, x_idx[:, kx]]
+            w = _trunc_div_np(
+                wy[:, ky, None].astype(np.int64) * wx[None, :, kx], _SCALE)
+            total += px * w[..., None]
+            wsum += w
+    q = _trunc_div_np(total, np.where(wsum == 0, 1, wsum)[..., None])
+    out = np.where(wsum[..., None] != 0, q, 0)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _lanczos_numpy(src: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Strict-f32 mirror of ops.interpolation._resize_lanczos_u8: same
+    tables and accumulation order; matches the device within +-1 on
+    isolated pixels (XLA fma-contracts the multiply-add chain — see
+    module docstring)."""
+    from .interpolation import _lanczos_axis_table
+
+    sh, sw = src.shape[0], src.shape[1]
+    y_idx, wy = _lanczos_axis_table(sh, rows)
+    x_idx, wx = _lanczos_axis_table(sw, cols)
+    total = np.zeros((rows, cols, src.shape[2]), np.float32)
+    wsum = np.zeros((rows, cols), np.float32)
+    sf = src.astype(np.float32)
+    for ky in range(6):
+        rowg = sf[y_idx[:, ky]]
+        for kx in range(6):
+            px = rowg[:, x_idx[:, kx]]
+            w = wy[:, ky, None] * wx[None, :, kx]
+            total = total + px * w[..., None]
+            wsum = wsum + w
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(wsum[..., None] != 0, total / wsum[..., None],
+                       np.float32(0.0))
+    return np.clip(np.floor(out + np.float32(0.5)), 0, 255).astype(np.uint8)
+
+
 def host_resize_u8(src: np.ndarray, rows: int, cols: int,
                    method=Interpolation.BILINEAR) -> np.ndarray:
     """Resize a [H, W, C] uint8 array on the host; bit-identical to
@@ -62,7 +130,8 @@ def host_resize_u8(src: np.ndarray, rows: int, cols: int,
     from ..native import get_lib
 
     lib = get_lib()
-    if lib is not None and 1 <= c <= 4:
+    if lib is not None and 1 <= c <= 4 and method in (
+            Interpolation.BILINEAR, Interpolation.NEAREST):
         import ctypes
 
         dst = np.empty((rows, cols, c), dtype=np.uint8)
@@ -74,4 +143,14 @@ def host_resize_u8(src: np.ndarray, rows: int, cols: int,
             return dst
     if method == Interpolation.BILINEAR:
         return _bilinear_numpy(src, rows, cols)
-    return _nearest_numpy(src, rows, cols)
+    if method == Interpolation.NEAREST:
+        return _nearest_numpy(src, rows, cols)
+    if method == Interpolation.LANCZOS:
+        return _lanczos_numpy(src, rows, cols)
+    from .interpolation import (_catmull_kernel_i32, _cubic_kernel_i32,
+                                _mitchell_kernel_i32)
+
+    kern = {Interpolation.BICUBIC: _cubic_kernel_i32,
+            Interpolation.CATMULL_ROM: _catmull_kernel_i32,
+            Interpolation.MITCHELL: _mitchell_kernel_i32}[method]
+    return _cubic_family_numpy(src, rows, cols, kern)
