@@ -457,13 +457,13 @@ class Image:
         # bit-identical host lowering skips the device round-trip when the
         # link cost exceeds host compute (placement.py; remote-tunnel CLI)
         if self._np is not None and self._dev is None:
-            from .ops.host_resize import (HOST_COST, HOST_METHODS,
+            from .ops.host_resize import (HOST_COST, host_resize_available,
                                           host_resize_u8)
             from .placement import prefer_host
 
             nb_in = self._np.nbytes
             nb_out = rows * cols * self._np.shape[2]
-            if method in HOST_METHODS and prefer_host(
+            if host_resize_available(method) and prefer_host(
                     nb_in, nb_out,
                     (nb_in + nb_out) / self._np.shape[2] / 1e6
                     * HOST_COST[method]):

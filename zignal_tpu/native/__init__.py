@@ -110,6 +110,15 @@ def get_lib():
                 ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
                 ctypes.c_int64,
             ]
+        for name in ("zt_resize_cubic_u8", "zt_resize_lanczos_u8"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
         lib.zt_dither_error_diffusion.restype = ctypes.c_int
         lib.zt_dither_error_diffusion.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,

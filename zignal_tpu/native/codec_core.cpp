@@ -1116,6 +1116,98 @@ long zt_resize_bilinear_u8(const uint8_t* src, long sh, long sw, long c,
     return 0;
 }
 
+// 4x4 cubic-family resampling from caller-built tables (ops/
+// interpolation.py _cubic_axis_table: mirror-resolved indices [n, 4],
+// 8.8 fixed-point weights [n, 4]). All-integer math: per-tap weights
+// trunc(wy*wx/256), truncating final divide — bit-identical to the
+// device lowering and the numpy fallback.
+long zt_resize_cubic_u8(const uint8_t* src, long sh, long sw, long c,
+                        uint8_t* dst, long dh, long dw,
+                        const int32_t* y_idx, const int32_t* wy,
+                        const int32_t* x_idx, const int32_t* wx) {
+    if (sh < 1 || sw < 1 || dh < 1 || dw < 1 || c < 1 || c > 4) return -1;
+    const long sstride = sw * c;
+    std::vector<int32_t> xoff(dw * 4);
+    for (long ox = 0; ox < dw; ox++)
+        for (int k = 0; k < 4; k++)
+            xoff[ox * 4 + k] = x_idx[ox * 4 + k] * (int32_t)c;
+    for (long oy = 0; oy < dh; oy++) {
+        const uint8_t* rows[4];
+        int32_t wyv[4];
+        for (int k = 0; k < 4; k++) {
+            rows[k] = src + (size_t)y_idx[oy * 4 + k] * sstride;
+            wyv[k] = wy[oy * 4 + k];
+        }
+        uint8_t* o = dst + (size_t)oy * dw * c;
+        for (long ox = 0; ox < dw; ox++) {
+            const int32_t* xo = &xoff[ox * 4];
+            const int32_t* wxv = &wx[ox * 4];
+            int64_t tot[4] = {0, 0, 0, 0};
+            int64_t wsum = 0;
+            for (int ky = 0; ky < 4; ky++) {
+                const uint8_t* r = rows[ky];
+                for (int kx = 0; kx < 4; kx++) {
+                    int64_t w = ((int64_t)wyv[ky] * wxv[kx]) / 256; // trunc
+                    wsum += w;
+                    const uint8_t* p = r + xo[kx];
+                    for (long ch = 0; ch < c; ch++)
+                        tot[ch] += (int64_t)p[ch] * w;
+                }
+            }
+            for (long ch = 0; ch < c; ch++) {
+                int64_t v = wsum != 0 ? tot[ch] / wsum : 0;  // trunc
+                o[ox * c + ch] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+            }
+        }
+    }
+    return 0;
+}
+
+// 6x6 Lanczos3 with f32 weights (tables from _lanczos_axis_table);
+// matches the device within +-1 (fma contraction differences).
+long zt_resize_lanczos_u8(const uint8_t* src, long sh, long sw, long c,
+                          uint8_t* dst, long dh, long dw,
+                          const int32_t* y_idx, const float* wy,
+                          const int32_t* x_idx, const float* wx) {
+    if (sh < 1 || sw < 1 || dh < 1 || dw < 1 || c < 1 || c > 4) return -1;
+    const long sstride = sw * c;
+    std::vector<int32_t> xoff(dw * 6);
+    for (long ox = 0; ox < dw; ox++)
+        for (int k = 0; k < 6; k++)
+            xoff[ox * 6 + k] = x_idx[ox * 6 + k] * (int32_t)c;
+    for (long oy = 0; oy < dh; oy++) {
+        const uint8_t* rows[6];
+        float wyv[6];
+        for (int k = 0; k < 6; k++) {
+            rows[k] = src + (size_t)y_idx[oy * 6 + k] * sstride;
+            wyv[k] = wy[oy * 6 + k];
+        }
+        uint8_t* o = dst + (size_t)oy * dw * c;
+        for (long ox = 0; ox < dw; ox++) {
+            const int32_t* xo = &xoff[ox * 6];
+            const float* wxv = &wx[ox * 6];
+            float tot[4] = {0, 0, 0, 0};
+            float wsum = 0;
+            for (int ky = 0; ky < 6; ky++) {
+                const uint8_t* r = rows[ky];
+                for (int kx = 0; kx < 6; kx++) {
+                    float w = wyv[ky] * wxv[kx];
+                    wsum += w;
+                    const uint8_t* p = r + xo[kx];
+                    for (long ch = 0; ch < c; ch++)
+                        tot[ch] += (float)p[ch] * w;
+                }
+            }
+            for (long ch = 0; ch < c; ch++) {
+                float v = wsum != 0.0f
+                              ? std::floor(tot[ch] / wsum + 0.5f) : 0.0f;
+                o[ox * c + ch] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+            }
+        }
+    }
+    return 0;
+}
+
 long zt_resize_nearest_u8(const uint8_t* src, long sh, long sw, long c,
                           uint8_t* dst, long dh, long dw) {
     if (sh < 1 || sw < 1 || dh < 1 || dw < 1 || c < 1 || c > 4) return -1;
