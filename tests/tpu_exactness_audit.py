@@ -296,15 +296,19 @@ def main():
     print("fused ORB matches host oracle on TPU:", ok, flush=True)
     fails += not ok
 
-    # 17) host-placement resize == device resize bytes
+    # 17) host-placement resize == device resize bytes, all six methods
+    # (integer methods exactly; Lanczos measured bit-identical on chip
+    # too — the +-1 fma tolerance only applies to the CPU XLA backend)
     from zignal_tpu.ops.host_resize import host_resize_u8
     a17 = rng.integers(0, 256, (222, 257, 3), dtype=np.uint8)
-    got = host_resize_u8(a17, 111, 128)
-    want = np.asarray(resize(jax.device_put(a17), 111, 128,
-                             Interpolation.BILINEAR))
-    ok = np.array_equal(got, want)
-    print("host resize == device resize:", ok, flush=True)
-    fails += not ok
+    for m17 in (Interpolation.BILINEAR, Interpolation.NEAREST,
+                Interpolation.BICUBIC, Interpolation.CATMULL_ROM,
+                Interpolation.MITCHELL, Interpolation.LANCZOS):
+        got = host_resize_u8(a17, 111, 128, m17)
+        want = np.asarray(resize(jax.device_put(a17), 111, 128, m17))
+        ok = np.array_equal(got, want)
+        print(f"host resize == device resize ({m17.name}):", ok, flush=True)
+        fails += not ok
 
     # 18) fused filter-chain Pallas kernel (compiled Mosaic path)
     from zignal_tpu.ops.pallas_filter import fused_blur_sharpen_morph

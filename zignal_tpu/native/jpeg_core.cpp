@@ -9,11 +9,27 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <cstdlib>
 #include <cmath>
+#include <chrono>
 #include <vector>
 
 namespace {
+
+// ZT_JPEG_PROFILE=1 prints per-stage wall times to stderr (entropy /
+// IDCT / upsample+color) so stage costs can be attributed without a
+// separate instrumented build.
+inline bool prof_enabled() {
+    static const bool on = std::getenv("ZT_JPEG_PROFILE") != nullptr;
+    return on;
+}
+
+inline double prof_now() {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+}
 
 struct HuffTable {
     // canonical code -> value decode via count/offset tables, plus an
@@ -723,6 +739,7 @@ struct Decoder {
 
     // Reconstruct full-resolution planes and write interleaved output.
     void reconstruct(uint8_t* out, int out_ncomp) {
+        double t_start = prof_now();
         // locals so the vectorizer can prove trip counts loop-invariant
         // (stores through `out`/row buffers could alias `this`)
         const int width = this->width, height = this->height;
@@ -766,6 +783,7 @@ struct Decoder {
                 }
             }
         }
+        double t_idct_done = prof_now();
         // upsample + interleave + color convert, two vectorizable
         // phases per row: (1) expand each chroma row to full width into
         // an int32 buffer (pixel-doubling fast path for the ubiquitous
@@ -864,6 +882,13 @@ struct Decoder {
                 }
             }
         }
+        if (prof_enabled()) {
+            double t_end = prof_now();
+            std::fprintf(stderr,
+                         "zt_jpeg_profile idct_ms=%.2f upsample_color_ms=%.2f\n",
+                         (t_idct_done - t_start) * 1e3,
+                         (t_end - t_idct_done) * 1e3);
+        }
     }
 };
 
@@ -888,9 +913,13 @@ int zt_jpeg_decode(const uint8_t* data, int64_t len, uint8_t* out, int out_ncomp
     Decoder d;
     d.data = data;
     d.len = len;
+    double t0 = prof_now();
     int rc = d.parse_headers(false);
     if (rc < 0) return rc;
     if (d.width <= 0 || d.height <= 0) return -1;
+    if (prof_enabled())
+        std::fprintf(stderr, "zt_jpeg_profile entropy_ms=%.2f\n",
+                     (prof_now() - t0) * 1e3);
     d.reconstruct(out, out_ncomp);
     return 0;
 }

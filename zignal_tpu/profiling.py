@@ -74,9 +74,19 @@ def measure(fn, *args, pixels: int | None = None, n_small: int = 2,
         return time.perf_counter() - t0
 
     chain(1)  # warmup/compile
-    t_small = min(chain(n_small) for _ in range(2))
-    t_large = min(chain(n_large) for _ in range(2))
-    per_call = (t_large - t_small) / (n_large - n_small)
+    # On a loaded host the noise can exceed the differenced signal and
+    # the estimate goes negative; retry with more repetitions, then fall
+    # back to the (positive, pessimistic) undifferenced upper bound.
+    per_call = -1.0
+    for attempt in range(3):
+        reps = 2 + attempt
+        t_small = min(chain(n_small) for _ in range(reps))
+        t_large = min(chain(n_large) for _ in range(reps))
+        per_call = (t_large - t_small) / (n_large - n_small)
+        if per_call > 0:
+            break
+    if per_call <= 0:
+        per_call = t_large / n_large
     if pixels is None:
         return per_call
     return per_call, pixels / per_call / 1e9
