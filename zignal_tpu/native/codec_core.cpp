@@ -672,30 +672,30 @@ long zt_sixel_emit(const uint8_t* idx, long h, long w, uint8_t* out,
 namespace zdef {
 
 struct BitWriter {
+    // Byte-granular flushing keeps nbits < 8 after every put, so a
+    // single put may append up to 56 bits — three fused literal codes
+    // (<= 45 bits) land in ONE append instead of three.
     uint8_t* dst;
     long cap, pos = 0;
     uint64_t acc = 0;
     int nbits = 0;
     bool fail = false;
 
-    inline void put(uint32_t code, int len) {  // LSB-first
-        acc |= (uint64_t)code << nbits;
+    inline void put(uint64_t code, int len) {  // LSB-first, len <= 56
+        acc |= code << nbits;
         nbits += len;
-        if (nbits >= 32) {
-            if (pos + 4 > cap) { fail = true; nbits = 0; acc = 0; return; }
-            std::memcpy(dst + pos, &acc, 4);  // little-endian host
-            pos += 4;
-            acc >>= 32;
-            nbits -= 32;
-        }
+        if (pos + 8 > cap) { fail = true; nbits = 0; acc = 0; return; }
+        std::memcpy(dst + pos, &acc, 8);  // little-endian host
+        pos += nbits >> 3;
+        acc >>= (unsigned)(nbits & ~7);
+        nbits &= 7;
     }
     void flush_byte() {
-        while (nbits > 0) {
+        if (nbits > 0) {
             if (pos >= cap) { fail = true; return; }
             dst[pos++] = (uint8_t)(acc & 0xFF);
-            acc >>= 8;
-            nbits -= 8;
         }
+        acc = 0;
         nbits = 0;
     }
 };
@@ -994,15 +994,18 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
         while (p < e) {
             if (bw.pos + 512 > cap) return false;
             long lim = p + 128 < e ? p + 128 : e;
-            // combine literal PAIRS off the accumulator's dependency
-            // chain (codes <= 15 bits each, so a pair is <= 30 bits —
-            // one put), then feed the chain one put per pair
-            for (; lim - p >= 2; p += 2) {
+            // combine literal TRIPLES off the accumulator's dependency
+            // chain (codes <= 15 bits each, so a triple is <= 45 bits —
+            // one byte-granular put), then feed the chain one put each
+            for (; lim - p >= 3; p += 3) {
                 uint32_t e0 = fused[src[p]], e1 = fused[src[p + 1]];
+                uint32_t e2 = fused[src[p + 2]];
                 int l0 = (int)(e0 >> 20), l1 = (int)(e1 >> 20);
-                uint32_t code = (e0 & 0xFFFFF)
-                                | ((e1 & 0xFFFFF) << l0);
-                bw.put(code, l0 + l1);
+                int l2 = (int)(e2 >> 20);
+                uint64_t code = (e0 & 0xFFFFF)
+                                | ((uint64_t)(e1 & 0xFFFFF) << l0)
+                                | ((uint64_t)(e2 & 0xFFFFF) << (l0 + l1));
+                bw.put(code, l0 + l1 + l2);
             }
             for (; p < lim; p++) {
                 uint32_t e0 = fused[src[p]];
@@ -1028,13 +1031,25 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
     bw.flush_byte();
     if (bw.fail) return -1;
 
-    // adler32 (mod 65521, deferred modulo every 5552 bytes)
+    // adler32, blockwise closed form so the inner loops vectorize: for
+    // a block b[0..k), s2' = s2 + k*s1 + sum((k-j)*b[j]) and
+    // s1' = s1 + sum(b[j]) — two independent reductions instead of the
+    // serial s1+=b; s2+=s1 chain (~1 cycle/byte scalar). k = 4096 keeps
+    // sum(j*b[j]) <= 4095*4096/2*255 < 2^32.
     uint32_t s1 = 1, s2 = 0;
     long p = 0;
     while (p < n) {
-        long lim = p + 5552 < n ? p + 5552 : n;
-        for (; p < lim; p++) { s1 += src[p]; s2 += s1; }
-        s1 %= 65521; s2 %= 65521;
+        long k = (n - p) < 4096 ? (n - p) : 4096;
+        const uint8_t* b = src + p;
+        uint32_t sum = 0, jsum = 0;
+        for (long j = 0; j < k; j++) {
+            sum += b[j];
+            jsum += (uint32_t)j * b[j];
+        }
+        s2 = (uint32_t)((s2 + (uint64_t)(s1 % 65521) * (uint64_t)(k % 65521)
+                         + (uint64_t)k * sum - jsum) % 65521);
+        s1 = (s1 + sum) % 65521;
+        p += k;
     }
     if (bw.pos + 4 > cap) return -1;
     uint32_t adler = (s2 << 16) | s1;
