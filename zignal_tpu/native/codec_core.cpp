@@ -333,10 +333,26 @@ long zt_png_filter_msd(const uint8_t* src, long h, long stride, long bpp,
         for (int f = 0; f < 5; f++) {
             const uint8_t* cf = cand.data() + (size_t)f * stride;
             long cost = 0;
-            for (long i = 0; i < stride; i++) {
-                int v = cf[i];
-                cost += v < 128 ? v : 256 - v;  // |int8| branchlessly
+            // |int8(v)| == min(v, -v) in u8 arithmetic — byte-typed so
+            // the vectorizer uses 8-bit lanes (4x the elements of the
+            // old int formulation) with a widening-sum reduction
+            long i = 0;
+            for (; i + 4096 <= stride; i += 4096) {
+                uint32_t part = 0;
+                for (long j = i; j < i + 4096; j++) {
+                    uint8_t v = cf[j];
+                    uint8_t m = (uint8_t)-v;
+                    part += v < m ? v : m;
+                }
+                cost += part;
             }
+            uint32_t part = 0;
+            for (; i < stride; i++) {
+                uint8_t v = cf[i];
+                uint8_t m = (uint8_t)-v;
+                part += v < m ? v : m;
+            }
+            cost += part;
             if (best_cost < 0 || cost < best_cost) { best_cost = cost; best = f; }
         }
         uint8_t* dst = out + r * (stride + 1);

@@ -296,6 +296,76 @@ static inline void aan_cols(float* b) {
     }
 }
 
+// Two-block variant: the same flowgraph over 16 lanes (two 8x8 blocks
+// side by side), sized for the host's 16-float AVX-512 vectors — the
+// 8-lane version leaves half of every vector idle. Lanes 0-7 = block A,
+// 8-15 = block B; both outputs land in one contiguous 16-byte row store
+// when the blocks are horizontally adjacent.
+static inline void aan_cols16(float* b) {
+    for (int x = 0; x < 16; ++x) {
+        float s0 = b[0 * 16 + x], s1 = b[1 * 16 + x], s2 = b[2 * 16 + x];
+        float s3 = b[3 * 16 + x], s4 = b[4 * 16 + x], s5 = b[5 * 16 + x];
+        float s6 = b[6 * 16 + x], s7 = b[7 * 16 + x];
+        float t10 = s0 + s4;
+        float t11 = s0 - s4;
+        float t13 = s2 + s6;
+        float t12 = (s2 - s6) * 1.414213562f - t13;
+        float e0 = t10 + t13;
+        float e3 = t10 - t13;
+        float e1 = t11 + t12;
+        float e2 = t11 - t12;
+        float z13 = s5 + s3;
+        float z10 = s5 - s3;
+        float z11 = s1 + s7;
+        float z12 = s1 - s7;
+        float t7 = z11 + z13;
+        float t11b = (z11 - z13) * 1.414213562f;
+        float z5 = (z10 + z12) * 1.847759065f;
+        float t10b = 1.082392200f * z12 - z5;
+        float t12b = -2.613125930f * z10 + z5;
+        float t6 = t12b - t7;
+        float t5 = t11b - t6;
+        float t4 = t10b + t5;
+        b[0 * 16 + x] = e0 + t7;
+        b[7 * 16 + x] = e0 - t7;
+        b[1 * 16 + x] = e1 + t6;
+        b[6 * 16 + x] = e1 - t6;
+        b[2 * 16 + x] = e2 + t5;
+        b[5 * 16 + x] = e2 - t5;
+        b[4 * 16 + x] = e3 + t4;
+        b[3 * 16 + x] = e3 - t4;
+    }
+}
+
+// Dequantize + IDCT two horizontally-adjacent blocks; `out` points at
+// block A's top-left, block B writes at out+8. The dequant multiply is
+// fused with the row-pass transpose (one strided-read/linear-write pass
+// instead of dequant + copy-transpose).
+static void idct8x8_pair(const int16_t* blkA, const int16_t* blkB,
+                         const float* dqs, uint8_t* out, int out_stride) {
+    float t[128], b[128];
+    for (int u = 0; u < 8; ++u)
+        for (int v = 0; v < 8; ++v) {
+            t[u * 16 + v] = (float)blkA[v * 8 + u] * dqs[v * 8 + u];
+            t[u * 16 + 8 + v] = (float)blkB[v * 8 + u] * dqs[v * 8 + u];
+        }
+    aan_cols16(t);  // row transforms of both blocks, 16 lanes
+    for (int v = 0; v < 8; ++v)
+        for (int u = 0; u < 8; ++u) {
+            b[v * 16 + u] = t[u * 16 + v];
+            b[v * 16 + 8 + u] = t[u * 16 + 8 + v];
+        }
+    aan_cols16(b);
+    for (int y = 0; y < 8; ++y) {
+        const float* row = b + y * 16;
+        uint8_t* o = out + (size_t)y * out_stride;
+        for (int x = 0; x < 16; ++x) {
+            int v = (int)lrintf(row[x]) + 128;
+            o[x] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+        }
+    }
+}
+
 // in: coefficients already multiplied by the AAN-scaled dequant table.
 void idct8x8(const float* in, uint8_t* out, int out_stride) {
     // Row pass done as a column pass on the transpose: every butterfly
@@ -763,23 +833,36 @@ struct Decoder {
                     dqs[v * 8 + u] = (float)(q[v * 8 + u]
                                              * kAan[u] * kAan[v] / 8.0);
             float deq[64];
+            auto ac_any = [](const int16_t* blk) {
+                int32_t ac = 0;
+                for (int k = 1; k < 64; ++k) ac |= blk[k];
+                return ac != 0;
+            };
             for (int byi = 0; byi < c.by; ++byi) {
-                for (int bxi = 0; bxi < c.bx; ++bxi) {
+                int bxi = 0;
+                while (bxi < c.bx) {
                     const int16_t* blk = &c.coef[((size_t)byi * c.bx + bxi) * 64];
                     uint8_t* dst = &planes[i][((size_t)byi * 8) * pw[i] + bxi * 8];
                     // DC-only shortcut: constant block (very common in
                     // smooth regions / high-frequency coefficients)
-                    int32_t ac = 0;
-                    for (int k = 1; k < 64; ++k) ac |= blk[k];
-                    if (ac == 0) {
+                    if (!ac_any(blk)) {
                         int v = (int)lrintf(blk[0] * dqs[0]) + 128;
                         uint8_t px = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
                         for (int y = 0; y < 8; ++y)
                             std::memset(dst + (size_t)y * pw[i], px, 8);
+                        ++bxi;
+                        continue;
+                    }
+                    // pair two adjacent AC blocks into one 16-lane IDCT
+                    // (bit-identical per-lane float ops; fills AVX-512)
+                    if (bxi + 1 < c.bx && ac_any(blk + 64)) {
+                        idct8x8_pair(blk, blk + 64, dqs, dst, pw[i]);
+                        bxi += 2;
                         continue;
                     }
                     for (int k = 0; k < 64; ++k) deq[k] = (float)blk[k] * dqs[k];
                     idct8x8(deq, dst, pw[i]);
+                    ++bxi;
                 }
             }
         }
