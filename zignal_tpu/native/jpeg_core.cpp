@@ -296,91 +296,94 @@ static inline void aan_cols(float* b) {
     }
 }
 
-// Two-block variant: the same flowgraph over 16 lanes (two 8x8 blocks
-// side by side), sized for the host's 16-float AVX-512 vectors — the
-// 8-lane version leaves half of every vector idle. Lanes 0-7 = block A,
-// 8-15 = block B; both outputs land in one contiguous 16-byte row store
-// when the blocks are horizontally adjacent.
-static inline void aan_cols16(float* b) {
-    for (int x = 0; x < 16; ++x) {
-        float s0 = b[0 * 16 + x], s1 = b[1 * 16 + x], s2 = b[2 * 16 + x];
-        float s3 = b[3 * 16 + x], s4 = b[4 * 16 + x], s5 = b[5 * 16 + x];
-        float s6 = b[6 * 16 + x], s7 = b[7 * 16 + x];
-        float t10 = s0 + s4;
-        float t11 = s0 - s4;
-        float t13 = s2 + s6;
-        float t12 = (s2 - s6) * 1.414213562f - t13;
-        float e0 = t10 + t13;
-        float e3 = t10 - t13;
-        float e1 = t11 + t12;
-        float e2 = t11 - t12;
-        float z13 = s5 + s3;
-        float z10 = s5 - s3;
-        float z11 = s1 + s7;
-        float z12 = s1 - s7;
-        float t7 = z11 + z13;
-        float t11b = (z11 - z13) * 1.414213562f;
-        float z5 = (z10 + z12) * 1.847759065f;
-        float t10b = 1.082392200f * z12 - z5;
-        float t12b = -2.613125930f * z10 + z5;
-        float t6 = t12b - t7;
-        float t5 = t11b - t6;
-        float t4 = t10b + t5;
-        b[0 * 16 + x] = e0 + t7;
-        b[7 * 16 + x] = e0 - t7;
-        b[1 * 16 + x] = e1 + t6;
-        b[6 * 16 + x] = e1 - t6;
-        b[2 * 16 + x] = e2 + t5;
-        b[5 * 16 + x] = e2 - t5;
-        b[4 * 16 + x] = e3 + t4;
-        b[3 * 16 + x] = e3 - t4;
-    }
+// Register-resident variant: the whole 2-D transform lives in eight
+// 8-float GCC vector registers — the butterflies are elementwise vector
+// ops across registers and the two transposes are 24-shuffle networks
+// (__builtin_shufflevector), so no scalar transpose loads/stores touch
+// memory. The scalar fallback above keeps the math definition readable;
+// per-element operations and their order are identical, so outputs are
+// bit-identical.
+typedef float v8f __attribute__((vector_size(32)));
+
+static inline v8f load8f(const float* p) {
+    v8f v;
+    std::memcpy(&v, p, 32);
+    return v;
 }
 
-// Dequantize + IDCT two horizontally-adjacent blocks; `out` points at
-// block A's top-left, block B writes at out+8. The dequant multiply is
-// fused with the row-pass transpose (one strided-read/linear-write pass
-// instead of dequant + copy-transpose).
-static void idct8x8_pair(const int16_t* blkA, const int16_t* blkB,
-                         const float* dqs, uint8_t* out, int out_stride) {
-    float t[128], b[128];
-    for (int u = 0; u < 8; ++u)
-        for (int v = 0; v < 8; ++v) {
-            t[u * 16 + v] = (float)blkA[v * 8 + u] * dqs[v * 8 + u];
-            t[u * 16 + 8 + v] = (float)blkB[v * 8 + u] * dqs[v * 8 + u];
-        }
-    aan_cols16(t);  // row transforms of both blocks, 16 lanes
-    for (int v = 0; v < 8; ++v)
-        for (int u = 0; u < 8; ++u) {
-            b[v * 16 + u] = t[u * 16 + v];
-            b[v * 16 + 8 + u] = t[u * 16 + 8 + v];
-        }
-    aan_cols16(b);
-    for (int y = 0; y < 8; ++y) {
-        const float* row = b + y * 16;
-        uint8_t* o = out + (size_t)y * out_stride;
-        for (int x = 0; x < 16; ++x) {
-            int v = (int)lrintf(row[x]) + 128;
-            o[x] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
-        }
-    }
+#define ZT_SHUF(a, b, ...) __builtin_shufflevector(a, b, __VA_ARGS__)
+
+static inline void transpose8(v8f r[8]) {
+    v8f t0 = ZT_SHUF(r[0], r[1], 0, 8, 1, 9, 4, 12, 5, 13);
+    v8f t1 = ZT_SHUF(r[0], r[1], 2, 10, 3, 11, 6, 14, 7, 15);
+    v8f t2 = ZT_SHUF(r[2], r[3], 0, 8, 1, 9, 4, 12, 5, 13);
+    v8f t3 = ZT_SHUF(r[2], r[3], 2, 10, 3, 11, 6, 14, 7, 15);
+    v8f t4 = ZT_SHUF(r[4], r[5], 0, 8, 1, 9, 4, 12, 5, 13);
+    v8f t5 = ZT_SHUF(r[4], r[5], 2, 10, 3, 11, 6, 14, 7, 15);
+    v8f t6 = ZT_SHUF(r[6], r[7], 0, 8, 1, 9, 4, 12, 5, 13);
+    v8f t7 = ZT_SHUF(r[6], r[7], 2, 10, 3, 11, 6, 14, 7, 15);
+    v8f u0 = ZT_SHUF(t0, t2, 0, 1, 8, 9, 4, 5, 12, 13);
+    v8f u1 = ZT_SHUF(t0, t2, 2, 3, 10, 11, 6, 7, 14, 15);
+    v8f u2 = ZT_SHUF(t1, t3, 0, 1, 8, 9, 4, 5, 12, 13);
+    v8f u3 = ZT_SHUF(t1, t3, 2, 3, 10, 11, 6, 7, 14, 15);
+    v8f u4 = ZT_SHUF(t4, t6, 0, 1, 8, 9, 4, 5, 12, 13);
+    v8f u5 = ZT_SHUF(t4, t6, 2, 3, 10, 11, 6, 7, 14, 15);
+    v8f u6 = ZT_SHUF(t5, t7, 0, 1, 8, 9, 4, 5, 12, 13);
+    v8f u7 = ZT_SHUF(t5, t7, 2, 3, 10, 11, 6, 7, 14, 15);
+    r[0] = ZT_SHUF(u0, u4, 0, 1, 2, 3, 8, 9, 10, 11);
+    r[4] = ZT_SHUF(u0, u4, 4, 5, 6, 7, 12, 13, 14, 15);
+    r[1] = ZT_SHUF(u1, u5, 0, 1, 2, 3, 8, 9, 10, 11);
+    r[5] = ZT_SHUF(u1, u5, 4, 5, 6, 7, 12, 13, 14, 15);
+    r[2] = ZT_SHUF(u2, u6, 0, 1, 2, 3, 8, 9, 10, 11);
+    r[6] = ZT_SHUF(u2, u6, 4, 5, 6, 7, 12, 13, 14, 15);
+    r[3] = ZT_SHUF(u3, u7, 0, 1, 2, 3, 8, 9, 10, 11);
+    r[7] = ZT_SHUF(u3, u7, 4, 5, 6, 7, 12, 13, 14, 15);
+}
+
+// same flowgraph as aan_cols, one step = one vector op across registers
+static inline void aan_v8(v8f r[8]) {
+    v8f s0 = r[0], s1 = r[1], s2 = r[2], s3 = r[3];
+    v8f s4 = r[4], s5 = r[5], s6 = r[6], s7 = r[7];
+    v8f t10 = s0 + s4;
+    v8f t11 = s0 - s4;
+    v8f t13 = s2 + s6;
+    v8f t12 = (s2 - s6) * 1.414213562f - t13;
+    v8f e0 = t10 + t13;
+    v8f e3 = t10 - t13;
+    v8f e1 = t11 + t12;
+    v8f e2 = t11 - t12;
+    v8f z13 = s5 + s3;
+    v8f z10 = s5 - s3;
+    v8f z11 = s1 + s7;
+    v8f z12 = s1 - s7;
+    v8f t7 = z11 + z13;
+    v8f t11b = (z11 - z13) * 1.414213562f;
+    v8f z5 = (z10 + z12) * 1.847759065f;
+    v8f t10b = 1.082392200f * z12 - z5;
+    v8f t12b = -2.613125930f * z10 + z5;
+    v8f t6 = t12b - t7;
+    v8f t5 = t11b - t6;
+    v8f t4 = t10b + t5;
+    r[0] = e0 + t7;
+    r[7] = e0 - t7;
+    r[1] = e1 + t6;
+    r[6] = e1 - t6;
+    r[2] = e2 + t5;
+    r[5] = e2 - t5;
+    r[4] = e3 + t4;
+    r[3] = e3 - t4;
 }
 
 // in: coefficients already multiplied by the AAN-scaled dequant table.
 void idct8x8(const float* in, uint8_t* out, int out_stride) {
-    // Row pass done as a column pass on the transpose: every butterfly
-    // then runs 8-wide (one vector op per step) instead of 8 scalar
-    // 1-D transforms; the transposes are straight-line shuffles the
-    // vectorizer handles. 2 vector passes + 2 transposes beat 1 vector
-    // pass + 8 scalar passes on any SIMD host. Zero rows need no
-    // special casing: they ride the 8-wide butterflies for free.
-    float t[64], b[64];
-    for (int v = 0; v < 8; ++v)
-        for (int u = 0; u < 8; ++u) t[u * 8 + v] = in[v * 8 + u];
-    aan_cols(t);  // row transforms, 8 at a time
-    for (int v = 0; v < 8; ++v)
-        for (int u = 0; u < 8; ++u) b[v * 8 + u] = t[u * 8 + v];
-    aan_cols(b);
+    v8f r[8];
+    for (int v = 0; v < 8; ++v) r[v] = load8f(in + v * 8);
+    transpose8(r);  // r[u] = coefficient column u
+    aan_v8(r);      // row transforms, 8 at a time
+    transpose8(r);
+    aan_v8(r);
+    float b[64];
+    for (int y = 0; y < 8; ++y) std::memcpy(b + y * 8, &r[y], 32);
     for (int y = 0; y < 8; ++y) {
         const float* row = b + y * 8;
         uint8_t* o = out + (size_t)y * out_stride;
@@ -833,36 +836,23 @@ struct Decoder {
                     dqs[v * 8 + u] = (float)(q[v * 8 + u]
                                              * kAan[u] * kAan[v] / 8.0);
             float deq[64];
-            auto ac_any = [](const int16_t* blk) {
-                int32_t ac = 0;
-                for (int k = 1; k < 64; ++k) ac |= blk[k];
-                return ac != 0;
-            };
             for (int byi = 0; byi < c.by; ++byi) {
-                int bxi = 0;
-                while (bxi < c.bx) {
+                for (int bxi = 0; bxi < c.bx; ++bxi) {
                     const int16_t* blk = &c.coef[((size_t)byi * c.bx + bxi) * 64];
                     uint8_t* dst = &planes[i][((size_t)byi * 8) * pw[i] + bxi * 8];
                     // DC-only shortcut: constant block (very common in
                     // smooth regions / high-frequency coefficients)
-                    if (!ac_any(blk)) {
+                    int32_t ac = 0;
+                    for (int k = 1; k < 64; ++k) ac |= blk[k];
+                    if (ac == 0) {
                         int v = (int)lrintf(blk[0] * dqs[0]) + 128;
                         uint8_t px = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
                         for (int y = 0; y < 8; ++y)
                             std::memset(dst + (size_t)y * pw[i], px, 8);
-                        ++bxi;
-                        continue;
-                    }
-                    // pair two adjacent AC blocks into one 16-lane IDCT
-                    // (bit-identical per-lane float ops; fills AVX-512)
-                    if (bxi + 1 < c.bx && ac_any(blk + 64)) {
-                        idct8x8_pair(blk, blk + 64, dqs, dst, pw[i]);
-                        bxi += 2;
                         continue;
                     }
                     for (int k = 0; k < 64; ++k) deq[k] = (float)blk[k] * dqs[k];
                     idct8x8(deq, dst, pw[i]);
-                    ++bxi;
                 }
             }
         }
