@@ -340,30 +340,33 @@ static inline void transpose8(v8f r[8]) {
     r[7] = ZT_SHUF(u3, u7, 4, 5, 6, 7, 12, 13, 14, 15);
 }
 
-// same flowgraph as aan_cols, one step = one vector op across registers
-static inline void aan_v8(v8f r[8]) {
-    v8f s0 = r[0], s1 = r[1], s2 = r[2], s3 = r[3];
-    v8f s4 = r[4], s5 = r[5], s6 = r[6], s7 = r[7];
-    v8f t10 = s0 + s4;
-    v8f t11 = s0 - s4;
-    v8f t13 = s2 + s6;
-    v8f t12 = (s2 - s6) * 1.414213562f - t13;
-    v8f e0 = t10 + t13;
-    v8f e3 = t10 - t13;
-    v8f e1 = t11 + t12;
-    v8f e2 = t11 - t12;
-    v8f z13 = s5 + s3;
-    v8f z10 = s5 - s3;
-    v8f z11 = s1 + s7;
-    v8f z12 = s1 - s7;
-    v8f t7 = z11 + z13;
-    v8f t11b = (z11 - z13) * 1.414213562f;
-    v8f z5 = (z10 + z12) * 1.847759065f;
-    v8f t10b = 1.082392200f * z12 - z5;
-    v8f t12b = -2.613125930f * z10 + z5;
-    v8f t6 = t12b - t7;
-    v8f t5 = t11b - t6;
-    v8f t4 = t10b + t5;
+// same flowgraph as aan_cols, one step = one vector op across registers;
+// templated so the 8-lane (one block) and 16-lane (two blocks, AVX-512)
+// variants share the exact per-element operations
+template <typename V>
+static inline void aan_v(V r[8]) {
+    V s0 = r[0], s1 = r[1], s2 = r[2], s3 = r[3];
+    V s4 = r[4], s5 = r[5], s6 = r[6], s7 = r[7];
+    V t10 = s0 + s4;
+    V t11 = s0 - s4;
+    V t13 = s2 + s6;
+    V t12 = (s2 - s6) * 1.414213562f - t13;
+    V e0 = t10 + t13;
+    V e3 = t10 - t13;
+    V e1 = t11 + t12;
+    V e2 = t11 - t12;
+    V z13 = s5 + s3;
+    V z10 = s5 - s3;
+    V z11 = s1 + s7;
+    V z12 = s1 - s7;
+    V t7 = z11 + z13;
+    V t11b = (z11 - z13) * 1.414213562f;
+    V z5 = (z10 + z12) * 1.847759065f;
+    V t10b = 1.082392200f * z12 - z5;
+    V t12b = -2.613125930f * z10 + z5;
+    V t6 = t12b - t7;
+    V t5 = t11b - t6;
+    V t4 = t10b + t5;
     r[0] = e0 + t7;
     r[7] = e0 - t7;
     r[1] = e1 + t6;
@@ -373,6 +376,8 @@ static inline void aan_v8(v8f r[8]) {
     r[4] = e3 + t4;
     r[3] = e3 - t4;
 }
+
+static inline void aan_v8(v8f r[8]) { aan_v(r); }
 
 // in: coefficients already multiplied by the AAN-scaled dequant table.
 void idct8x8(const float* in, uint8_t* out, int out_stride) {
@@ -393,6 +398,47 @@ void idct8x8(const float* in, uint8_t* out, int out_stride) {
             int v = (int)lrintf(row[x]) + 128;
             o[x] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
         }
+    }
+}
+
+// Planar r/g/b rows -> interleaved rgb row. The scalar form is three
+// strided stores per pixel, which the vectorizer refuses; two chained
+// 16-lane byte shuffles build each 16-byte output chunk instead
+// (3 chunks per 16 px). Order is exactly o[3x]=r, o[3x+1]=g, o[3x+2]=b.
+typedef uint8_t v16u8 __attribute__((vector_size(16)));
+
+static inline v16u8 load16u8(const uint8_t* p) {
+    v16u8 v;
+    std::memcpy(&v, p, 16);
+    return v;
+}
+
+static void interleave3(const uint8_t* r, const uint8_t* g,
+                        const uint8_t* b, uint8_t* o, int n) {
+    int x = 0;
+    for (; x + 16 <= n; x += 16) {
+        v16u8 vr = load16u8(r + x), vg = load16u8(g + x),
+              vb = load16u8(b + x);
+        v16u8 t0 = ZT_SHUF(vr, vg, 0, 16, 0, 1, 17, 0, 2, 18, 0, 3, 19, 0,
+                           4, 20, 0, 5);
+        v16u8 o0 = ZT_SHUF(t0, vb, 0, 1, 16, 3, 4, 17, 6, 7, 18, 9, 10, 19,
+                           12, 13, 20, 15);
+        v16u8 t1 = ZT_SHUF(vr, vg, 21, 0, 6, 22, 0, 7, 23, 0, 8, 24, 0, 9,
+                           25, 0, 10, 26);
+        v16u8 o1 = ZT_SHUF(t1, vb, 0, 21, 2, 3, 22, 5, 6, 23, 8, 9, 24, 11,
+                           12, 25, 14, 15);
+        v16u8 t2 = ZT_SHUF(vr, vg, 0, 11, 27, 0, 12, 28, 0, 13, 29, 0, 14,
+                           30, 0, 15, 31, 0);
+        v16u8 o2 = ZT_SHUF(t2, vb, 26, 1, 2, 27, 4, 5, 28, 7, 8, 29, 10, 11,
+                           30, 13, 14, 31);
+        std::memcpy(o + 3 * x, &o0, 16);
+        std::memcpy(o + 3 * x + 16, &o1, 16);
+        std::memcpy(o + 3 * x + 32, &o2, 16);
+    }
+    for (; x < n; ++x) {
+        o[3 * x] = r[x];
+        o[3 * x + 1] = g[x];
+        o[3 * x + 2] = b[x];
     }
 }
 
@@ -935,11 +981,8 @@ struct Decoder {
                     gbuf[x] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : g);
                     bbuf[x] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : b);
                 }
-                for (int x = 0; x < width; ++x) {
-                    o[3 * x] = rbuf[x];
-                    o[3 * x + 1] = gbuf[x];
-                    o[3 * x + 2] = bbuf[x];
-                }
+                interleave3(rbuf.data(), gbuf.data(), bbuf.data(), o,
+                            width);
             } else {
                 const uint8_t* yrow = &planes[0][
                     (size_t)(y * comp[0].v / vmax) * pw[0]];
