@@ -774,10 +774,11 @@ inline void huff_lengths(const uint32_t* counts, int n, uint8_t* lens,
             return k;
         };
         while (kraft() > (1LL << maxlen)) {
+            // deepest non-max leaf: rarest symbol, cheapest to lengthen
             int best = -1;
             for (int i = 0; i < n; i++)
                 if (lens[i] && lens[i] < maxlen
-                    && (best < 0 || lens[i] < lens[best])) best = i;
+                    && (best < 0 || lens[i] > lens[best])) best = i;
             lens[best]++;
         }
         long long deficit = (1LL << maxlen) - kraft();
@@ -924,7 +925,10 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
 
     uint8_t lit_len[286];
     uint32_t lit_code[286];
-    huff_lengths(lit_cnt, 286, lit_len, 15);
+    // 14-bit cap (DEFLATE allows 15): four literal codes then fit one
+    // 56-bit byte-granular put below; the size cost is ~0 (depth-15
+    // leaves need skew beyond photographic residual histograms)
+    huff_lengths(lit_cnt, 286, lit_len, 14);
     huff_codes(lit_len, 286, lit_code);
     // distance tree: a single code (dist 1) of length 1; if no match
     // exists the unused tree is still valid per the spec
@@ -1010,18 +1014,21 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
         while (p < e) {
             if (bw.pos + 512 > cap) return false;
             long lim = p + 128 < e ? p + 128 : e;
-            // combine literal TRIPLES off the accumulator's dependency
-            // chain (codes <= 15 bits each, so a triple is <= 45 bits —
-            // one byte-granular put), then feed the chain one put each
-            for (; lim - p >= 3; p += 3) {
+            // combine literal QUADS off the accumulator's dependency
+            // chain (codes <= 14 bits each by the tree cap above, so a
+            // quad is <= 56 bits — one byte-granular put), then feed
+            // the chain one put each
+            for (; lim - p >= 4; p += 4) {
                 uint32_t e0 = fused[src[p]], e1 = fused[src[p + 1]];
-                uint32_t e2 = fused[src[p + 2]];
+                uint32_t e2 = fused[src[p + 2]], e3 = fused[src[p + 3]];
                 int l0 = (int)(e0 >> 20), l1 = (int)(e1 >> 20);
-                int l2 = (int)(e2 >> 20);
+                int l2 = (int)(e2 >> 20), l3 = (int)(e3 >> 20);
                 uint64_t code = (e0 & 0xFFFFF)
                                 | ((uint64_t)(e1 & 0xFFFFF) << l0)
-                                | ((uint64_t)(e2 & 0xFFFFF) << (l0 + l1));
-                bw.put(code, l0 + l1 + l2);
+                                | ((uint64_t)(e2 & 0xFFFFF) << (l0 + l1))
+                                | ((uint64_t)(e3 & 0xFFFFF)
+                                   << (l0 + l1 + l2));
+                bw.put(code, l0 + l1 + l2 + l3);
             }
             for (; p < lim; p++) {
                 uint32_t e0 = fused[src[p]];
