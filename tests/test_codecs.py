@@ -162,6 +162,26 @@ class TestJpeg:
         diff = np.abs(ours.astype(np.int16) - theirs.astype(np.int16))
         assert np.mean(diff) < 3.0
 
+    def test_odd_sizes_all_subsamplings(self):
+        # widths straddling the 16-px SIMD interleave tail and odd
+        # chroma expansion (37, 51, 47 are not multiples of 8 or 16)
+        for h, w in ((37, 51), (33, 47), (16, 17)):
+            base = np.asarray(
+                PIL.fromarray(_rand(h, w, 3), "RGB")
+                .resize((max(4, w // 3), max(4, h // 3))).resize((w, h)))
+            for sub in (0, 1, 2):  # 4:4:4, 4:2:2, 4:2:0
+                buf = io.BytesIO()
+                PIL.fromarray(base, "RGB").save(
+                    buf, format="JPEG", quality=95, subsampling=sub)
+                ours = jpeg.load_from_bytes(buf.getvalue())
+                theirs = np.asarray(PIL.open(buf).convert("RGB"))
+                assert ours.shape == (h, w, 3)
+                diff = np.abs(ours.astype(np.int16) - theirs.astype(np.int16))
+                # sub>0: libjpeg applies triangular ("fancy") chroma
+                # upsampling; ours is pixel doubling like the reference
+                # (jpeg.zig upsample), so allow a wider mean there
+                assert np.mean(diff) < (0.5 if sub == 0 else 4.5), (h, w, sub)
+
     def test_our_encoder_decodes_everywhere(self):
         arr = np.asarray(
             PIL.fromarray(_rand(48, 64, 3), "RGB").resize((16, 12)).resize((64, 48))

@@ -95,6 +95,29 @@ def test_rle_deflate_stream_decodes_to_input():
         assert zlib.decompress(out) == data
 
 
+def test_rle_deflate_deep_tree_clamp():
+    """Extreme symbol skew drives optimal Huffman depths past the 14-bit
+    cap, exercising the clamp + Kraft-repair path; the stream must stay
+    inflatable and lossless."""
+    import zlib
+
+    from zignal_tpu.codecs.png import _native_rle_deflate
+
+    rng = np.random.default_rng(12)
+    # geometric-ish skew: symbol s appears ~2^(16-s) times
+    parts = [bytes([s]) * max(1, 1 << max(0, 16 - s)) for s in range(64)]
+    data = b"".join(parts)
+    # shuffle in 257-byte chunks to break up the giant runs (keeps the
+    # skewed histogram but forces the literal emit path too)
+    chunks = [data[i:i + 257] for i in range(0, len(data), 257)]
+    order = rng.permutation(len(chunks))
+    data = b"".join(chunks[i] for i in order)
+    out = _native_rle_deflate(data)
+    if out is None:
+        pytest.skip("native lib unavailable")
+    assert zlib.decompress(out) == data
+
+
 def test_png_filter_and_encode_roundtrip_without_native(fallback):
     from zignal_tpu.codecs import png
 
