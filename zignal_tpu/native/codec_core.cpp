@@ -12,6 +12,10 @@
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <ctime>
+#if defined(__AVX512BW__) || defined(__AVX2__)
+#include <immintrin.h>
+#endif
 #include <vector>
 #include <algorithm>
 
@@ -843,6 +847,17 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
                           long cap) {
     using namespace zdef;
     if (cap < 16) return -1;
+    // ZT_PNG_PROFILE=1: per-pass stderr timers (tokenize / histogram /
+    // header / emit / adler) for stage attribution without a separate
+    // instrumented build.
+    static const bool prof = std::getenv("ZT_PNG_PROFILE") != nullptr;
+    auto now = []() {
+        struct timespec ts;
+        clock_gettime(CLOCK_MONOTONIC, &ts);
+        return ts.tv_sec * 1e3 + ts.tv_nsec * 1e-6;
+    };
+    double t0 = prof ? now() : 0.0, t_tok = 0, t_hist = 0, t_hdr = 0,
+           t_emit = 0;
 
     // pass 1: tokenize into (literal | run) ONCE, recording runs so the
     // emit pass never re-scans. Runs are distance-1 matches: at i, match
@@ -855,8 +870,70 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
     static thread_local std::vector<int> run_len;
     run_pos.clear();
     run_len.clear();
+    // take runs of >= 3 equal-to-previous bytes, each capped at 258,
+    // exactly as a serial tokenizer would (a stretch of length L yields
+    // floor(L/258) full runs + remainder-if->=3; remainders < 3 fall
+    // back to literals — inside a uniform stretch the next byte still
+    // equals its predecessor, so chained re-takes are legal)
+    auto take_runs = [&](long p, long stretch) {
+        while (stretch >= 3) {
+            long take = stretch < 258 ? stretch : 258;
+            run_pos.push_back(p);
+            run_len.push_back((int)take);
+            lit_cnt[257 + length_code((int)take)]++;
+            p += take;
+            stretch -= take;
+        }
+    };
     {
         long i = 1;
+#if defined(__AVX512BW__)
+        // 64-byte equal-neighbor masks: bit k of m = (src[i+k] ==
+        // src[i+k-1]), so a stretch of S equal bytes = S consecutive
+        // mask bits. m & m>>1 & m>>2 is nonzero only where >= 3
+        // consecutive bits start, which skips the ubiquitous 1-2 byte
+        // stretches of smooth content wholesale (the old code dropped
+        // to a byte-at-a-time loop for EVERY equal pair). Bits 62-63 of
+        // m3 see shifted-in garbage, so windows step by 62: any
+        // stretch's first three mask bits then land fully inside some
+        // window, and the first window to see them has the stretch
+        // START at its detected bit (an earlier start would have been
+        // detected by an earlier window), so no backtracking.
+        while (i < n) {
+            long s = -1;
+            while (i + 64 <= n) {
+                __m512i a = _mm512_loadu_si512(src + i);
+                __m512i b = _mm512_loadu_si512(src + i - 1);
+                uint64_t m = _mm512_cmpeq_epi8_mask(a, b);
+                uint64_t m3 = m & (m >> 1) & (m >> 2)
+                              & ((1ULL << 62) - 1);
+                if (m3) {
+                    s = i + (long)__builtin_ctzll(m3);
+                    break;
+                }
+                i += 62;
+            }
+            if (s < 0) break;  // tail handled by the scalar loop below
+            // measure the stretch end with 64-wide compares against v
+            uint8_t v = src[s - 1];
+            long j = s;
+            __m512i vb = _mm512_set1_epi8((char)v);
+            while (j + 64 <= n) {
+                uint64_t eq = _mm512_cmpeq_epi8_mask(
+                    _mm512_loadu_si512(src + j), vb);
+                uint64_t ne = ~eq;
+                if (ne) {
+                    j += (long)__builtin_ctzll(ne);
+                    goto measured;
+                }
+                j += 64;
+            }
+            while (j < n && src[j] == v) j++;
+        measured:
+            take_runs(s, j - s);
+            i = j;
+        }
+#endif
         while (i < n) {
             // skip to the next position with src[i] == src[i-1]
             while (i + 8 <= n) {
@@ -877,29 +954,14 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
                 while (i < n && src[i] != src[i - 1]) i++;
             }
             if (i >= n) break;
-            // measure the stretch of equal-to-previous bytes; take runs
-            // of >= 3, each capped at 258, exactly as the serial
-            // tokenizer would (a stretch of length L yields
-            // floor(L/258) full runs + remainder-if->=3)
             uint8_t v = src[i - 1];
             long j = i;
             while (j < n && src[j] == v) j++;
-            long stretch = j - i;
-            long p = i;
-            while (stretch >= 3) {
-                long take = stretch < 258 ? stretch : 258;
-                // the serial tokenizer only re-takes a run if the NEXT
-                // byte still equals its predecessor, which holds inside
-                // a uniform stretch; remainders < 3 fall back to literals
-                run_pos.push_back(p);
-                run_len.push_back((int)take);
-                lit_cnt[257 + length_code((int)take)]++;
-                p += take;
-                stretch -= take;
-            }
+            take_runs(i, j - i);
             i = j;
         }
     }
+    if (prof) t_tok = now();
     // literal histogram: all bytes, 4 banks to break the carried
     // dependency, then subtract the run-covered bytes
     {
@@ -917,6 +979,7 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
         for (size_t r = 0; r < run_pos.size(); r++)
             lit_cnt[src[run_pos[r]]] -= (uint32_t)run_len[r];
     }
+    if (prof) t_hist = now();
     lit_cnt[256] = 1;  // EOB
     // empty input would leave EOB as the sole symbol -> a 1-bit
     // incomplete code that strict inflaters may reject; add a dummy
@@ -1002,6 +1065,7 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
         else if (t.first == 18) bw.put(t.second, 7);
     }
 
+    if (prof) t_hdr = now();
     // pass 2: emit straight from the pass-1 token records — the literal
     // loop is a pure table-load + bit-append with no run probing. Fused
     // (code | len<<20) entries keep it to one load per literal; the
@@ -1054,6 +1118,7 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
     bw.flush_byte();
     if (bw.fail) return -1;
 
+    if (prof) t_emit = now();
     // adler32, blockwise closed form so the inner loops vectorize: for
     // a block b[0..k), s2' = s2 + k*s1 + sum((k-j)*b[j]) and
     // s1' = s1 + sum(b[j]) — two independent reductions instead of the
@@ -1080,6 +1145,14 @@ long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
     dst[bw.pos++] = (uint8_t)(adler >> 16);
     dst[bw.pos++] = (uint8_t)(adler >> 8);
     dst[bw.pos++] = (uint8_t)adler;
+    if (prof) {
+        double t_end = now();
+        std::fprintf(stderr,
+                     "zt_png_profile tok=%.2f hist=%.2f hdr=%.2f "
+                     "emit=%.2f adler=%.2f ms\n",
+                     t_tok - t0, t_hist - t_tok, t_hdr - t_hist,
+                     t_emit - t_hdr, t_end - t_emit);
+    }
     return bw.pos;
 }
 
