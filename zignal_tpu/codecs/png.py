@@ -464,7 +464,9 @@ def _native_rle_deflate(scanlines: bytes) -> bytes | None:
     rc = lib.zt_zlib_rle_compress(scanlines, n, out, cap)
     if rc <= 0:
         return None
-    return out.raw[:rc]
+    # string_at copies rc bytes; .raw[:rc] would first materialize the
+    # whole cap-sized buffer (~2x the payload) just to slice it
+    return ctypes.string_at(out, rc)
 
 
 def save(path: str, arr: np.ndarray, **options) -> None:

@@ -288,8 +288,158 @@ int64_t zt_gif_lzw_encode(const uint8_t* src, int64_t src_len,
 // The hot interior loop is branchless (selects instead of &&-chains,
 // no per-byte bounds conditionals) so the autovectorizer turns the
 // Paeth predictor into SIMD compare/blend chains.
+#if defined(__AVX512BW__)
+// Fused minimum-sum-of-absolute-differences PNG filter pass: one
+// read-only SIMD sweep computes all five filter costs per row (no
+// candidate stores), then only the WINNING filter is generated. The
+// portable path below materializes all 5 candidates and re-reads them
+// (13 passes of memory traffic per row vs ~3 here). Costs, tie-breaks
+// and output bytes are identical.
+static long filter_msd_avx512(const uint8_t* src, long h, long stride,
+                              long bpp, uint8_t* out) {
+    std::vector<uint8_t> zero_row((size_t)stride, 0);
+    const __m256i z256 = _mm256_setzero_si256();
+    const __m256i lo7 = _mm256_set1_epi8(0x7F);
+    for (long r = 0; r < h; r++) {
+        const uint8_t* row = src + r * stride;
+        const uint8_t* prev = r > 0 ? src + (r - 1) * stride
+                                    : zero_row.data();
+        uint64_t cost[5] = {0, 0, 0, 0, 0};
+        // head [0, bpp): a = c = 0
+        long i = 0;
+        for (; i < bpp && i < stride; i++) {
+            int x = row[i], b = prev[i];
+            auto a8 = [](uint8_t v) {
+                uint8_t m = (uint8_t)-v;
+                return (uint64_t)(v < m ? v : m);
+            };
+            cost[0] += a8((uint8_t)x);
+            cost[1] += a8((uint8_t)x);
+            cost[2] += a8((uint8_t)(x - b));
+            cost[3] += a8((uint8_t)(x - (b >> 1)));
+            cost[4] += a8((uint8_t)(x - b));
+        }
+        __m256i acc0 = z256, acc1 = z256, acc2 = z256, acc3 = z256,
+                acc4 = z256;
+        auto sadabs = [&](__m256i f, __m256i& acc) {
+            // |int8(v)| = min_u8(v, -v); SAD vs zero widens to 4x u64
+            __m256i m = _mm256_sub_epi8(z256, f);
+            __m256i a = _mm256_min_epu8(f, m);
+            acc = _mm256_add_epi64(acc, _mm256_sad_epu8(a, z256));
+        };
+        for (; i + 32 <= stride; i += 32) {
+            __m256i x = _mm256_loadu_si256((const __m256i*)(row + i));
+            __m256i a = _mm256_loadu_si256(
+                (const __m256i*)(row + i - bpp));
+            __m256i b = _mm256_loadu_si256((const __m256i*)(prev + i));
+            __m256i c = _mm256_loadu_si256(
+                (const __m256i*)(prev + i - bpp));
+            sadabs(x, acc0);
+            sadabs(_mm256_sub_epi8(x, a), acc1);
+            sadabs(_mm256_sub_epi8(x, b), acc2);
+            // truncating byte average: (a & b) + ((a ^ b) >> 1)
+            __m256i avg = _mm256_add_epi8(
+                _mm256_and_si256(a, b),
+                _mm256_and_si256(
+                    _mm256_srli_epi16(_mm256_xor_si256(a, b), 1), lo7));
+            sadabs(_mm256_sub_epi8(x, avg), acc3);
+            // Paeth in 16-bit lanes (a+b-c spans [-255, 510]); the
+            // 512-bit widen/narrow pair preserves element order
+            __m512i a16 = _mm512_cvtepu8_epi16(a);
+            __m512i b16 = _mm512_cvtepu8_epi16(b);
+            __m512i c16 = _mm512_cvtepu8_epi16(c);
+            __m512i p = _mm512_sub_epi16(_mm512_add_epi16(a16, b16), c16);
+            __m512i pa = _mm512_abs_epi16(_mm512_sub_epi16(p, a16));
+            __m512i pb = _mm512_abs_epi16(_mm512_sub_epi16(p, b16));
+            __m512i pc = _mm512_abs_epi16(_mm512_sub_epi16(p, c16));
+            __mmask32 ka = _mm512_cmple_epi16_mask(pa, pb)
+                           & _mm512_cmple_epi16_mask(pa, pc);
+            __mmask32 kb = _mm512_cmple_epi16_mask(pb, pc);
+            __m512i pred16 = _mm512_mask_blend_epi16(
+                ka, _mm512_mask_blend_epi16(kb, c16, b16), a16);
+            __m256i pred = _mm512_cvtepi16_epi8(pred16);
+            sadabs(_mm256_sub_epi8(x, pred), acc4);
+        }
+        auto hsum = [](__m256i v) -> uint64_t {
+            alignas(32) uint64_t t[4];
+            _mm256_store_si256((__m256i*)t, v);
+            return t[0] + t[1] + t[2] + t[3];
+        };
+        cost[0] += hsum(acc0);
+        cost[1] += hsum(acc1);
+        cost[2] += hsum(acc2);
+        cost[3] += hsum(acc3);
+        cost[4] += hsum(acc4);
+        for (; i < stride; i++) {  // tail
+            int x = row[i], a = row[i - bpp], b = prev[i],
+                c = prev[i - bpp];
+            auto a8 = [](uint8_t v) {
+                uint8_t m = (uint8_t)-v;
+                return (uint64_t)(v < m ? v : m);
+            };
+            cost[0] += a8((uint8_t)x);
+            cost[1] += a8((uint8_t)(x - a));
+            cost[2] += a8((uint8_t)(x - b));
+            cost[3] += a8((uint8_t)(x - ((a + b) >> 1)));
+            int p = a + b - c;
+            int pa = p > a ? p - a : a - p;
+            int pb = p > b ? p - b : b - p;
+            int pc = p > c ? p - c : c - p;
+            int pred = ((pa <= pb) & (pa <= pc)) ? a
+                                                 : (pb <= pc ? b : c);
+            cost[4] += a8((uint8_t)(x - pred));
+        }
+        int best = 0;
+        for (int f = 1; f < 5; f++)
+            if (cost[f] < cost[best]) best = f;
+        uint8_t* dst = out + r * (stride + 1);
+        dst[0] = (uint8_t)best;
+        uint8_t* d = dst + 1;
+        switch (best) {
+            case 0:
+                std::memcpy(d, row, (size_t)stride);
+                break;
+            case 1:
+                for (long k = 0; k < bpp && k < stride; k++) d[k] = row[k];
+                for (long k = bpp; k < stride; k++)
+                    d[k] = (uint8_t)(row[k] - row[k - bpp]);
+                break;
+            case 2:
+                for (long k = 0; k < stride; k++)
+                    d[k] = (uint8_t)(row[k] - prev[k]);
+                break;
+            case 3:
+                for (long k = 0; k < bpp && k < stride; k++)
+                    d[k] = (uint8_t)(row[k] - (prev[k] >> 1));
+                for (long k = bpp; k < stride; k++)
+                    d[k] = (uint8_t)(row[k]
+                                     - ((row[k - bpp] + prev[k]) >> 1));
+                break;
+            case 4:
+                for (long k = 0; k < bpp && k < stride; k++)
+                    d[k] = (uint8_t)(row[k] - prev[k]);
+                for (long k = bpp; k < stride; k++) {
+                    int a = row[k - bpp], b = prev[k], c = prev[k - bpp];
+                    int p = a + b - c;
+                    int pa = p > a ? p - a : a - p;
+                    int pb = p > b ? p - b : b - p;
+                    int pc = p > c ? p - c : c - p;
+                    int pred = ((pa <= pb) & (pa <= pc))
+                                   ? a : (pb <= pc ? b : c);
+                    d[k] = (uint8_t)(row[k] - pred);
+                }
+                break;
+        }
+    }
+    return 0;
+}
+#endif
+
 long zt_png_filter_msd(const uint8_t* src, long h, long stride, long bpp,
                        uint8_t* out) {
+#if defined(__AVX512BW__)
+    if (stride >= 32 && bpp >= 1) return filter_msd_avx512(src, h, stride, bpp, out);
+#endif
     std::vector<uint8_t> cand((size_t)5 * stride);
     std::vector<uint8_t> zero_row((size_t)stride, 0);
     for (long r = 0; r < h; r++) {
