@@ -219,3 +219,89 @@ def test_image_resize_placement_host_matches_device():
         else:
             os.environ["ZT_PLACEMENT"] = old
     assert np.array_equal(a.to_numpy(), b.to_numpy())
+
+
+def test_png_filter_msd_matches_numpy_oracle():
+    """The SIMD filter-selection path (fused cost sweep + winner-only
+    generation) must pick the same filter and produce the same bytes as
+    a direct per-row oracle of the MSD heuristic."""
+    from zignal_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    import ctypes
+
+    def oracle(flat, bpp):
+        h, stride = flat.shape
+        out = np.empty((h, stride + 1), np.uint8)
+        prev = np.zeros(stride, np.int32)
+        for r in range(h):
+            row = flat[r].astype(np.int32)
+            a = np.zeros(stride, np.int32)
+            a[bpp:] = row[:-bpp]
+            c = np.zeros(stride, np.int32)
+            c[bpp:] = prev[:-bpp]
+            cands = [row.copy(), row - a, row - prev,
+                     row - ((a + prev) >> 1)]
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, prev, c))
+            cands.append(row - pred)
+            cands = [cand.astype(np.uint8) for cand in cands]
+            costs = [int(np.abs(cand.astype(np.int8).astype(np.int32)).sum())
+                     for cand in cands]
+            best = int(np.argmin(costs))  # argmin keeps the first tie
+            out[r, 0] = best
+            out[r, 1:] = cands[best]
+            prev = row
+        return out.reshape(-1)
+
+    rng = np.random.default_rng(21)
+    for bpp in (1, 3, 4):
+        for h, w in ((1, 1), (2, 5), (3, 40), (7, 33), (16, 64), (5, 200)):
+            for kind in range(3):
+                if kind == 0:
+                    flat = rng.integers(0, 256, (h, w * bpp), np.uint8)
+                elif kind == 1:
+                    yy, xx = np.mgrid[0:h, 0:w * bpp]
+                    flat = ((yy * 3 + xx // 5) % 256).astype(np.uint8)
+                else:
+                    flat = np.cumsum(
+                        rng.integers(0, 3, (h, w * bpp), np.uint8),
+                        axis=1).astype(np.uint8)
+                flat = np.ascontiguousarray(flat)
+                got = np.empty(h * (w * bpp + 1), np.uint8)
+                rc = lib.zt_png_filter_msd(
+                    flat.ctypes.data_as(ctypes.c_char_p), h, w * bpp, bpp,
+                    got.ctypes.data_as(ctypes.c_char_p))
+                assert rc == 0
+                want = oracle(flat, bpp)
+                assert np.array_equal(got, want), (bpp, h, w, kind)
+
+
+def test_rle_deflate_window_boundary_runs():
+    """The vectorized tokenizer scans 62-byte overlapped windows; runs
+    touching every alignment near the window edges must still round-trip
+    (and short 1-2 byte stretches must stay literals: the stream stays
+    small)."""
+    import zlib
+
+    from zignal_tpu.codecs.png import _native_rle_deflate
+
+    rng = np.random.default_rng(22)
+    for off in range(50, 80):
+        for run_len in (1, 2, 3, 4, 5, 258, 259, 300, 516, 600):
+            b = rng.integers(0, 256, 700, dtype=np.uint8)
+            b[off:off + run_len] = 7
+            data = b.tobytes()
+            out = _native_rle_deflate(data)
+            if out is None:
+                pytest.skip("native lib unavailable")
+            assert zlib.decompress(out) == data
+    # alternating 1-3 byte stretches (smooth-gradient pathology)
+    data = np.repeat(rng.integers(0, 256, 4000, dtype=np.uint8),
+                     rng.integers(1, 4, 4000)).tobytes()
+    out = _native_rle_deflate(data)
+    assert out is not None and zlib.decompress(out) == data
