@@ -305,3 +305,34 @@ def test_rle_deflate_window_boundary_runs():
                      rng.integers(1, 4, 4000)).tobytes()
     out = _native_rle_deflate(data)
     assert out is not None and zlib.decompress(out) == data
+
+
+def test_jpeg_stream_decode_matches_buffered(monkeypatch):
+    """Band-streaming sequential decode (jpeg_core.cpp
+    decode_sequential_streaming) must be byte-identical to the buffered
+    coefficient path (ZT_JPEG_STREAM=0) across subsampling modes, odd
+    sizes, gray, and smooth (DC-only heavy) content."""
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    from zignal_tpu.codecs import jpeg
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:120, 0:200]
+    smooth = np.stack(
+        [(yy * 0.9).astype(np.uint8), (xx * 0.6).astype(np.uint8),
+         ((xx + yy) // 3).astype(np.uint8)], -1)
+    payloads = []
+    for sub in ("444", "422", "420"):
+        payloads.append(jpeg.encode(
+            rng.integers(0, 256, (67, 61, 3), dtype=np.uint8),
+            quality=85, subsampling=sub))
+        payloads.append(jpeg.encode(smooth, quality=85, subsampling=sub))
+    payloads.append(jpeg.encode(
+        rng.integers(0, 256, (77, 83, 1), dtype=np.uint8), quality=85))
+    for data in payloads:
+        monkeypatch.setenv("ZT_JPEG_STREAM", "1")
+        streamed = np.asarray(jpeg.decode(data)[0])
+        monkeypatch.setenv("ZT_JPEG_STREAM", "0")
+        buffered = np.asarray(jpeg.decode(data)[0])
+        assert streamed.shape == buffered.shape
+        assert np.array_equal(streamed, buffered)

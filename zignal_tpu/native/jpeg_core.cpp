@@ -242,6 +242,13 @@ inline int extend(int v, int n) {
     return (n && v < (1 << (n - 1))) ? v - (1 << n) + 1 : v;
 }
 
+// AAN IDCT output scale s[u]*s[v]/8 (s[0]=1, s[k]=sqrt(2)*cos(k*pi/16)),
+// folded into dequantization (see idct8x8).
+static const double kAanScale[8] = {
+    1.0, 1.387039845, 1.306562965, 1.175875602,
+    1.0, 0.785694958, 0.541196100, 0.275899379,
+};
+
 const uint8_t ZIGZAG[64] = {
     0,  1,  8, 16,  9,  2,  3, 10,
    17, 24, 32, 25, 18, 11,  4,  5,
@@ -442,6 +449,121 @@ static void interleave3(const uint8_t* r, const uint8_t* g,
     }
 }
 
+// Shared per-row upsample + color-convert pipeline used by both the
+// buffered reconstruct() and the band-streaming decode so their outputs
+// are byte-identical by construction. Two vectorizable phases per row:
+// (1) expand each chroma row to full width into an int32 buffer
+// (pixel-doubling fast path for the ubiquitous 2:1 case, generic map
+// otherwise) so (2) the BT.601 convert loop reads every operand at
+// identity stride — sequential loads + branchless clamps autovectorize,
+// where a per-pixel xmap gather would force scalar code.
+struct RowPipe {
+    int width = 0;
+    std::vector<int32_t> xmap[4];
+    bool xident[4] = {false, false, false, false};
+    bool chalf[4] = {false, false, false, false};
+    std::vector<int32_t> cbbuf, crbuf;
+    std::vector<uint8_t> ybuf, rbuf, gbuf, bbuf;
+
+    void init(const Component* comp, int ncomp, int w, int hmax) {
+        width = w;
+        for (int i = 0; i < ncomp; ++i) {
+            xident[i] = comp[i].h == hmax;
+            chalf[i] = comp[i].h * 2 == hmax;
+            if (!xident[i]) {
+                xmap[i].resize(w);
+                for (int x = 0; x < w; ++x)
+                    xmap[i][x] = x * comp[i].h / hmax;
+            }
+        }
+        cbbuf.resize(w);
+        crbuf.resize(w);
+        ybuf.resize(w);
+        rbuf.resize(w);
+        gbuf.resize(w);
+        bbuf.resize(w);
+    }
+
+    // src chroma row -> centered full-width int32 row (value - 128)
+    void expand_c(const uint8_t* src, int ci, int32_t* dst) {
+        const int width = this->width;
+        if (chalf[ci]) {
+            int half = width >> 1;
+            for (int x = 0; x < half; ++x) {
+                int32_t v = (int32_t)src[x] - 128;
+                dst[2 * x] = v;
+                dst[2 * x + 1] = v;
+            }
+            if (width & 1) dst[width - 1] = (int32_t)src[half] - 128;
+        } else {
+            const int32_t* xm = xmap[ci].data();
+            for (int x = 0; x < width; ++x)
+                dst[x] = (int32_t)src[xm[x]] - 128;
+        }
+    }
+
+    void emit_color(const uint8_t* yrow, const uint8_t* cbrow,
+                    const uint8_t* crrow, uint8_t* o) {
+        const int width = this->width;
+        if (!xident[0]) {
+            const int32_t* xm0 = xmap[0].data();
+            uint8_t* __restrict yb = ybuf.data();
+            for (int x = 0; x < width; ++x) yb[x] = yrow[xm0[x]];
+            yrow = ybuf.data();
+        }
+        if (xident[1]) {
+            int32_t* __restrict cb = cbbuf.data();
+            for (int x = 0; x < width; ++x)
+                cb[x] = (int32_t)cbrow[x] - 128;
+        } else {
+            expand_c(cbrow, 1, cbbuf.data());
+        }
+        if (xident[2]) {
+            int32_t* __restrict cr = crbuf.data();
+            for (int x = 0; x < width; ++x)
+                cr[x] = (int32_t)crrow[x] - 128;
+        } else {
+            expand_c(crrow, 2, crbuf.data());
+        }
+        // planar convert (interleaved stride-3 stores defeat the
+        // vectorizer; planar u8 stores do not), then one interleave
+        // pass over literal stride 3
+        const int32_t* cbb = cbbuf.data();
+        const int32_t* crb = crbuf.data();
+        uint8_t* __restrict rb = rbuf.data();
+        uint8_t* __restrict gb = gbuf.data();
+        uint8_t* __restrict bb = bbuf.data();
+        for (int x = 0; x < width; ++x) {
+            int32_t Y = (int32_t)yrow[x] << 16;
+            int32_t cb = cbb[x];
+            int32_t cr = crb[x];
+            // fixed-point BT.601 (matches color stack); all terms
+            // < 2^25, int32-safe
+            int32_t r = (Y + 91881 * cr + 32768) >> 16;
+            int32_t g = (Y - 22554 * cb - 46802 * cr + 32768) >> 16;
+            int32_t b = (Y + 116130 * cb + 32768) >> 16;
+            rb[x] = (uint8_t)(r < 0 ? 0 : r > 255 ? 255 : r);
+            gb[x] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : g);
+            bb[x] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : b);
+        }
+        interleave3(rb, gb, bb, o, width);
+    }
+
+    void emit_gray(const uint8_t* yrow, uint8_t* o, int out_ncomp) {
+        const int width = this->width;
+        const int32_t* xm0 = xident[0] ? nullptr : xmap[0].data();
+        if (out_ncomp == 1 && !xm0) {
+            std::memcpy(o, yrow, width);
+        } else {
+            for (int x = 0; x < width; ++x, o += out_ncomp) {
+                uint8_t v = yrow[xm0 ? xm0[x] : x];
+                o[0] = v;
+                if (out_ncomp == 3) { o[1] = v; o[2] = v; }
+            }
+        }
+    }
+};
+
 struct Decoder {
     const uint8_t* data;
     int64_t len, pos = 0;
@@ -455,6 +577,17 @@ struct Decoder {
     bool progressive = false;
     bool seen_sos = false;
     int eobrun = 0;
+    // Band-streaming sequential decode (see decode_sequential_streaming):
+    // set by zt_jpeg_decode; when the first scan is a full interleave,
+    // entropy decode, IDCT and color conversion run per MCU row with
+    // small cache-resident band buffers and no full-image coefficient /
+    // plane intermediates. ZT_JPEG_STREAM=0 forces the buffered path
+    // (stage profiling / fallback).
+    uint8_t* stream_out = nullptr;
+    int stream_ncomp = 3;
+    bool streamed = false;
+    bool coef_alloced = false;
+    RowPipe pipe;
 
     int u8() { return pos < len ? data[pos++] : -1; }
     int u16() {
@@ -500,8 +633,10 @@ struct Decoder {
                     for (int i = 0; i < ncomp; ++i) {
                         comp[i].bx = mcux * comp[i].h;
                         comp[i].by = mcuy * comp[i].v;
-                        comp[i].coef.assign((size_t)comp[i].bx * comp[i].by * 64, 0);
                     }
+                    // full coefficient buffers allocate lazily at the
+                    // first non-streamable scan (progressive / partial
+                    // scans); a streamed decode never needs them
                     break;
                 }
                 case 0xFFC4: {  // DHT
@@ -548,6 +683,13 @@ struct Decoder {
         }
     }
 
+    void alloc_coef() {
+        if (coef_alloced) return;
+        for (int i = 0; i < ncomp; ++i)
+            comp[i].coef.assign((size_t)comp[i].bx * comp[i].by * 64, 0);
+        coef_alloced = true;
+    }
+
     Component* find_comp(int id) {
         for (int i = 0; i < ncomp; ++i)
             if (comp[i].id == id) return &comp[i];
@@ -577,10 +719,24 @@ struct Decoder {
         for (int i = 0; i < ncomp; ++i) comp[i].dc_pred = 0;
 
         if (!progressive) {
+            const char* env = std::getenv("ZT_JPEG_STREAM");
+            bool streamable = stream_out && !streamed && !coef_alloced
+                              && ns == ncomp && ncomp >= 1
+                              && (ns > 1 || (comp[0].h == 1
+                                             && comp[0].v == 1))
+                              && !(env && env[0] == '0');
+            if (streamable) {
+                int rc = decode_sequential_streaming(br, scomp, ns);
+                pos = br.pos;
+                if (rc == 0) streamed = true;
+                return rc;
+            }
+            alloc_coef();
             int rc = decode_sequential(br, scomp, ns);
             pos = br.pos;
             return rc;
         }
+        alloc_coef();
         int rc = decode_progressive(br, scomp, ns, ss, se, ah, al);
         pos = br.pos;
         return rc;
@@ -720,6 +876,102 @@ struct Decoder {
                     }
                 }
                 mcu_count++;
+            }
+        }
+        return 0;
+    }
+
+    // Band-streaming sequential decode: entropy decode, dequant+IDCT
+    // and upsample/color-convert run per MCU row with band buffers of
+    // v*8 plane rows per component — no full-image coefficient or
+    // plane intermediates, so for large images every stage works on
+    // cache-resident data and each output byte is written exactly once.
+    // Gated by decode_scan to full-interleave first scans (ns == ncomp;
+    // single-component scans only when h == v == 1, where the block
+    // raster IS the MCU raster). Per-block and per-row math is the
+    // exact code the buffered path runs (decode_block_seq + RowPipe),
+    // so outputs are byte-identical (tests/test_native_parity.py).
+    int decode_sequential_streaming(BitReader& br, Component** scomp,
+                                    int ns) {
+        const int width = this->width, height = this->height;
+        const int vmax = this->vmax;
+        uint8_t* const out = stream_out;
+        const int out_ncomp = stream_ncomp;
+        float dqs[4][64];
+        std::vector<uint8_t> band[4];
+        int pw[4] = {0, 0, 0, 0};
+        for (int i = 0; i < ncomp; ++i) {
+            Component& c = comp[i];
+            pw[i] = c.bx * 8;
+            band[i].assign((size_t)pw[i] * (c.v * 8), 0);
+            const uint16_t* q = qt[c.tq];
+            for (int v = 0; v < 8; ++v)
+                for (int u = 0; u < 8; ++u)
+                    dqs[i][v * 8 + u] = (float)(q[v * 8 + u]
+                                                * kAanScale[u]
+                                                * kAanScale[v] / 8.0);
+        }
+        pipe.init(comp, ncomp, width, hmax);
+        int16_t blk[64];
+        float deq[64];
+        int mcu_count = 0;
+        const int band_h = 8 * vmax;
+        for (int my = 0; my < mcuy; ++my) {
+            for (int mx = 0; mx < mcux; ++mx) {
+                handle_restart(br, mcu_count);
+                for (int i = 0; i < ns; ++i) {
+                    Component* c = scomp[i];
+                    int ci = (int)(c - comp);
+                    for (int v = 0; v < c->v; ++v) {
+                        for (int h = 0; h < c->h; ++h) {
+                            std::memset(blk, 0, sizeof blk);
+                            if (decode_block_seq(br, c, blk) < 0)
+                                return -1;
+                            uint8_t* dst = &band[ci][
+                                (size_t)(v * 8) * pw[ci]
+                                + (size_t)(mx * c->h + h) * 8];
+                            // DC-only shortcut: constant block (very
+                            // common in smooth regions)
+                            int32_t ac = 0;
+                            for (int k = 1; k < 64; ++k) ac |= blk[k];
+                            if (ac == 0) {
+                                int val = (int)lrintf(blk[0] * dqs[ci][0])
+                                          + 128;
+                                uint8_t px = (uint8_t)(
+                                    val < 0 ? 0 : val > 255 ? 255 : val);
+                                for (int yy = 0; yy < 8; ++yy)
+                                    std::memset(
+                                        dst + (size_t)yy * pw[ci], px, 8);
+                                continue;
+                            }
+                            for (int k = 0; k < 64; ++k)
+                                deq[k] = (float)blk[k] * dqs[ci][k];
+                            idct8x8(deq, dst, pw[ci]);
+                        }
+                    }
+                }
+                mcu_count++;
+            }
+            // emit the output rows this MCU row fully determines
+            int y1 = (my + 1) * band_h;
+            if (y1 > height) y1 = height;
+            for (int y = my * band_h; y < y1; ++y) {
+                uint8_t* o = out + (size_t)y * width * out_ncomp;
+                if (ncomp >= 3) {
+                    pipe.emit_color(
+                        &band[0][(size_t)(y * comp[0].v / vmax
+                                          - my * 8 * comp[0].v) * pw[0]],
+                        &band[1][(size_t)(y * comp[1].v / vmax
+                                          - my * 8 * comp[1].v) * pw[1]],
+                        &band[2][(size_t)(y * comp[2].v / vmax
+                                          - my * 8 * comp[2].v) * pw[2]],
+                        o);
+                } else {
+                    pipe.emit_gray(
+                        &band[0][(size_t)(y * comp[0].v / vmax
+                                          - my * 8 * comp[0].v) * pw[0]],
+                        o, out_ncomp);
+                }
             }
         }
         return 0;
@@ -865,11 +1117,6 @@ struct Decoder {
         const int hmax = this->hmax, vmax = this->vmax;
         std::vector<std::vector<uint8_t>> planes(ncomp);
         std::vector<int> pw(ncomp), ph(ncomp);
-        // AAN output scale folded into dequant (see idct8x8)
-        static const double kAan[8] = {
-            1.0, 1.387039845, 1.306562965, 1.175875602,
-            1.0, 0.785694958, 0.541196100, 0.275899379,
-        };
         for (int i = 0; i < ncomp; ++i) {
             Component& c = comp[i];
             pw[i] = c.bx * 8;
@@ -880,7 +1127,7 @@ struct Decoder {
             for (int v = 0; v < 8; ++v)
                 for (int u = 0; u < 8; ++u)
                     dqs[v * 8 + u] = (float)(q[v * 8 + u]
-                                             * kAan[u] * kAan[v] / 8.0);
+                                             * kAanScale[u] * kAanScale[v] / 8.0);
             float deq[64];
             for (int byi = 0; byi < c.by; ++byi) {
                 for (int bxi = 0; bxi < c.bx; ++bxi) {
@@ -903,99 +1150,19 @@ struct Decoder {
             }
         }
         double t_idct_done = prof_now();
-        // upsample + interleave + color convert, two vectorizable
-        // phases per row: (1) expand each chroma row to full width into
-        // an int32 buffer (pixel-doubling fast path for the ubiquitous
-        // 2:1 case, generic map otherwise) so (2) the BT.601 convert
-        // loop reads every operand at identity stride — sequential
-        // loads + branchless clamps autovectorize, where the old
-        // per-pixel xmap gather forced scalar code.
-        std::vector<std::vector<int32_t>> xmap(ncomp);
-        bool xident[4] = {false, false, false, false};
-        for (int i = 0; i < ncomp; ++i) {
-            xident[i] = comp[i].h == hmax;
-            if (!xident[i]) {
-                xmap[i].resize(width);
-                for (int x = 0; x < width; ++x)
-                    xmap[i][x] = x * comp[i].h / hmax;
-            }
-        }
-        std::vector<int32_t> cbbuf(width), crbuf(width);
-        std::vector<uint8_t> ybuf(width);
-        std::vector<uint8_t> rbuf(width), gbuf(width), bbuf(width);
-        // src row -> centered full-width int32 row (value - 128)
-        auto expand_c = [&](const uint8_t* src, int ci, int32_t* dst) {
-            if (comp[ci].h * 2 == hmax) {
-                int half = width >> 1;
-                for (int x = 0; x < half; ++x) {
-                    int32_t v = (int32_t)src[x] - 128;
-                    dst[2 * x] = v;
-                    dst[2 * x + 1] = v;
-                }
-                if (width & 1) dst[width - 1] = (int32_t)src[half] - 128;
-            } else {
-                const int32_t* xm = xmap[ci].data();
-                for (int x = 0; x < width; ++x)
-                    dst[x] = (int32_t)src[xm[x]] - 128;
-            }
-        };
+        pipe.init(comp, ncomp, width, hmax);
         for (int y = 0; y < height; ++y) {
             uint8_t* o = out + (size_t)y * width * out_ncomp;
             if (ncomp >= 3) {
-                const uint8_t* yrow = &planes[0][
-                    (size_t)(y * comp[0].v / vmax) * pw[0]];
-                const uint8_t* cbrow = &planes[1][
-                    (size_t)(y * comp[1].v / vmax) * pw[1]];
-                const uint8_t* crrow = &planes[2][
-                    (size_t)(y * comp[2].v / vmax) * pw[2]];
-                if (!xident[0]) {
-                    const int32_t* xm0 = xmap[0].data();
-                    for (int x = 0; x < width; ++x) ybuf[x] = yrow[xm0[x]];
-                    yrow = ybuf.data();
-                }
-                if (xident[1]) {
-                    for (int x = 0; x < width; ++x)
-                        cbbuf[x] = (int32_t)cbrow[x] - 128;
-                } else {
-                    expand_c(cbrow, 1, cbbuf.data());
-                }
-                if (xident[2]) {
-                    for (int x = 0; x < width; ++x)
-                        crbuf[x] = (int32_t)crrow[x] - 128;
-                } else {
-                    expand_c(crrow, 2, crbuf.data());
-                }
-                // planar convert (interleaved stride-3 stores defeat
-                // the vectorizer; planar u8 stores do not), then one
-                // interleave pass over literal stride 3
-                for (int x = 0; x < width; ++x) {
-                    int32_t Y = (int32_t)yrow[x] << 16;
-                    int32_t cb = cbbuf[x];
-                    int32_t cr = crbuf[x];
-                    // fixed-point BT.601 (matches color stack); all
-                    // terms < 2^25, int32-safe
-                    int32_t r = (Y + 91881 * cr + 32768) >> 16;
-                    int32_t g = (Y - 22554 * cb - 46802 * cr + 32768) >> 16;
-                    int32_t b = (Y + 116130 * cb + 32768) >> 16;
-                    rbuf[x] = (uint8_t)(r < 0 ? 0 : r > 255 ? 255 : r);
-                    gbuf[x] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : g);
-                    bbuf[x] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : b);
-                }
-                interleave3(rbuf.data(), gbuf.data(), bbuf.data(), o,
-                            width);
+                pipe.emit_color(
+                    &planes[0][(size_t)(y * comp[0].v / vmax) * pw[0]],
+                    &planes[1][(size_t)(y * comp[1].v / vmax) * pw[1]],
+                    &planes[2][(size_t)(y * comp[2].v / vmax) * pw[2]],
+                    o);
             } else {
-                const uint8_t* yrow = &planes[0][
-                    (size_t)(y * comp[0].v / vmax) * pw[0]];
-                const int32_t* xm0 = xident[0] ? nullptr : xmap[0].data();
-                if (out_ncomp == 1 && !xm0) {
-                    std::memcpy(o, yrow, width);
-                } else {
-                    for (int x = 0; x < width; ++x, o += out_ncomp) {
-                        uint8_t v = yrow[xm0 ? xm0[x] : x];
-                        o[0] = v;
-                        if (out_ncomp == 3) { o[1] = v; o[2] = v; }
-                    }
-                }
+                pipe.emit_gray(
+                    &planes[0][(size_t)(y * comp[0].v / vmax) * pw[0]],
+                    o, out_ncomp);
             }
         }
         if (prof_enabled()) {
@@ -1029,14 +1196,17 @@ int zt_jpeg_decode(const uint8_t* data, int64_t len, uint8_t* out, int out_ncomp
     Decoder d;
     d.data = data;
     d.len = len;
+    d.stream_out = out;
+    d.stream_ncomp = out_ncomp;
     double t0 = prof_now();
     int rc = d.parse_headers(false);
     if (rc < 0) return rc;
     if (d.width <= 0 || d.height <= 0) return -1;
     if (prof_enabled())
-        std::fprintf(stderr, "zt_jpeg_profile entropy_ms=%.2f\n",
+        std::fprintf(stderr, "zt_jpeg_profile %s_ms=%.2f\n",
+                     d.streamed ? "stream" : "entropy",
                      (prof_now() - t0) * 1e3);
-    d.reconstruct(out, out_ncomp);
+    if (!d.streamed) d.reconstruct(out, out_ncomp);
     return 0;
 }
 
