@@ -449,6 +449,30 @@ static void interleave3(const uint8_t* r, const uint8_t* g,
     }
 }
 
+// Free function with __restrict on every pointer: six distinct arrays
+// feed the BT.601 loop, which exceeds GCC's runtime alias-check budget
+// (vect-max-version-for-alias-checks) when they are member-vector
+// loads — restrict parameters let it vectorize unconditionally.
+static void bt601_row(const uint8_t* __restrict yrow,
+                      const int32_t* __restrict cbb,
+                      const int32_t* __restrict crb,
+                      uint8_t* __restrict rb, uint8_t* __restrict gb,
+                      uint8_t* __restrict bb, int width) {
+    for (int x = 0; x < width; ++x) {
+        int32_t Y = (int32_t)yrow[x] << 16;
+        int32_t cb = cbb[x];
+        int32_t cr = crb[x];
+        // fixed-point BT.601 (matches color stack); all terms < 2^25,
+        // int32-safe
+        int32_t r = (Y + 91881 * cr + 32768) >> 16;
+        int32_t g = (Y - 22554 * cb - 46802 * cr + 32768) >> 16;
+        int32_t b = (Y + 116130 * cb + 32768) >> 16;
+        rb[x] = (uint8_t)(r < 0 ? 0 : r > 255 ? 255 : r);
+        gb[x] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : g);
+        bb[x] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : b);
+    }
+}
+
 // Shared per-row upsample + color-convert pipeline used by both the
 // buffered reconstruct() and the band-streaming decode so their outputs
 // are byte-identical by construction. Two vectorizable phases per row:
@@ -528,25 +552,9 @@ struct RowPipe {
         // planar convert (interleaved stride-3 stores defeat the
         // vectorizer; planar u8 stores do not), then one interleave
         // pass over literal stride 3
-        const int32_t* cbb = cbbuf.data();
-        const int32_t* crb = crbuf.data();
-        uint8_t* __restrict rb = rbuf.data();
-        uint8_t* __restrict gb = gbuf.data();
-        uint8_t* __restrict bb = bbuf.data();
-        for (int x = 0; x < width; ++x) {
-            int32_t Y = (int32_t)yrow[x] << 16;
-            int32_t cb = cbb[x];
-            int32_t cr = crb[x];
-            // fixed-point BT.601 (matches color stack); all terms
-            // < 2^25, int32-safe
-            int32_t r = (Y + 91881 * cr + 32768) >> 16;
-            int32_t g = (Y - 22554 * cb - 46802 * cr + 32768) >> 16;
-            int32_t b = (Y + 116130 * cb + 32768) >> 16;
-            rb[x] = (uint8_t)(r < 0 ? 0 : r > 255 ? 255 : r);
-            gb[x] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : g);
-            bb[x] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : b);
-        }
-        interleave3(rb, gb, bb, o, width);
+        bt601_row(yrow, cbbuf.data(), crbuf.data(), rbuf.data(),
+                  gbuf.data(), bbuf.data(), width);
+        interleave3(rbuf.data(), gbuf.data(), bbuf.data(), o, width);
     }
 
     void emit_gray(const uint8_t* yrow, uint8_t* o, int out_ncomp) {
