@@ -194,6 +194,54 @@ class TestJpeg:
             assert np.mean(np.abs(pil.astype(int) - arr.astype(int))) < 4.0
             assert np.mean(np.abs(ours.astype(int) - arr.astype(int))) < 4.0
 
+    def test_native_encoder_quality_matches_numpy(self, monkeypatch):
+        """The native scan encoder (jpeg_core.cpp zt_jpeg_encode_scan,
+        float AAN FDCT) is a different-but-conformant encoder from the
+        numpy sgemm path: streams need not match byte-for-byte, but the
+        decoded quality vs the source must be equal, PIL must accept
+        the stream, and the alpha channel must be ignored."""
+        from zignal_tpu.native import get_lib
+        if get_lib() is None:
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(11)
+        yy, xx = np.mgrid[0:120, 0:150].astype(np.float32)
+        photo = np.clip(
+            np.stack([128 + 90 * np.sin(yy / 20), 128 + 80 * np.cos(xx / 15),
+                      128 + 70 * np.sin((xx + yy) / 30)], -1)
+            + rng.normal(0, 6, (120, 150, 3)), 0, 255).astype(np.uint8)
+        cases = [
+            (photo, dict(quality=90, subsampling="444")),
+            (photo, dict(quality=90, subsampling="420")),
+            (photo, dict(quality=75, subsampling="422")),
+            (rng.integers(0, 256, (67, 61, 3), np.uint8),
+             dict(quality=90, subsampling="420")),
+            (np.full((40, 56, 3), 77, np.uint8),
+             dict(quality=50, subsampling="420")),
+            (rng.integers(0, 256, (77, 83, 1), np.uint8), dict(quality=85)),
+            (photo[:1, :1], dict(quality=90, subsampling="420")),
+        ]
+        for img, kw in cases:
+            img = np.ascontiguousarray(img)
+            monkeypatch.setenv("ZT_JPEG_NATIVE_ENCODE", "1")
+            nat = jpeg.encode(img, **kw)
+            monkeypatch.setenv("ZT_JPEG_NATIVE_ENCODE", "0")
+            pyb = jpeg.encode(img, **kw)
+            dn = jpeg.load_from_bytes(nat)
+            dp = jpeg.load_from_bytes(pyb)
+            PIL.open(io.BytesIO(nat)).load()  # conformant stream
+            src = img[..., :3] if img.shape[2] >= 3 else img
+            err_n = np.abs(dn.reshape(src.shape).astype(int)
+                           - src.astype(int)).mean()
+            err_p = np.abs(dp.reshape(src.shape).astype(int)
+                           - src.astype(int)).mean()
+            assert err_n <= err_p * 1.02 + 0.5, (kw, err_n, err_p)
+        # alpha is dropped identically: rgba stream == rgb stream
+        monkeypatch.setenv("ZT_JPEG_NATIVE_ENCODE", "1")
+        rgba = rng.integers(0, 256, (50, 70, 4), np.uint8)
+        assert jpeg.encode(rgba, quality=90, subsampling="420") == \
+            jpeg.encode(np.ascontiguousarray(rgba[..., :3]), quality=90,
+                        subsampling="420")
+
     def test_gray_roundtrip(self):
         g = np.asarray(
             PIL.fromarray(_rand(24, 24, 1)[..., 0], "L").resize((8, 8)).resize((24, 24))

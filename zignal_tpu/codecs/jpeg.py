@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import dataclasses
+import os
 import struct
 
 import numpy as np
@@ -358,6 +359,56 @@ def _entropy_encode_native(comps, dc_codes, ac_codes, mcuy, mcux):
     return out[:rc].tobytes()
 
 
+def _pack_codes(tables, size):
+    codes = np.zeros((2, size), dtype=np.uint32)
+    lens = np.zeros((2, size), dtype=np.uint8)
+    for cls in (0, 1):
+        for sym, (code, ln) in tables[cls].items():
+            codes[cls, sym] = code
+            lens[cls, sym] = ln
+    return np.ascontiguousarray(codes), np.ascontiguousarray(lens)
+
+
+def _encode_scan_full_native(arr, gray, sh, sv, ql, qc, dc_codes, ac_codes):
+    """Whole scan in one native call (deinterleave + BT.601 + subsample
+    + forward AAN DCT + quantize + entropy; jpeg_core.cpp
+    zt_jpeg_encode_scan). Returns stuffed scan bytes, or None when the
+    native library is unavailable (the numpy path below is the
+    fallback — a different but equally conformant float encoder, so
+    streams are validated by decoded-image closeness, not bytes)."""
+    if os.environ.get("ZT_JPEG_NATIVE_ENCODE") == "0":
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    h, w, ch = arr.shape
+    ncomp = 1 if gray else 3
+    ql16 = np.ascontiguousarray(ql.reshape(64).astype(np.uint16))
+    qc16 = np.ascontiguousarray(qc.reshape(64).astype(np.uint16))
+    dc_c, dc_l = _pack_codes(dc_codes, 12)
+    ac_c, ac_l = _pack_codes(ac_codes, 256)
+    mcux = -(-w // (8 * sh))
+    mcuy = -(-h // (8 * sv))
+    nblocks = mcux * mcuy * (sh * sv + (0 if gray else 2))
+    cap = nblocks * 300 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.zt_jpeg_encode_scan(
+        arr.ctypes.data_as(ctypes.c_char_p), h, w, ch, ncomp, sh, sv,
+        ql16.ctypes.data_as(ctypes.c_char_p),
+        qc16.ctypes.data_as(ctypes.c_char_p),
+        dc_c.ctypes.data_as(ctypes.c_char_p),
+        dc_l.ctypes.data_as(ctypes.c_char_p),
+        ac_c.ctypes.data_as(ctypes.c_char_p),
+        ac_l.ctypes.data_as(ctypes.c_char_p),
+        out.ctypes.data_as(ctypes.c_char_p), cap,
+    )
+    if rc < 0:
+        return None
+    return out[:rc].tobytes()
+
+
 def encode(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
     """Baseline JFIF encode of a uint8 [H,W,{1,3,4}] array."""
     arr = np.ascontiguousarray(arr)
@@ -374,46 +425,18 @@ def encode(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> byte
     ql = np.clip(np.floor((_Q_LUMA * scale + 50) / 100), 1, 255)
     qc = np.clip(np.floor((_Q_CHROMA * scale + 50) / 100), 1, 255)
 
-    if gray:
-        y = arr[..., 0].astype(np.float32)
-        planes = [(y, ql, 1, 1, 0)]
-        sh, sv = 1, 1
-    else:
-        rgb = arr[..., :3].astype(np.float32)
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        f = np.float32
-        y = f(0.299) * r + f(0.587) * g + f(0.114) * b
-        cb = (b - y) / f(1.772) + f(128.0)
-        cr = (r - y) / f(1.402) + f(128.0)
-        sh = 2 if subsampling in ("422", "420") else 1
-        sv = 2 if subsampling == "420" else 1
-        if sh > 1 or sv > 1:
-            ph = -(-h // sv)
-            pw = -(-w // sh)
-            pad = np.pad(cb, ((0, ph * sv - h), (0, pw * sh - w)), mode="edge")
-            cb = pad.reshape(ph, sv, pw, sh).mean(axis=(1, 3))
-            pad = np.pad(cr, ((0, ph * sv - h), (0, pw * sh - w)), mode="edge")
-            cr = pad.reshape(ph, sv, pw, sh).mean(axis=(1, 3))
-        planes = [(y, ql, sh, sv, 0), (cb, qc, 1, 1, 1), (cr, qc, 1, 1, 1)]
-
-    # pad planes to MCU multiples and DCT
-    mcu_w = 8 * sh
-    mcu_h = 8 * sv
-    comps = []
-    for plane, q, chh, cvv, which in planes:
-        bw = -(-w // mcu_w) * chh * 8 if not gray else -(-w // 8) * 8
-        bh = -(-h // mcu_h) * cvv * 8 if not gray else -(-h // 8) * 8
-        ph, pw = plane.shape
-        padded = np.pad(plane, ((0, bh - ph), (0, bw - pw)), mode="edge")
-        comps.append((_encode_plane_blocks(padded, q.reshape(8, 8)), chh, cvv, which))
-
+    sh = 1 if gray else (2 if subsampling in ("422", "420") else 1)
+    sv = 1 if gray else (2 if subsampling == "420" else 1)
     dc_codes = [_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
                 _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
     ac_codes = [_huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
                 _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
 
-    writer = _BitWriter()
-    _encode_scan(writer, comps, dc_codes, ac_codes)
+    scan = _encode_scan_full_native(arr, gray, sh, sv, ql, qc,
+                                    dc_codes, ac_codes)
+    if scan is None:
+        scan = _encode_scan_numpy(arr, gray, sh, sv, ql, qc,
+                                  dc_codes, ac_codes)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -452,9 +475,48 @@ def encode(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> byte
         sos += bytes([1, 0x00, 2, 0x11, 3, 0x11])
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-    out += writer.out
+    out += scan
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _encode_scan_numpy(arr, gray, sh, sv, ql, qc, dc_codes, ac_codes):
+    """The original numpy scan pipeline (sgemm DCT): fallback when the
+    native toolchain is unavailable."""
+    h, w, ch = arr.shape
+    if gray:
+        y = arr[..., 0].astype(np.float32)
+        planes = [(y, ql, 1, 1, 0)]
+    else:
+        rgb = arr[..., :3].astype(np.float32)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        f = np.float32
+        y = f(0.299) * r + f(0.587) * g + f(0.114) * b
+        cb = (b - y) / f(1.772) + f(128.0)
+        cr = (r - y) / f(1.402) + f(128.0)
+        if sh > 1 or sv > 1:
+            ph = -(-h // sv)
+            pw = -(-w // sh)
+            pad = np.pad(cb, ((0, ph * sv - h), (0, pw * sh - w)), mode="edge")
+            cb = pad.reshape(ph, sv, pw, sh).mean(axis=(1, 3))
+            pad = np.pad(cr, ((0, ph * sv - h), (0, pw * sh - w)), mode="edge")
+            cr = pad.reshape(ph, sv, pw, sh).mean(axis=(1, 3))
+        planes = [(y, ql, sh, sv, 0), (cb, qc, 1, 1, 1), (cr, qc, 1, 1, 1)]
+
+    # pad planes to MCU multiples and DCT
+    mcu_w = 8 * sh
+    mcu_h = 8 * sv
+    comps = []
+    for plane, q, chh, cvv, which in planes:
+        bw = -(-w // mcu_w) * chh * 8 if not gray else -(-w // 8) * 8
+        bh = -(-h // mcu_h) * cvv * 8 if not gray else -(-h // 8) * 8
+        ph, pw = plane.shape
+        padded = np.pad(plane, ((0, bh - ph), (0, bw - pw)), mode="edge")
+        comps.append((_encode_plane_blocks(padded, q.reshape(8, 8)), chh, cvv, which))
+
+    writer = _BitWriter()
+    _encode_scan(writer, comps, dc_codes, ac_codes)
+    return bytes(writer.out)
 
 
 def save(path: str, arr: np.ndarray, **options) -> None:

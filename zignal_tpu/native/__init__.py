@@ -83,6 +83,14 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int64,
         ]
+        lib.zt_jpeg_encode_scan.restype = ctypes.c_int64
+        lib.zt_jpeg_encode_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+        ]
         lib.zt_median_cut.restype = ctypes.c_int64
         lib.zt_median_cut.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,

@@ -1183,6 +1183,199 @@ struct Decoder {
     }
 };
 
+// ---------------------------------------------------------------------------
+// Native baseline encoder: deinterleave + BT.601 + chroma subsample +
+// forward AAN DCT + quantize + entropy coding in ONE streaming pass per
+// MCU row (reference scope: src/codecs/jpeg.zig:307 encode). This is a
+// from-scratch float-AAN design, not a port: the python numpy encoder
+// (codecs/jpeg.py _encode_plane_blocks, sgemm DCT) remains the
+// fallback and the two are validated against each other by decoded-
+// image closeness, not byte equality — any conformant stream is valid.
+// ---------------------------------------------------------------------------
+
+// forward Arai-Agui-Nakajima flowgraph across registers (one step = one
+// vector op, lanes carry the orthogonal axis); output coefficient
+// (u,v) = r[u] lane v after two passes + transpose, scaled by
+// 8*aan[u]*aan[v] — the scale is folded into the quantization
+// reciprocal table (validated to ~1.5e-4 of the orthonormal basis DCT
+// over +/-255 inputs)
+template <typename V>
+static inline void aan_fwd_v(V r[8]) {
+    V tmp0 = r[0] + r[7], tmp7 = r[0] - r[7];
+    V tmp1 = r[1] + r[6], tmp6 = r[1] - r[6];
+    V tmp2 = r[2] + r[5], tmp5 = r[2] - r[5];
+    V tmp3 = r[3] + r[4], tmp4 = r[3] - r[4];
+    V tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+    V tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+    r[0] = tmp10 + tmp11;
+    r[4] = tmp10 - tmp11;
+    V z1 = (tmp12 + tmp13) * 0.707106781f;
+    r[2] = tmp13 + z1;
+    r[6] = tmp13 - z1;
+    tmp10 = tmp4 + tmp5;
+    tmp11 = tmp5 + tmp6;
+    tmp12 = tmp6 + tmp7;
+    V z5 = (tmp10 - tmp12) * 0.382683433f;
+    V z2 = 0.541196100f * tmp10 + z5;
+    V z4 = 1.306562965f * tmp12 + z5;
+    V z3 = tmp11 * 0.707106781f;
+    V z11 = tmp7 + z3, z13 = tmp7 - z3;
+    r[5] = z13 + z2;
+    r[3] = z13 - z2;
+    r[1] = z11 + z4;
+    r[7] = z11 - z4;
+}
+
+// interleaved u8 row -> planar r/g/b (inverse of interleave3): chained
+// two-source byte shuffles, 6 per 16 px
+static void uninterleave3(const uint8_t* s, uint8_t* __restrict r,
+                          uint8_t* __restrict g, uint8_t* __restrict b,
+                          int n) {
+    int x = 0;
+    for (; x + 16 <= n; x += 16) {
+        v16u8 i0 = load16u8(s + 3 * x);
+        v16u8 i1 = load16u8(s + 3 * x + 16);
+        v16u8 i2 = load16u8(s + 3 * x + 32);
+        v16u8 tr = ZT_SHUF(i0, i1, 0, 3, 6, 9, 12, 15, 18, 21, 24, 27, 30,
+                           0, 0, 0, 0, 0);
+        v16u8 vr = ZT_SHUF(tr, i2, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 17,
+                           20, 23, 26, 29);
+        v16u8 tg = ZT_SHUF(i0, i1, 1, 4, 7, 10, 13, 16, 19, 22, 25, 28, 31,
+                           0, 0, 0, 0, 0);
+        v16u8 vg = ZT_SHUF(tg, i2, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 18,
+                           21, 24, 27, 30);
+        v16u8 tb = ZT_SHUF(i0, i1, 2, 5, 8, 11, 14, 17, 20, 23, 26, 29, 0,
+                           0, 0, 0, 0, 0);
+        v16u8 vb = ZT_SHUF(tb, i2, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 16, 19,
+                           22, 25, 28, 31);
+        std::memcpy(r + x, &vr, 16);
+        std::memcpy(g + x, &vg, 16);
+        std::memcpy(b + x, &vb, 16);
+    }
+    for (; x < n; ++x) {
+        r[x] = s[3 * x];
+        g[x] = s[3 * x + 1];
+        b[x] = s[3 * x + 2];
+    }
+}
+
+static void uninterleave4(const uint8_t* s, uint8_t* __restrict r,
+                          uint8_t* __restrict g, uint8_t* __restrict b,
+                          int n) {
+    for (int x = 0; x < n; ++x) {
+        r[x] = s[4 * x];
+        g[x] = s[4 * x + 1];
+        b[x] = s[4 * x + 2];
+    }
+}
+
+// planar u8 -> centered float Y and chroma differences (same float
+// formulas as the numpy fallback: jpeg.py encode(); the -128 centering
+// is folded in)
+static void rgb_to_ycc_row(const uint8_t* __restrict r,
+                           const uint8_t* __restrict g,
+                           const uint8_t* __restrict b,
+                           float* __restrict y, float* __restrict cb,
+                           float* __restrict cr, int n) {
+    for (int x = 0; x < n; ++x) {
+        float rf = (float)r[x], gf = (float)g[x], bf = (float)b[x];
+        float yf = 0.299f * rf + 0.587f * gf + 0.114f * bf;
+        y[x] = yf - 128.0f;
+        cb[x] = (bf - yf) / 1.772f;
+        cr[x] = (rf - yf) / 1.402f;
+    }
+}
+
+struct BitEnc {
+    uint8_t* out;
+    long cap, di = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+
+    inline bool put(uint32_t code, int len) {
+        acc = (acc << len) | (code & ((1u << len) - 1));
+        nbits += len;
+        while (nbits >= 8) {
+            nbits -= 8;
+            uint8_t b = (uint8_t)((acc >> nbits) & 0xFF);
+            if (di >= cap) return false;
+            out[di++] = b;
+            if (b == 0xFF) {
+                if (di >= cap) return false;
+                out[di++] = 0x00;
+            }
+        }
+        return true;
+    }
+
+    bool flush() {
+        if (nbits > 0) {
+            int pad = 8 - nbits;
+            return put((1u << pad) - 1, pad);
+        }
+        return true;
+    }
+};
+
+static inline int enc_magnitude(int v) {
+    unsigned u = v > 0 ? (unsigned)v : (unsigned)(-v);
+    return u ? 32 - __builtin_clz(u) : 0;
+}
+
+// zigzag-ordered quantized block -> Huffman-coded bits (same coding
+// scheme as codec_core.cpp zt_jpeg_entropy_encode, restated here so the
+// streaming encoder needs no cross-TU plumbing)
+static bool encode_block_bits(BitEnc& be, const int16_t* blk, int& pred,
+                              const uint32_t* dct_c, const uint8_t* dct_l,
+                              const uint32_t* act_c, const uint8_t* act_l) {
+    int dc = blk[0];
+    int diff = dc - pred;
+    pred = dc;
+    int s = enc_magnitude(diff);
+    if (!be.put(dct_c[s], dct_l[s])) return false;
+    if (s && !be.put((uint32_t)(diff > 0 ? diff : diff + (1 << s) - 1), s))
+        return false;
+    int last = 0;
+    for (int k = 63; k >= 1; k--)
+        if (blk[k] != 0) { last = k; break; }
+    int run = 0;
+    for (int k = 1; k <= last; k++) {
+        int v = blk[k];
+        if (v == 0) { run++; continue; }
+        while (run >= 16) {
+            if (!be.put(act_c[0xF0], act_l[0xF0])) return false;
+            run -= 16;
+        }
+        int sv = enc_magnitude(v);
+        if (!be.put(act_c[(run << 4) | sv], act_l[(run << 4) | sv]))
+            return false;
+        if (!be.put((uint32_t)(v > 0 ? v : v + (1 << sv) - 1), sv))
+            return false;
+        run = 0;
+    }
+    if (last < 63 && !be.put(act_c[0x00], act_l[0x00])) return false;
+    return true;
+}
+
+// 8x8 float block (stride between rows) -> quantized int16 zigzag
+static inline void fdct_quant_block(const float* base, int stride,
+                                    const float* qinv_t,  // [u*8+v]
+                                    const uint8_t* zzt, int16_t* zz) {
+    v8f r[8];
+    for (int i = 0; i < 8; ++i) r[i] = load8f(base + (size_t)i * stride);
+    aan_fwd_v(r);   // vertical pass (across registers, lanes = x)
+    transpose8(r);  // register = x, lane = v
+    aan_fwd_v(r);   // horizontal pass -> register = u, lane = v
+    float fq[64];
+    for (int u = 0; u < 8; ++u) {
+        v8f p = r[u] * load8f(qinv_t + u * 8);
+        std::memcpy(fq + u * 8, &p, 32);
+    }
+    int32_t qi[64];
+    for (int i = 0; i < 64; ++i) qi[i] = (int32_t)lrintf(fq[i]);
+    for (int k = 0; k < 64; ++k) zz[k] = (int16_t)qi[zzt[k]];
+}
+
 }  // namespace
 
 extern "C" {
@@ -1216,6 +1409,154 @@ int zt_jpeg_decode(const uint8_t* data, int64_t len, uint8_t* out, int out_ncomp
                      (prof_now() - t0) * 1e3);
     if (!d.streamed) d.reconstruct(out, out_ncomp);
     return 0;
+}
+
+// Full scan encode: interleaved u8 image -> Huffman-coded scan bytes
+// (headers are assembled by the python caller). ncomp 1 = grayscale
+// (channel 0 of ch_in), 3 = YCbCr with sampling sh x sv in {1,2}.
+// ql/qc: 64 uint16 quant tables in natural order. dc/ac code tables
+// packed [2][12] / [2][256] as codes u32 + lens u8 (class 0 = luma).
+// Returns scan bytes written, or -1 on overflow / bad args.
+long zt_jpeg_encode_scan(const uint8_t* img, int64_t h, int64_t w,
+                         int ch_in, int ncomp, int sh, int sv,
+                         const uint16_t* ql, const uint16_t* qc,
+                         const uint32_t* dc_codes, const uint8_t* dc_lens,
+                         const uint32_t* ac_codes, const uint8_t* ac_lens,
+                         uint8_t* out, long cap) {
+    if (h <= 0 || w <= 0 || ch_in < 1 || ch_in > 4) return -1;
+    if (ncomp != 1 && ncomp != 3) return -1;
+    if (sh < 1 || sh > 2 || sv < 1 || sv > 2) return -1;
+    if (ncomp == 1) { sh = 1; sv = 1; }
+    if (ncomp == 3 && ch_in < 3) return -1;
+    static const double aan[8] = {
+        1.0, 1.387039845, 1.306562965, 1.175875602,
+        1.0, 0.785694958, 0.541196100, 0.275899379,
+    };
+    const uint8_t ZZ[64] = {
+        0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    };
+    uint8_t zzt[64];  // zigzag k -> register-major (u*8+v) FDCT index
+    for (int k = 0; k < 64; ++k)
+        zzt[k] = (uint8_t)((ZZ[k] & 7) * 8 + (ZZ[k] >> 3));
+    // quant reciprocals in the FDCT's register-major layout with the
+    // AAN descale 8*aan[u]*aan[v] folded in
+    float qinvY[64], qinvC[64];
+    for (int u = 0; u < 8; ++u)
+        for (int v = 0; v < 8; ++v) {
+            qinvY[u * 8 + v] = (float)(1.0 / (ql[v * 8 + u] * 8.0
+                                              * aan[u] * aan[v]));
+            if (ncomp == 3)
+                qinvC[u * 8 + v] = (float)(1.0 / (qc[v * 8 + u] * 8.0
+                                                  * aan[u] * aan[v]));
+        }
+    const int mcux = (int)((w + 8 * sh - 1) / (8 * sh));
+    const int mcuy = (int)((h + 8 * sv - 1) / (8 * sv));
+    const int wy = mcux * 8 * sh;   // padded luma width
+    const int wc = mcux * 8;        // padded chroma width
+    const int band_h = 8 * sv;
+    std::vector<uint8_t> rrow(wy), grow(wy), brow(wy);
+    std::vector<float> yband((size_t)band_h * wy);
+    std::vector<float> cbrow(wy), crrow(wy);
+    std::vector<float> cbhalf(wc), crhalf(wc), cbprev(wc), crprev(wc);
+    std::vector<float> cbband((size_t)8 * wc), crband((size_t)8 * wc);
+    BitEnc be{out, cap};
+    int predY = 0, predCb = 0, predCr = 0;
+    int16_t zz[64];
+    for (int my = 0; my < mcuy; ++my) {
+        for (int ry = 0; ry < band_h; ++ry) {
+            int64_t sy = (int64_t)my * band_h + ry;
+            if (sy >= h) sy = h - 1;
+            const uint8_t* src = img + (size_t)sy * w * ch_in;
+            float* yrow = &yband[(size_t)ry * wy];
+            if (ncomp == 1) {
+                if (ch_in == 1) {
+                    for (int64_t x = 0; x < w; ++x)
+                        yrow[x] = (float)src[x] - 128.0f;
+                } else {
+                    for (int64_t x = 0; x < w; ++x)
+                        yrow[x] = (float)src[x * ch_in] - 128.0f;
+                }
+                for (int x = (int)w; x < wy; ++x) yrow[x] = yrow[w - 1];
+                continue;
+            }
+            if (ch_in == 3)
+                uninterleave3(src, rrow.data(), grow.data(), brow.data(),
+                              (int)w);
+            else
+                uninterleave4(src, rrow.data(), grow.data(), brow.data(),
+                              (int)w);
+            for (int x = (int)w; x < wy; ++x) {
+                rrow[x] = rrow[w - 1];
+                grow[x] = grow[w - 1];
+                brow[x] = brow[w - 1];
+            }
+            rgb_to_ycc_row(rrow.data(), grow.data(), brow.data(), yrow,
+                           cbrow.data(), crrow.data(), wy);
+            // horizontal then vertical chroma averaging (float means,
+            // matching the numpy fallback's 2x2 mean up to association)
+            float* cbh = cbhalf.data();
+            float* crh = crhalf.data();
+            if (sh == 2) {
+                const float* cbs = cbrow.data();
+                const float* crs = crrow.data();
+                for (int x = 0; x < wc; ++x) {
+                    cbh[x] = (cbs[2 * x] + cbs[2 * x + 1]) * 0.5f;
+                    crh[x] = (crs[2 * x] + crs[2 * x + 1]) * 0.5f;
+                }
+            } else {
+                std::memcpy(cbh, cbrow.data(), sizeof(float) * wc);
+                std::memcpy(crh, crrow.data(), sizeof(float) * wc);
+            }
+            if (sv == 1) {
+                std::memcpy(&cbband[(size_t)ry * wc], cbh,
+                            sizeof(float) * wc);
+                std::memcpy(&crband[(size_t)ry * wc], crh,
+                            sizeof(float) * wc);
+            } else if (ry & 1) {
+                float* cbd = &cbband[(size_t)(ry >> 1) * wc];
+                float* crd = &crband[(size_t)(ry >> 1) * wc];
+                const float* cbp = cbprev.data();
+                const float* crp = crprev.data();
+                for (int x = 0; x < wc; ++x) {
+                    cbd[x] = (cbp[x] + cbh[x]) * 0.5f;
+                    crd[x] = (crp[x] + crh[x]) * 0.5f;
+                }
+            } else {
+                std::swap(cbhalf, cbprev);
+                std::swap(crhalf, crprev);
+            }
+        }
+        for (int mx = 0; mx < mcux; ++mx) {
+            for (int v = 0; v < sv; ++v)
+                for (int hh = 0; hh < sh; ++hh) {
+                    fdct_quant_block(
+                        &yband[(size_t)(v * 8) * wy + (mx * sh + hh) * 8],
+                        wy, qinvY, zzt, zz);
+                    if (!encode_block_bits(be, zz, predY, dc_codes,
+                                           dc_lens, ac_codes, ac_lens))
+                        return -1;
+                }
+            if (ncomp == 3) {
+                fdct_quant_block(&cbband[(size_t)mx * 8], wc, qinvC, zzt,
+                                 zz);
+                if (!encode_block_bits(be, zz, predCb, dc_codes + 12,
+                                       dc_lens + 12, ac_codes + 256,
+                                       ac_lens + 256))
+                    return -1;
+                fdct_quant_block(&crband[(size_t)mx * 8], wc, qinvC, zzt,
+                                 zz);
+                if (!encode_block_bits(be, zz, predCr, dc_codes + 12,
+                                       dc_lens + 12, ac_codes + 256,
+                                       ac_lens + 256))
+                    return -1;
+            }
+        }
+    }
+    if (!be.flush()) return -1;
+    return be.di;
 }
 
 }  // extern "C"
