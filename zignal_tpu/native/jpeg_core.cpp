@@ -1292,9 +1292,25 @@ struct BitEnc {
     uint64_t acc = 0;
     int nbits = 0;
 
+    // len <= 27 (16-bit code + 11 value bits fused by the callers);
+    // nbits stays < 8 between calls, so acc never overflows 35 bits.
+    // Emission drains 4 bytes at a time when none is 0xFF (the common
+    // case — stuffing bytes are rare in real streams).
     inline bool put(uint32_t code, int len) {
         acc = (acc << len) | (code & ((1u << len) - 1));
         nbits += len;
+        while (nbits >= 32) {
+            uint32_t w = (uint32_t)(acc >> (nbits - 32));
+            if (!((~w - 0x01010101u) & ~(~w) & 0x80808080u)
+                && di + 4 <= cap) {
+                w = __builtin_bswap32(w);
+                std::memcpy(out + di, &w, 4);
+                di += 4;
+                nbits -= 32;
+            } else {
+                break;
+            }
+        }
         while (nbits >= 8) {
             nbits -= 8;
             uint8_t b = (uint8_t)((acc >> nbits) & 0xFF);
@@ -1332,9 +1348,10 @@ static bool encode_block_bits(BitEnc& be, const int16_t* blk, int& pred,
     int diff = dc - pred;
     pred = dc;
     int s = enc_magnitude(diff);
-    if (!be.put(dct_c[s], dct_l[s])) return false;
-    if (s && !be.put((uint32_t)(diff > 0 ? diff : diff + (1 << s) - 1), s))
-        return false;
+    // code + value bits in ONE put (<= 16 + 11 = 27 bits)
+    uint32_t db = (uint32_t)(diff > 0 ? diff : diff + (1 << s) - 1)
+                  & ((1u << s) - 1);
+    if (!be.put((dct_c[s] << s) | db, dct_l[s] + s)) return false;
     int last = 0;
     for (int k = 63; k >= 1; k--)
         if (blk[k] != 0) { last = k; break; }
@@ -1347,9 +1364,10 @@ static bool encode_block_bits(BitEnc& be, const int16_t* blk, int& pred,
             run -= 16;
         }
         int sv = enc_magnitude(v);
-        if (!be.put(act_c[(run << 4) | sv], act_l[(run << 4) | sv]))
-            return false;
-        if (!be.put((uint32_t)(v > 0 ? v : v + (1 << sv) - 1), sv))
+        int sym = (run << 4) | sv;
+        uint32_t vb = (uint32_t)(v > 0 ? v : v + (1 << sv) - 1)
+                      & ((1u << sv) - 1);
+        if (!be.put((act_c[sym] << sv) | vb, act_l[sym] + sv))
             return false;
         run = 0;
     }
