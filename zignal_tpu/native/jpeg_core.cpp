@@ -46,16 +46,22 @@ struct HuffTable {
     int32_t valptr[17] = {0};
     uint8_t lut_len[256] = {0};  // 0 = code longer than 8 bits
     uint8_t lut_val[256] = {0};
-    // lut12 entry: bits0-4 consumed bits, bits5-8 run, bit9 fused
-    // (value in bits16-31), bit10 EOB, bit11 ZRL, bit12 slow (code
-    // longer than 12 bits); bits16-31 = value (fused) or size s.
+    // lut12 entry: bits0-4 total consumed bits (code + value bits for
+    // regular coefficients — the value bits are extracted branchlessly
+    // from the pre-shift 64-bit window, so code+value may exceed the
+    // 12-bit LUT index), bits5-8 run, bits9-12 size s, bit13 EOB,
+    // bit14 ZRL, bit15 slow (code longer than 12 bits). One predicted-
+    // rare branch covers EOB/ZRL/slow together; the regular path has
+    // NO data-dependent branches (the old fused/non-fused split
+    // mispredicted constantly on noisy content where value sizes
+    // straddle the 12-bit fusion boundary).
     int32_t lut12[4096];
     bool present = false;
 
-    static const int32_t L12_FUSED = 1 << 9;
-    static const int32_t L12_EOB = 1 << 10;
-    static const int32_t L12_ZRL = 1 << 11;
-    static const int32_t L12_SLOW = 1 << 12;
+    static const int32_t L12_EOB = 1 << 13;
+    static const int32_t L12_ZRL = 1 << 14;
+    static const int32_t L12_SLOW = 1 << 15;
+    static const int32_t L12_RARE = L12_EOB | L12_ZRL | L12_SLOW;
 
     void build() {
         int code = 0, k = 0;
@@ -98,17 +104,7 @@ struct HuffTable {
                 lut12[idx] = r == 15 ? (L | L12_ZRL) : (L | L12_EOB);
                 continue;
             }
-            int32_t e = L | (r << 5);
-            if (L + s <= 12) {
-                int bits = (idx >> (12 - L - s)) & ((1 << s) - 1);
-                int val = (s && bits < (1 << (s - 1)))
-                              ? bits - (1 << s) + 1 : bits;
-                e = (L + s) | (r << 5) | L12_FUSED
-                    | ((int32_t)(uint16_t)(int16_t)val << 16);
-            } else {
-                e |= (int32_t)s << 16;
-            }
-            lut12[idx] = e;
+            lut12[idx] = (L + s) | (r << 5) | (s << 9);
         }
     }
 };
@@ -780,33 +776,32 @@ struct Decoder {
             if (br.cnt < 32) br.refill();
             if (br.cnt >= 32) {
                 // fast path: one refill covers symbol (<=16 bits) +
-                // receive (<=15 bits). The fused 12-bit LUT resolves
-                // run/size AND the extended value in one lookup when
-                // code+value fit 12 bits.
+                // receive (<=15 bits). The 12-bit LUT gives total
+                // consumed bits + run + size; the value bits come
+                // branchlessly from the pre-shift window (cmov
+                // extend), so the regular-coefficient path retires
+                // with no data-dependent branches.
                 int32_t e = act.lut12[(uint32_t)(br.buf >> 52)];
+                if (!(e & HuffTable::L12_RARE)) {
+                    int consumed = e & 31;
+                    uint64_t w = br.buf;
+                    br.buf <<= consumed;
+                    br.cnt -= consumed;
+                    k += (e >> 5) & 15;
+                    if (k > 63) break;
+                    int s = (e >> 9) & 15;
+                    int v = (int)((w >> (64 - consumed)) & ((1 << s) - 1));
+                    int val = v < (1 << (s - 1)) ? v - (1 << s) + 1 : v;
+                    blk[ZIGZAG[k]] = (int16_t)val;
+                    k++;
+                    continue;
+                }
                 if (!(e & HuffTable::L12_SLOW)) {
                     int consumed = e & 31;
                     br.buf <<= consumed;
                     br.cnt -= consumed;
-                    if (e & (HuffTable::L12_EOB | HuffTable::L12_ZRL)) {
-                        if (e & HuffTable::L12_ZRL) { k += 16; continue; }
-                        break;  // EOB
-                    }
-                    k += (e >> 5) & 15;
-                    if (k > 63) break;
-                    int16_t val;
-                    if (e & HuffTable::L12_FUSED) {
-                        val = (int16_t)(e >> 16);
-                    } else {
-                        int s = (e >> 16) & 15;
-                        int v = (int)(br.buf >> (64 - s));
-                        br.buf <<= s;
-                        br.cnt -= s;
-                        val = (int16_t)extend(v, s);
-                    }
-                    blk[ZIGZAG[k]] = val;
-                    k++;
-                    continue;
+                    if (e & HuffTable::L12_ZRL) { k += 16; continue; }
+                    break;  // EOB
                 }
                 // code longer than 12 bits: resolve by length scan
                 int code16 = (int)(br.buf >> 48);
