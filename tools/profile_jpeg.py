@@ -44,15 +44,22 @@ def main():
     for name, data in cases.items():
         info = jpeg.get_info(data)
         m = info.width * info.height / 1e6
-        jpeg.decode(data)  # warm
-        best = 1e9
+        # stage attribution needs the buffered path (the default
+        # band-streaming decode fuses all stages into one timer)
+        os.environ["ZT_JPEG_STREAM"] = "0"
+        jpeg.decode(data)  # warm (prints entropy/idct/upsample stages)
+        best = {"stream": 1e9, "buffered": 1e9}
         for _ in range(4):
-            t0 = time.perf_counter()
-            jpeg.decode(data)
-            best = min(best, time.perf_counter() - t0)
+            for mode, key in (("1", "stream"), ("0", "buffered")):
+                os.environ["ZT_JPEG_STREAM"] = mode
+                t0 = time.perf_counter()
+                jpeg.decode(data)
+                best[key] = min(best[key], time.perf_counter() - t0)
+        os.environ.pop("ZT_JPEG_STREAM", None)
         print(f"== {name}: {len(data)/1e6:.2f} MB, {m:.2f} MPix, "
-              f"decode {best*1e3:.1f} ms = {m/best:.0f} MPix/s",
-              flush=True)
+              f"stream {best['stream']*1e3:.1f} ms = "
+              f"{m/best['stream']:.0f} MPix/s, buffered "
+              f"{best['buffered']*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -2,8 +2,11 @@
 
 Decode runs in the native C++ core (zignal_tpu/native/jpeg_core.cpp):
 baseline + progressive, Huffman, restart markers, arbitrary sampling
-factors (reference scope: src/codecs/jpeg.zig). The baseline encoder is
-numpy-vectorized (DCT via matmul) with 4:4:4 / 4:2:0 subsampling and a
+factors (reference scope: src/codecs/jpeg.zig); sequential
+full-interleave scans use the band-streaming path (entropy+IDCT+color
+fused per MCU row). The baseline encoder runs natively too
+(zt_jpeg_encode_scan: forward AAN DCT + inline Huffman) with the
+numpy sgemm path as toolchain-free fallback, 4:4:4/4:2:2/4:2:0 and a
 quality knob (reference: jpeg.zig:307 encode).
 """
 
