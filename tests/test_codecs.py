@@ -277,3 +277,40 @@ class TestImageIO:
         assert detect_format(bmp.encode(_rand(4, 4, 3))).value == "bmp"
         assert detect_format(b"GIF89a....").value == "gif"
         assert detect_format(b"garbage") is None
+
+
+class TestJpegMalformed:
+    def test_malformed_streams_raise_not_crash(self):
+        """Corrupt/truncated streams must raise JpegError (or decode to
+        something) — never read or write out of bounds. The native
+        decoder is additionally fuzzed under ASan/UBSan (second SOF,
+        oversubscribed DHT, bad table ids, spectral bounds, ns > 4 —
+        all found and fixed by that harness); this smoke keeps the
+        error paths exercised in CI."""
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+        base = jpeg.encode(img, quality=85, subsampling="420")
+
+        def attempt(data):
+            try:
+                jpeg.decode(bytes(data))
+            except ValueError:  # JpegError subclasses ValueError
+                pass
+
+        # truncations (dense over the header region)
+        for t in range(2, min(len(base), 700), 3):
+            attempt(base[:t])
+        # single-byte corruptions over the whole stream
+        buf = bytearray(base)
+        for p in range(0, len(buf), 17):
+            old = buf[p]
+            buf[p] ^= 0x5A
+            attempt(buf)
+            buf[p] = old
+        # a second SOF with different dimensions must be rejected
+        sof = base.index(b"\xff\xc0")
+        seg_len = int.from_bytes(base[sof + 2:sof + 4], "big")
+        second = base[sof:sof + 2 + seg_len]
+        doctored = base[:sof + 2 + seg_len] + second + base[sof + 2 + seg_len:]
+        with pytest.raises(ValueError):
+            jpeg.decode(doctored)

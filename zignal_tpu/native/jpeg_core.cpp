@@ -63,12 +63,16 @@ struct HuffTable {
     static const int32_t L12_SLOW = 1 << 15;
     static const int32_t L12_RARE = L12_EOB | L12_ZRL | L12_SLOW;
 
-    void build() {
+    // false when the counts over-subscribe the code space (corrupt
+    // stream — a canonical code of length l must fit in l bits)
+    bool build() {
         int code = 0, k = 0;
         std::memset(lut_len, 0, sizeof lut_len);
         for (int l = 1; l <= 16; ++l) {
             valptr[l] = k;
             mincode[l] = code;
+            if (counts[l] && code + counts[l] - 1 > (1 << l) - 1)
+                return false;
             for (int i = 0; i < counts[l]; ++i, ++k, ++code) {
                 if (l <= 8) {
                     int base = code << (8 - l);
@@ -83,6 +87,7 @@ struct HuffTable {
         }
         maxcode[17] = 0x7FFFFFFF;
         build_lut12();
+        return true;
     }
 
     void build_lut12() {
@@ -580,6 +585,7 @@ struct Decoder {
     int restart_interval = 0;
     bool progressive = false;
     bool seen_sos = false;
+    bool seen_sof = false;
     int eobrun = 0;
     // Band-streaming sequential decode (see decode_sequential_streaming):
     // set by zt_jpeg_decode; when the first scan is a full interleave,
@@ -613,6 +619,10 @@ struct Decoder {
             int64_t seg_end = pos + L - 2;
             switch (marker) {
                 case 0xFFC0: case 0xFFC1: case 0xFFC2: {
+                    // a second SOF would change dimensions after the
+                    // caller sized its output buffer — reject
+                    if (seen_sof) return -1;
+                    seen_sof = true;
                     progressive = (marker == 0xFFC2);
                     int prec = u8();
                     if (prec != 8) return -2;
@@ -628,6 +638,7 @@ struct Decoder {
                         comp[i].tq = u8();
                         if (comp[i].h < 1 || comp[i].h > 4 ||
                             comp[i].v < 1 || comp[i].v > 4) return -2;
+                        if (comp[i].tq < 0 || comp[i].tq > 3) return -1;
                         hmax = comp[i].h > hmax ? comp[i].h : hmax;
                         vmax = comp[i].v > vmax ? comp[i].v : vmax;
                     }
@@ -652,12 +663,13 @@ struct Decoder {
                         int total = 0;
                         for (int i = 1; i <= 16; ++i) {
                             int c = u8();
+                            if (c < 0) return -1;  // truncated segment
                             t.counts[i] = (uint8_t)c;
                             total += c;
                         }
                         if (total > 256) return -1;
                         for (int i = 0; i < total; ++i) t.values[i] = (uint8_t)u8();
-                        t.build();
+                        if (!t.build()) return -1;
                         t.present = true;
                     }
                     break;
@@ -701,7 +713,9 @@ struct Decoder {
     }
 
     int decode_scan(int64_t header_end) {
+        if (!seen_sof) return -1;  // SOS before SOF
         int ns = u8();
+        if (ns < 1 || ns > 4) return -1;
         Component* scomp[4];
         for (int i = 0; i < ns; ++i) {
             int cs = u8();
@@ -710,12 +724,14 @@ struct Decoder {
             if (!c) return -1;
             c->dc_tbl = td_ta >> 4;
             c->ac_tbl = td_ta & 15;
+            if (c->dc_tbl > 3 || c->ac_tbl > 3 || td_ta < 0) return -1;
             scomp[i] = c;
         }
         int ss = u8();       // spectral start
         int se = u8();       // spectral end
         int ah_al = u8();
         int ah = ah_al >> 4, al = ah_al & 15;
+        if (progressive && (ss < 0 || se < ss || se > 63)) return -1;
         (void)header_end;
 
         BitReader br{data, len, pos};
@@ -768,6 +784,7 @@ struct Decoder {
         const HuffTable& act = ac_tables[c->ac_tbl];
         int t = huff_decode(br, dct);
         if (t < 0) return br.marker_hit ? 0 : -1;
+        if (t > 15) return -1;  // corrupt table: DC size category > 15
         int diff = t ? extend(br.bits(t), t) : 0;
         c->dc_pred += diff;
         blk[0] = (int16_t)c->dc_pred;
@@ -985,9 +1002,10 @@ struct Decoder {
             const HuffTable& dct = dc_tables[c->dc_tbl];
             int t = huff_decode(br, dct);
             if (t < 0) return br.marker_hit ? 0 : -1;
+            if (t > 15) return -1;  // corrupt table: DC size category
             int diff = t ? extend(br.bits(t), t) : 0;
             c->dc_pred += diff;
-            blk[0] = (int16_t)(c->dc_pred << al);
+            blk[0] = (int16_t)((uint32_t)c->dc_pred << al);
         } else {
             if (br.bit() > 0) blk[0] |= (int16_t)(1 << al);
         }
@@ -1016,7 +1034,8 @@ struct Decoder {
                 }
                 k += r;
                 if (k > 63) break;
-                blk[ZIGZAG[k]] = (int16_t)(extend(br.bits(s), s) << al);
+                blk[ZIGZAG[k]] = (int16_t)((uint32_t)extend(br.bits(s), s)
+                                           << al);
                 k++;
             }
             return 0;
@@ -1410,6 +1429,18 @@ int zt_jpeg_decode(const uint8_t* data, int64_t len, uint8_t* out, int out_ncomp
     Decoder d;
     d.data = data;
     d.len = len;
+    if (out_ncomp != 1 && out_ncomp != 3) return -1;
+    {
+        // the color emit path writes 3 bytes per pixel unconditionally;
+        // a color stream with out_ncomp=1 would overflow the caller's
+        // buffer, so pre-parse the header and reject the combination
+        // (the python wrapper always passes out_ncomp=3 for color)
+        Decoder probe;
+        probe.data = data;
+        probe.len = len;
+        if (probe.parse_headers(true) < 0) return -1;
+        if (probe.ncomp >= 3 && out_ncomp != 3) return -1;
+    }
     d.stream_out = out;
     d.stream_ncomp = out_ncomp;
     double t0 = prof_now();
