@@ -395,21 +395,25 @@ def _encode_scan_full_native(arr, gray, sh, sv, ql, qc, dc_codes, ac_codes):
     mcux = -(-w // (8 * sh))
     mcuy = -(-h // (8 * sv))
     nblocks = mcux * mcuy * (sh * sv + (0 if gray else 2))
-    cap = nblocks * 300 + 4096
-    out = np.empty(cap, dtype=np.uint8)
-    rc = lib.zt_jpeg_encode_scan(
-        arr.ctypes.data_as(ctypes.c_char_p), h, w, ch, ncomp, sh, sv,
-        ql16.ctypes.data_as(ctypes.c_char_p),
-        qc16.ctypes.data_as(ctypes.c_char_p),
-        dc_c.ctypes.data_as(ctypes.c_char_p),
-        dc_l.ctypes.data_as(ctypes.c_char_p),
-        ac_c.ctypes.data_as(ctypes.c_char_p),
-        ac_l.ctypes.data_as(ctypes.c_char_p),
-        out.ctypes.data_as(ctypes.c_char_p), cap,
-    )
-    if rc < 0:
-        return None
-    return out[:rc].tobytes()
+    # 300 B/block covers everything realistic; the absolute worst case
+    # (all 64 coefficients at max magnitude, every byte stuffed) is
+    # ~420 B/block, so retry once with that before giving up
+    for per_block in (300, 424):
+        cap = nblocks * per_block + 4096
+        out = np.empty(cap, dtype=np.uint8)
+        rc = lib.zt_jpeg_encode_scan(
+            arr.ctypes.data_as(ctypes.c_char_p), h, w, ch, ncomp, sh, sv,
+            ql16.ctypes.data_as(ctypes.c_char_p),
+            qc16.ctypes.data_as(ctypes.c_char_p),
+            dc_c.ctypes.data_as(ctypes.c_char_p),
+            dc_l.ctypes.data_as(ctypes.c_char_p),
+            ac_c.ctypes.data_as(ctypes.c_char_p),
+            ac_l.ctypes.data_as(ctypes.c_char_p),
+            out.ctypes.data_as(ctypes.c_char_p), cap,
+        )
+        if rc >= 0:
+            return out[:rc].tobytes()
+    return None
 
 
 def encode(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
