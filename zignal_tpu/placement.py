@@ -34,17 +34,40 @@ def reset_calibration() -> None:
 
 
 def link_bandwidth_mbps() -> float:
-    """One-time calibrated host<->device round-trip bandwidth (MB/s)."""
-    if "bw" not in _CAL:
-        import jax
+    """One-time calibrated host<->device round-trip bandwidth (MB/s).
 
-        probe = np.zeros((512, 512), np.uint8)  # 0.25 MB
-        d = jax.device_put(probe)
-        np.asarray(d)  # warm any lazy backend init
-        t0 = time.perf_counter()
-        np.asarray(jax.device_put(probe))
-        dt = max(time.perf_counter() - t0, 1e-7)
-        _CAL["bw"] = 2 * probe.nbytes / 1e6 / dt
+    The probe runs in a daemon thread with a timeout: the axon tunnel
+    stalls completely for tens of minutes at a time, a hung fetch can
+    never be cancelled (it does release the GIL — measured), and an
+    untimed calibration would hang the first auto-placement decision
+    (= the whole CLI). On timeout the link is scored as dead so every
+    op with a host path stays on the host; the probe thread is left to
+    finish in the background and its result replaces the dead score
+    for later decisions if the tunnel recovers."""
+    if "bw" not in _CAL:
+        import threading
+
+        def _probe():
+            import jax
+
+            probe = np.zeros((512, 512), np.uint8)  # 0.25 MB
+            d = jax.device_put(probe)
+            np.asarray(d)  # warm any lazy backend init
+            t0 = time.perf_counter()
+            np.asarray(jax.device_put(probe))
+            dt = max(time.perf_counter() - t0, 1e-7)
+            _CAL["bw"] = 2 * probe.nbytes / 1e6 / dt
+
+        t = _CAL.get("probe_thread")
+        if t is None:
+            t = threading.Thread(target=_probe, daemon=True)
+            t.start()
+            _CAL["probe_thread"] = t
+            t.join(float(os.environ.get("ZT_LINK_PROBE_TIMEOUT_S", "10")))
+        else:
+            t.join(0.0)  # later calls just peek at the pending probe
+        if "bw" not in _CAL:
+            return 1e-3  # stalled link: effectively unusable (not cached)
     return _CAL["bw"]
 
 
