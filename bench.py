@@ -66,6 +66,28 @@ def emit(metric, value, unit, vs_baseline, **extra):
     print(json.dumps(line), flush=True)
 
 
+def timed_roundtrip_ms(arr, timeout_s=30.0):
+    """Upload+fetch wall time for `arr`, or None if the tunnel is
+    stalled (probe runs in a daemon thread — a hung fetch releases the
+    GIL but can never be cancelled, and attribution must not take the
+    whole config down with it)."""
+    import threading
+
+    res = []
+
+    def _probe():
+        import jax
+
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(arr))
+        res.append((time.perf_counter() - t0) * 1e3)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return round(res[0], 1) if res else None
+
+
 def device_loop_timer(jax, jnp, step_fn, x, n_small=None, n_large=None):
     """Seconds per iteration of step_fn via in-jit fori_loop differencing."""
 
@@ -212,10 +234,7 @@ def bench_codec_roundtrip():
     for _ in range(3):
         png.encode(out_np)
     t_enc = (time.perf_counter() - t0) / 3
-    t0 = time.perf_counter()
-    dev = jax.device_put(arr)
-    np.asarray(dev)
-    transfer = time.perf_counter() - t0
+    transfer_ms = timed_roundtrip_ms(arr)
 
     emit("end-to-end resize stream (JPEG decode -> resize -> PNG encode,"
          " sustained)",
@@ -224,7 +243,7 @@ def bench_codec_roundtrip():
          jpeg_decode_mpix_s=round(mpix / t_dec, 1),
          host_resize_ms=round(t_resize_host * 1e3, 2),
          png_encode_mpix_s=round(mpix / 4 / t_enc, 1),
-         tunnel_transfer_floor_ms=round(transfer * 1e3, 1),
+         tunnel_transfer_floor_ms=transfer_ms,
          device_roundtrip_note="placement=auto picked host: link measured"
          " slower than host compute; forced-device path is tunnel-bound")
 
@@ -314,18 +333,13 @@ def bench_fdm():
     # download alone costs ~0.3 s (~20 MB/s link) — the end-to-end
     # figure is tunnel-transfer-bound, not compute-bound; on co-located
     # hardware (PCIe/on-chip) the transfer floor is ~1000x lower
-    import jax
-
     arr = src.to_numpy()
-    t0 = time.perf_counter()
-    dev = jax.device_put(arr)
-    np.asarray(dev)
-    transfer = time.perf_counter() - t0
+    transfer_ms = timed_roundtrip_ms(arr)
     emit("fdm style transfer (1 MPix, end-to-end)",
          round(n * n / 1e6 / t, 2), "MPix/s", None,
          psnr_vs_source=round(float(score_psnr), 2),
          ssim_vs_source=round(float(score_ssim), 4),
-         tunnel_transfer_floor_ms=round(transfer * 1e3, 1))
+         tunnel_transfer_floor_ms=transfer_ms)
 
 
 def bench_features_stretch():
@@ -415,14 +429,9 @@ def bench_features_stretch():
     # score maps (~0.9 MB) through the ~20 MB/s tunnel — measure the
     # raw round-trip of an equivalent buffer so the artifact shows how
     # much of orb_ms is link latency rather than compute
-    import jax
-
     probe = np.zeros((dim, dim, 3), np.uint8)
-    dev = jax.device_put(probe)
-    np.asarray(dev)  # warm
-    t0 = time.perf_counter()
-    np.asarray(jax.device_put(probe))
-    t_link = time.perf_counter() - t0
+    timed_roundtrip_ms(probe)  # warm
+    t_link_ms = timed_roundtrip_ms(probe)
 
     total = t_orb + t_hough + t_canvas
     emit("ORB+match / Hough / Canvas stretch (512^2)",
@@ -434,7 +443,7 @@ def bench_features_stretch():
          hough_ms=round(t_hough * 1000, 1),
          n_lines=len(lines),
          canvas_ms=round(t_canvas * 1000, 1),
-         tunnel_roundtrip_ms_per_image=round(t_link * 1000, 1))
+         tunnel_roundtrip_ms_per_image=t_link_ms)
 
 
 _CONFIGS = ("north_star", "codec_roundtrip", "colorspace",
