@@ -67,6 +67,13 @@ def link_bandwidth_mbps() -> float:
         else:
             t.join(0.0)  # later calls just peek at the pending probe
         if "bw" not in _CAL:
+            if not _CAL.get("warned"):
+                _CAL["warned"] = True
+                import logging
+
+                logging.getLogger("zignal_tpu").warning(
+                    "device link probe timed out (tunnel stalled?); "
+                    "keeping host paths until it recovers")
             return 1e-3  # stalled link: effectively unusable (not cached)
     return _CAL["bw"]
 
