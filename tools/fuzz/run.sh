@@ -22,6 +22,6 @@ PY
 g++ -O1 -g -fsanitize=address,undefined -fno-sanitize-recover=all -std=c++17 \
     -o /tmp/fuzz_jpeg tools/fuzz/fuzz_jpeg.cpp zignal_tpu/native/jpeg_core.cpp
 g++ -O1 -g -fsanitize=address,undefined -fno-sanitize-recover=all -std=c++17 \
-    -o /tmp/fuzz_codec tools/fuzz/fuzz_codec.cpp zignal_tpu/native/codec_core.cpp
+    -o /tmp/fuzz_codec tools/fuzz/fuzz_codec.cpp zignal_tpu/native/codec_core.cpp zignal_tpu/native/jpeg_core.cpp
 /tmp/fuzz_jpeg /tmp/fz1.jpg /tmp/fz2.jpg /tmp/fz3.jpg /tmp/fz4.jpg /tmp/fz5.jpg
 /tmp/fuzz_codec
