@@ -901,6 +901,60 @@ struct Decoder {
         return 0;
     }
 
+    // AAN-scaled dequantization table for component ci (see idct8x8)
+    void build_dqs(int ci, float* dqs) {
+        const uint16_t* q = qt[comp[ci].tq];
+        for (int v = 0; v < 8; ++v)
+            for (int u = 0; u < 8; ++u)
+                dqs[v * 8 + u] = (float)(q[v * 8 + u] * kAanScale[u]
+                                         * kAanScale[v] / 8.0);
+    }
+
+    // one coefficient block -> 8x8 u8 pixels (DC-only shortcut for
+    // constant blocks — very common in smooth regions)
+    static void dequant_idct_block(const int16_t* blk, const float* dqs,
+                                   uint8_t* dst, int stride) {
+        int32_t ac = 0;
+        for (int k = 1; k < 64; ++k) ac |= blk[k];
+        if (ac == 0) {
+            int val = (int)lrintf(blk[0] * dqs[0]) + 128;
+            uint8_t px = (uint8_t)(val < 0 ? 0 : val > 255 ? 255 : val);
+            for (int yy = 0; yy < 8; ++yy)
+                std::memset(dst + (size_t)yy * stride, px, 8);
+            return;
+        }
+        float deq[64];
+        for (int k = 0; k < 64; ++k) deq[k] = (float)blk[k] * dqs[k];
+        idct8x8(deq, dst, stride);
+    }
+
+    // emit the output rows MCU row `my` fully determines, reading from
+    // per-component band buffers of v*8 plane rows
+    void emit_band_rows(int my, const std::vector<uint8_t>* band,
+                        const int* pw, uint8_t* out, int out_ncomp) {
+        const int band_h = 8 * vmax;
+        int y1 = (my + 1) * band_h;
+        if (y1 > height) y1 = height;
+        for (int y = my * band_h; y < y1; ++y) {
+            uint8_t* o = out + (size_t)y * width * out_ncomp;
+            if (ncomp >= 3) {
+                pipe.emit_color(
+                    &band[0][(size_t)(y * comp[0].v / vmax
+                                      - my * 8 * comp[0].v) * pw[0]],
+                    &band[1][(size_t)(y * comp[1].v / vmax
+                                      - my * 8 * comp[1].v) * pw[1]],
+                    &band[2][(size_t)(y * comp[2].v / vmax
+                                      - my * 8 * comp[2].v) * pw[2]],
+                    o);
+            } else {
+                pipe.emit_gray(
+                    &band[0][(size_t)(y * comp[0].v / vmax
+                                      - my * 8 * comp[0].v) * pw[0]],
+                    o, out_ncomp);
+            }
+        }
+    }
+
     // Band-streaming sequential decode: entropy decode, dequant+IDCT
     // and upsample/color-convert run per MCU row with band buffers of
     // v*8 plane rows per component — no full-image coefficient or
@@ -913,29 +967,17 @@ struct Decoder {
     // so outputs are byte-identical (tests/test_native_parity.py).
     int decode_sequential_streaming(BitReader& br, Component** scomp,
                                     int ns) {
-        const int width = this->width, height = this->height;
-        const int vmax = this->vmax;
-        uint8_t* const out = stream_out;
-        const int out_ncomp = stream_ncomp;
         float dqs[4][64];
         std::vector<uint8_t> band[4];
         int pw[4] = {0, 0, 0, 0};
         for (int i = 0; i < ncomp; ++i) {
-            Component& c = comp[i];
-            pw[i] = c.bx * 8;
-            band[i].assign((size_t)pw[i] * (c.v * 8), 0);
-            const uint16_t* q = qt[c.tq];
-            for (int v = 0; v < 8; ++v)
-                for (int u = 0; u < 8; ++u)
-                    dqs[i][v * 8 + u] = (float)(q[v * 8 + u]
-                                                * kAanScale[u]
-                                                * kAanScale[v] / 8.0);
+            pw[i] = comp[i].bx * 8;
+            band[i].assign((size_t)pw[i] * (comp[i].v * 8), 0);
+            build_dqs(i, dqs[i]);
         }
         pipe.init(comp, ncomp, width, hmax);
         int16_t blk[64];
-        float deq[64];
         int mcu_count = 0;
-        const int band_h = 8 * vmax;
         for (int my = 0; my < mcuy; ++my) {
             for (int mx = 0; mx < mcux; ++mx) {
                 handle_restart(br, mcu_count);
@@ -947,52 +989,17 @@ struct Decoder {
                             std::memset(blk, 0, sizeof blk);
                             if (decode_block_seq(br, c, blk) < 0)
                                 return -1;
-                            uint8_t* dst = &band[ci][
-                                (size_t)(v * 8) * pw[ci]
-                                + (size_t)(mx * c->h + h) * 8];
-                            // DC-only shortcut: constant block (very
-                            // common in smooth regions)
-                            int32_t ac = 0;
-                            for (int k = 1; k < 64; ++k) ac |= blk[k];
-                            if (ac == 0) {
-                                int val = (int)lrintf(blk[0] * dqs[ci][0])
-                                          + 128;
-                                uint8_t px = (uint8_t)(
-                                    val < 0 ? 0 : val > 255 ? 255 : val);
-                                for (int yy = 0; yy < 8; ++yy)
-                                    std::memset(
-                                        dst + (size_t)yy * pw[ci], px, 8);
-                                continue;
-                            }
-                            for (int k = 0; k < 64; ++k)
-                                deq[k] = (float)blk[k] * dqs[ci][k];
-                            idct8x8(deq, dst, pw[ci]);
+                            dequant_idct_block(
+                                blk, dqs[ci],
+                                &band[ci][(size_t)(v * 8) * pw[ci]
+                                          + (size_t)(mx * c->h + h) * 8],
+                                pw[ci]);
                         }
                     }
                 }
                 mcu_count++;
             }
-            // emit the output rows this MCU row fully determines
-            int y1 = (my + 1) * band_h;
-            if (y1 > height) y1 = height;
-            for (int y = my * band_h; y < y1; ++y) {
-                uint8_t* o = out + (size_t)y * width * out_ncomp;
-                if (ncomp >= 3) {
-                    pipe.emit_color(
-                        &band[0][(size_t)(y * comp[0].v / vmax
-                                          - my * 8 * comp[0].v) * pw[0]],
-                        &band[1][(size_t)(y * comp[1].v / vmax
-                                          - my * 8 * comp[1].v) * pw[1]],
-                        &band[2][(size_t)(y * comp[2].v / vmax
-                                          - my * 8 * comp[2].v) * pw[2]],
-                        o);
-                } else {
-                    pipe.emit_gray(
-                        &band[0][(size_t)(y * comp[0].v / vmax
-                                          - my * 8 * comp[0].v) * pw[0]],
-                        o, out_ncomp);
-                }
-            }
+            emit_band_rows(my, band, pw, stream_out, stream_ncomp);
         }
         return 0;
     }
@@ -1130,69 +1137,48 @@ struct Decoder {
         return 0;
     }
 
-    // Reconstruct full-resolution planes and write interleaved output.
+    // Reconstruct from buffered coefficients (progressive files and
+    // non-streamable sequential layouts), band-wise: dequant+IDCT one
+    // MCU row into v*8-row band buffers, emit its output rows, move on
+    // — no full-resolution plane intermediates, so the convert stage
+    // reads IDCT output while it is still cache-resident. Same
+    // per-block / per-row code as the streaming path (byte-identical).
     void reconstruct(uint8_t* out, int out_ncomp) {
         double t_start = prof_now();
-        // locals so the vectorizer can prove trip counts loop-invariant
-        // (stores through `out`/row buffers could alias `this`)
-        const int width = this->width, height = this->height;
-        const int hmax = this->hmax, vmax = this->vmax;
-        std::vector<std::vector<uint8_t>> planes(ncomp);
-        std::vector<int> pw(ncomp), ph(ncomp);
+        float dqs[4][64];
+        std::vector<uint8_t> band[4];
+        int pw[4] = {0, 0, 0, 0};
         for (int i = 0; i < ncomp; ++i) {
-            Component& c = comp[i];
-            pw[i] = c.bx * 8;
-            ph[i] = c.by * 8;
-            planes[i].assign((size_t)pw[i] * ph[i], 0);
-            const uint16_t* q = qt[c.tq];
-            float dqs[64];
-            for (int v = 0; v < 8; ++v)
-                for (int u = 0; u < 8; ++u)
-                    dqs[v * 8 + u] = (float)(q[v * 8 + u]
-                                             * kAanScale[u] * kAanScale[v] / 8.0);
-            float deq[64];
-            for (int byi = 0; byi < c.by; ++byi) {
-                for (int bxi = 0; bxi < c.bx; ++bxi) {
-                    const int16_t* blk = &c.coef[((size_t)byi * c.bx + bxi) * 64];
-                    uint8_t* dst = &planes[i][((size_t)byi * 8) * pw[i] + bxi * 8];
-                    // DC-only shortcut: constant block (very common in
-                    // smooth regions / high-frequency coefficients)
-                    int32_t ac = 0;
-                    for (int k = 1; k < 64; ++k) ac |= blk[k];
-                    if (ac == 0) {
-                        int v = (int)lrintf(blk[0] * dqs[0]) + 128;
-                        uint8_t px = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
-                        for (int y = 0; y < 8; ++y)
-                            std::memset(dst + (size_t)y * pw[i], px, 8);
-                        continue;
-                    }
-                    for (int k = 0; k < 64; ++k) deq[k] = (float)blk[k] * dqs[k];
-                    idct8x8(deq, dst, pw[i]);
+            pw[i] = comp[i].bx * 8;
+            band[i].assign((size_t)pw[i] * (comp[i].v * 8), 0);
+            build_dqs(i, dqs[i]);
+        }
+        pipe.init(comp, ncomp, width, hmax);
+        double t_idct = 0.0;
+        for (int my = 0; my < mcuy; ++my) {
+            double t0 = prof_enabled() ? prof_now() : 0.0;
+            for (int i = 0; i < ncomp; ++i) {
+                Component& c = comp[i];
+                for (int v = 0; v < c.v; ++v) {
+                    int byi = my * c.v + v;
+                    if (byi >= c.by) continue;
+                    for (int bxi = 0; bxi < c.bx; ++bxi)
+                        dequant_idct_block(
+                            &c.coef[((size_t)byi * c.bx + bxi) * 64],
+                            dqs[i],
+                            &band[i][(size_t)(v * 8) * pw[i]
+                                     + (size_t)bxi * 8],
+                            pw[i]);
                 }
             }
-        }
-        double t_idct_done = prof_now();
-        pipe.init(comp, ncomp, width, hmax);
-        for (int y = 0; y < height; ++y) {
-            uint8_t* o = out + (size_t)y * width * out_ncomp;
-            if (ncomp >= 3) {
-                pipe.emit_color(
-                    &planes[0][(size_t)(y * comp[0].v / vmax) * pw[0]],
-                    &planes[1][(size_t)(y * comp[1].v / vmax) * pw[1]],
-                    &planes[2][(size_t)(y * comp[2].v / vmax) * pw[2]],
-                    o);
-            } else {
-                pipe.emit_gray(
-                    &planes[0][(size_t)(y * comp[0].v / vmax) * pw[0]],
-                    o, out_ncomp);
-            }
+            if (prof_enabled()) t_idct += prof_now() - t0;
+            emit_band_rows(my, band, pw, out, out_ncomp);
         }
         if (prof_enabled()) {
             double t_end = prof_now();
             std::fprintf(stderr,
                          "zt_jpeg_profile idct_ms=%.2f upsample_color_ms=%.2f\n",
-                         (t_idct_done - t_start) * 1e3,
-                         (t_end - t_idct_done) * 1e3);
+                         t_idct * 1e3, (t_end - t_start - t_idct) * 1e3);
         }
     }
 };
