@@ -928,6 +928,18 @@ struct Decoder {
         idct8x8(deq, dst, stride);
     }
 
+    // shared band-decode setup: per-component band buffers (v*8 plane
+    // rows), padded widths, dequant tables, and the row pipeline
+    void init_bands(std::vector<uint8_t>* band, int* pw,
+                    float (*dqs)[64]) {
+        for (int i = 0; i < ncomp; ++i) {
+            pw[i] = comp[i].bx * 8;
+            band[i].assign((size_t)pw[i] * (comp[i].v * 8), 0);
+            build_dqs(i, dqs[i]);
+        }
+        pipe.init(comp, ncomp, width, hmax);
+    }
+
     // emit the output rows MCU row `my` fully determines, reading from
     // per-component band buffers of v*8 plane rows
     void emit_band_rows(int my, const std::vector<uint8_t>* band,
@@ -969,13 +981,8 @@ struct Decoder {
                                     int ns) {
         float dqs[4][64];
         std::vector<uint8_t> band[4];
-        int pw[4] = {0, 0, 0, 0};
-        for (int i = 0; i < ncomp; ++i) {
-            pw[i] = comp[i].bx * 8;
-            band[i].assign((size_t)pw[i] * (comp[i].v * 8), 0);
-            build_dqs(i, dqs[i]);
-        }
-        pipe.init(comp, ncomp, width, hmax);
+        int pw[4];
+        init_bands(band, pw, dqs);
         int16_t blk[64];
         int mcu_count = 0;
         for (int my = 0; my < mcuy; ++my) {
@@ -1147,13 +1154,8 @@ struct Decoder {
         double t_start = prof_now();
         float dqs[4][64];
         std::vector<uint8_t> band[4];
-        int pw[4] = {0, 0, 0, 0};
-        for (int i = 0; i < ncomp; ++i) {
-            pw[i] = comp[i].bx * 8;
-            band[i].assign((size_t)pw[i] * (comp[i].v * 8), 0);
-            build_dqs(i, dqs[i]);
-        }
-        pipe.init(comp, ncomp, width, hmax);
+        int pw[4];
+        init_bands(band, pw, dqs);
         double t_idct = 0.0;
         for (int my = 0; my < mcuy; ++my) {
             double t0 = prof_enabled() ? prof_now() : 0.0;
@@ -1161,7 +1163,15 @@ struct Decoder {
                 Component& c = comp[i];
                 for (int v = 0; v < c.v; ++v) {
                     int byi = my * c.v + v;
-                    if (byi >= c.by) continue;
+                    if (byi >= c.by) {
+                        // unreachable today (by == mcuy*v exactly, and
+                        // a second SOF is rejected) — but a skipped
+                        // band row must not emit the PREVIOUS MCU
+                        // row's pixels from the reused buffer
+                        std::memset(&band[i][(size_t)(v * 8) * pw[i]],
+                                    0, (size_t)8 * pw[i]);
+                        continue;
+                    }
                     for (int bxi = 0; bxi < c.bx; ++bxi)
                         dequant_idct_block(
                             &c.coef[((size_t)byi * c.bx + bxi) * 64],
