@@ -504,9 +504,31 @@ def _probe_tunnel(timeout_s=90):
         return False
 
 
+def _emit_child_lines(text):
+    """Re-emit only well-formed JSON lines from a child's stdout (the
+    artifact contract is one JSON object per line; stray diagnostics
+    from dependencies must not corrupt it). Returns #lines emitted."""
+    n = 0
+    for line in (text or "").splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            json.loads(line)
+        except ValueError:
+            continue
+        print(line, flush=True)
+        n += 1
+    return n
+
+
 def main():
-    only = os.environ.get("ZT_BENCH_CONFIG")
+    only = os.environ.get("_ZT_BENCH_CHILD")  # parent->child protocol
     if only:  # child mode: one config, in-process, no probe
+        if only not in _CONFIGS:
+            print(f"unknown bench config {only!r}; expected one of "
+                  f"{_CONFIGS}", file=sys.stderr)
+            return 2
         _run_config(only)
         return
 
@@ -538,20 +560,26 @@ def main():
         t_limit = 2400 if name == "north_star" else 1200
         if _SMOKE:
             t_limit = 600
-        env = dict(os.environ, ZT_BENCH_CONFIG=name)
+        env = dict(os.environ, _ZT_BENCH_CHILD=name)
         try:
             r = subprocess.run([sys.executable, here], env=env,
                                timeout=t_limit, capture_output=True,
                                text=True)
-            out = r.stdout.strip()
-            if out:
-                print(out, flush=True)
-            if r.returncode != 0 and not out:
+            _emit_child_lines(r.stdout)
+            if r.returncode != 0:
                 emit(f"FAILED: {name}", 0.0, "error", None,
-                     error=(r.stderr or "")[-200:])
-        except subprocess.TimeoutExpired:
-            emit(f"FAILED: {name}", 0.0, "error", None,
-                 error=f"timeout after {t_limit}s (tunnel stall?)")
+                     error=f"exit {r.returncode}: "
+                           + (r.stderr or "")[-200:])
+        except subprocess.TimeoutExpired as e:
+            # the child may have emitted its result and then hung in
+            # backend teardown on a stalled tunnel — salvage its lines
+            out = e.stdout
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", "replace")
+            salvaged = _emit_child_lines(out)
+            if not salvaged:
+                emit(f"FAILED: {name}", 0.0, "error", None,
+                     error=f"timeout after {t_limit}s (tunnel stall?)")
         except OSError as e:
             emit(f"FAILED: {name}", 0.0, "error", None, error=str(e)[:200])
 

@@ -42,8 +42,18 @@ def _encode(kind) -> bytes:
         from zignal_tpu.codecs import bmp
         return bmp.encode(arr)
     if fmt == "jpeg":
+        import os
+
         from zignal_tpu.codecs import jpeg
-        return jpeg.encode(arr, quality=85)
+        # pin the numpy fallback path: the native AAN encoder is a
+        # different conformant encoder whose bytes may legally vary
+        # with -march codegen; it is covered by decoded-quality parity
+        # in test_codecs.py instead
+        os.environ["ZT_JPEG_NATIVE_ENCODE"] = "0"
+        try:
+            return jpeg.encode(arr, quality=85)
+        finally:
+            os.environ.pop("ZT_JPEG_NATIVE_ENCODE", None)
     from zignal_tpu.codecs import gif
     return gif.encode(arr)
 

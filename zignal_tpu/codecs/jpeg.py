@@ -315,8 +315,6 @@ def _entropy_encode_native(comps, dc_codes, ac_codes, mcuy, mcux):
     lib = get_lib()
     if lib is None:
         return None
-    import ctypes
-
     n_mcus = mcuy * mcux
     n_slots = sum(c[1] * c[2] for c in comps)
     total = n_mcus * n_slots
@@ -336,17 +334,8 @@ def _entropy_encode_native(comps, dc_codes, ac_codes, mcuy, mcux):
     tbl_class = np.tile(slot_class, n_mcus)
     pred_group = np.tile(slot_group, n_mcus)
 
-    def pack(tables, size):
-        codes = np.zeros((2, size), dtype=np.uint32)
-        lens = np.zeros((2, size), dtype=np.uint8)
-        for cls in (0, 1):
-            for sym, (code, ln) in tables[cls].items():
-                codes[cls, sym] = code
-                lens[cls, sym] = ln
-        return np.ascontiguousarray(codes), np.ascontiguousarray(lens)
-
-    dc_c, dc_l = pack(dc_codes, 12)
-    ac_c, ac_l = pack(ac_codes, 256)
+    dc_c, dc_l = _pack_codes(dc_codes, 12)
+    ac_c, ac_l = _pack_codes(ac_codes, 256)
     cap = total * 128 + 1024
     out = np.empty(cap, dtype=np.uint8)
     rc = lib.zt_jpeg_entropy_encode(
@@ -384,8 +373,6 @@ def _encode_scan_full_native(arr, gray, sh, sv, ql, qc, dc_codes, ac_codes):
     lib = get_lib()
     if lib is None:
         return None
-    import ctypes
-
     h, w, ch = arr.shape
     ncomp = 1 if gray else 3
     ql16 = np.ascontiguousarray(ql.reshape(64).astype(np.uint16))

@@ -48,24 +48,32 @@ def link_bandwidth_mbps() -> float:
         import threading
 
         def _probe():
-            import jax
+            try:
+                import jax
 
-            probe = np.zeros((512, 512), np.uint8)  # 0.25 MB
-            d = jax.device_put(probe)
-            np.asarray(d)  # warm any lazy backend init
-            t0 = time.perf_counter()
-            np.asarray(jax.device_put(probe))
-            dt = max(time.perf_counter() - t0, 1e-7)
-            _CAL["bw"] = 2 * probe.nbytes / 1e6 / dt
+                probe = np.zeros((512, 512), np.uint8)  # 0.25 MB
+                d = jax.device_put(probe)
+                np.asarray(d)  # warm any lazy backend init
+                t0 = time.perf_counter()
+                np.asarray(jax.device_put(probe))
+                dt = max(time.perf_counter() - t0, 1e-7)
+                _CAL["bw"] = 2 * probe.nbytes / 1e6 / dt
+            except Exception:
+                pass  # transient RPC error: probe_thread dies, retried
 
-        t = _CAL.get("probe_thread")
-        if t is None:
-            t = threading.Thread(target=_probe, daemon=True)
-            t.start()
-            _CAL["probe_thread"] = t
-            t.join(float(os.environ.get("ZT_LINK_PROBE_TIMEOUT_S", "10")))
-        else:
-            t.join(0.0)  # later calls just peek at the pending probe
+        with _CAL.setdefault("lock", threading.Lock()):
+            t = _CAL.get("probe_thread")
+            if t is not None and not t.is_alive() and "bw" not in _CAL:
+                t = None  # probe died with an error — retry it
+            if t is None:
+                t = threading.Thread(target=_probe, daemon=True)
+                t.start()
+                _CAL["probe_thread"] = t
+                wait = float(os.environ.get("ZT_LINK_PROBE_TIMEOUT_S",
+                                            "10"))
+            else:
+                wait = 0.0  # later calls just peek at the pending probe
+        t.join(wait)
         if "bw" not in _CAL:
             if not _CAL.get("warned"):
                 _CAL["warned"] = True
