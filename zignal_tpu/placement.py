@@ -69,8 +69,11 @@ def link_bandwidth_mbps() -> float:
                 t = threading.Thread(target=_probe, daemon=True)
                 t.start()
                 _CAL["probe_thread"] = t
+                # a healthy probe lands in ~0.2-0.5 s (two 0.25 MB
+                # round-trips, even on the ~5 MB/s tunnel); the cap
+                # exists purely to bound stall damage per process
                 wait = float(os.environ.get("ZT_LINK_PROBE_TIMEOUT_S",
-                                            "10"))
+                                            "1.5"))
             else:
                 wait = 0.0  # later calls just peek at the pending probe
         t.join(wait)
