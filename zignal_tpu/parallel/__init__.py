@@ -26,7 +26,8 @@ from ..ops.convolution import gaussian_kernel
 from .spatial import (  # noqa: F401  (re-exported surface)
     halo_extend, spatial_adaptive_mean_threshold, spatial_box_blur,
     spatial_dilate, spatial_erode, spatial_mean_cov_image,
-    spatial_median_blur, spatial_op, spatial_sharpen, spatial_sobel,
+    spatial_median_blur, spatial_op, spatial_op_2d, spatial_sharpen,
+    spatial_sobel,
     spatial_ssim,
 )
 

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..enums import BorderMode
 
 __all__ = [
-    "halo_extend", "spatial_op",
+    "halo_extend", "spatial_op", "spatial_op_2d",
     "spatial_box_blur", "spatial_sharpen", "spatial_adaptive_mean_threshold",
     "spatial_sobel", "spatial_dilate", "spatial_erode",
     "spatial_median_blur", "spatial_ssim", "spatial_mean_cov_image",
@@ -42,35 +42,39 @@ def _rings(n):
 
 
 def halo_extend(local, radius: int, border: BorderMode, axis_name: str,
-                n: int):
+                n: int, axis: int = 0):
     """Extend an H-sharded local block with ``radius`` rows of halo on
-    each side: ring ``ppermute`` for interior boundaries, border-mode
-    synthesis (zero / replicate / mirror; wrap falls out of the ring)
-    at the global edges. Must be called inside shard_map."""
-    h_loc = local.shape[0]
+    each side of ``axis``: ring ``ppermute`` for interior boundaries,
+    border-mode synthesis (zero / replicate / mirror; wrap falls out of
+    the ring) at the global edges. Must be called inside shard_map."""
+    h_loc = local.shape[axis]
     if radius > h_loc or (border == BorderMode.MIRROR and radius + 1 > h_loc):
         raise ValueError(
             f"shard of {h_loc} rows too small for halo radius {radius}; "
             "use fewer chips or a smaller window")
     if radius == 0:
         return local
+
+    def sl(lo, hi):
+        return jax.lax.slice_in_dim(local, lo, hi, axis=axis)
+
     fwd, bwd = _rings(n)
-    up = jax.lax.ppermute(local[h_loc - radius:], axis_name, fwd)
-    down = jax.lax.ppermute(local[:radius], axis_name, bwd)
+    up = jax.lax.ppermute(sl(h_loc - radius, h_loc), axis_name, fwd)
+    down = jax.lax.ppermute(sl(0, radius), axis_name, bwd)
     if border != BorderMode.WRAP:
         idx = jax.lax.axis_index(axis_name)
         if border == BorderMode.ZERO:
             top = jnp.zeros_like(up)
             bot = jnp.zeros_like(down)
         elif border == BorderMode.REPLICATE:
-            top = jnp.repeat(local[:1], radius, axis=0)
-            bot = jnp.repeat(local[-1:], radius, axis=0)
+            top = jnp.repeat(sl(0, 1), radius, axis=axis)
+            bot = jnp.repeat(sl(h_loc - 1, h_loc), radius, axis=axis)
         else:  # MIRROR: reflect without the edge row (border.zig:46)
-            top = jnp.flip(local[1:radius + 1], axis=0)
-            bot = jnp.flip(local[h_loc - radius - 1:h_loc - 1], axis=0)
+            top = jnp.flip(sl(1, radius + 1), axis=axis)
+            bot = jnp.flip(sl(h_loc - radius - 1, h_loc - 1), axis=axis)
         up = jnp.where(idx == 0, top, up)
         down = jnp.where(idx == n - 1, bot, down)
-    return jnp.concatenate([up, local, down], axis=0)
+    return jnp.concatenate([up, local, down], axis=axis)
 
 
 def spatial_op(mesh: Mesh, fn, radius: int,
@@ -92,6 +96,32 @@ def spatial_op(mesh: Mesh, fn, radius: int,
                                     axis=0)
 
     spec = P(axis_name, *([None] * (ndim - 1)))
+    sm = shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec)
+    return jax.jit(sm) if jit else sm
+
+
+def spatial_op_2d(mesh: Mesh, fn, radius: int,
+                  border: BorderMode = BorderMode.MIRROR,
+                  batch_axis: str = "batch", space_axis: str = "space",
+                  ndim: int = 4, jit: bool = True):
+    """Lift a single-image windowed op over a 2-D (batch x space) mesh
+    — the production layout for large-image serving: a [B, H, ...]
+    batch shards images over ``batch_axis`` (no communication) and rows
+    over ``space_axis`` (halo ppermute rides the ICI ring within each
+    batch group). ``fn`` maps one [H, ...] block to [H, ...] as in
+    spatial_op; results are bit-exact vs the per-image single-device op
+    (tests/test_spatial_sharding.py)."""
+    n_space = dict(zip(mesh.axis_names, mesh.devices.shape))[space_axis]
+    border = BorderMode(border)
+
+    def body(local):  # [b_loc, h_loc, ...]
+        ext = halo_extend(local, radius, border, space_axis, n_space,
+                          axis=1)
+        out = jax.vmap(fn)(ext)
+        return jax.lax.slice_in_dim(out, radius, radius + local.shape[1],
+                                    axis=1)
+
+    spec = P(batch_axis, space_axis, *([None] * (ndim - 2)))
     sm = shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec)
     return jax.jit(sm) if jit else sm
 
