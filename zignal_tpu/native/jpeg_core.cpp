@@ -1303,23 +1303,42 @@ struct BitEnc {
     int nbits = 0;
 
     // len <= 27 (16-bit code + 11 value bits fused by the callers);
-    // nbits stays < 8 between calls, so acc never overflows 35 bits.
+    // nbits stays < 32 between calls, so acc never overflows 59 bits.
     // Emission drains 4 bytes at a time when none is 0xFF (the common
-    // case — stuffing bytes are rare in real streams).
+    // case — a put crosses 32 pending bits only every ~1.2 calls, and
+    // per-byte stuffing checks run only when an 0xFF is present).
     inline bool put(uint32_t code, int len) {
         acc = (acc << len) | (code & ((1u << len) - 1));
         nbits += len;
         while (nbits >= 32) {
             uint32_t w = (uint32_t)(acc >> (nbits - 32));
-            if (!((~w - 0x01010101u) & ~(~w) & 0x80808080u)
+            if (!((~w - 0x01010101u) & w & 0x80808080u)
                 && di + 4 <= cap) {
                 w = __builtin_bswap32(w);
                 std::memcpy(out + di, &w, 4);
                 di += 4;
                 nbits -= 32;
             } else {
-                break;
+                // rare: an 0xFF byte needs stuffing (or cap is near) —
+                // emit one byte and re-check
+                nbits -= 8;
+                uint8_t b = (uint8_t)((acc >> nbits) & 0xFF);
+                if (di >= cap) return false;
+                out[di++] = b;
+                if (b == 0xFF) {
+                    if (di >= cap) return false;
+                    out[di++] = 0x00;
+                }
             }
+        }
+        return true;
+    }
+
+    bool flush() {
+        int pad = (8 - (nbits & 7)) & 7;
+        if (pad) {
+            acc = (acc << pad) | ((1u << pad) - 1);
+            nbits += pad;
         }
         while (nbits >= 8) {
             nbits -= 8;
@@ -1330,14 +1349,6 @@ struct BitEnc {
                 if (di >= cap) return false;
                 out[di++] = 0x00;
             }
-        }
-        return true;
-    }
-
-    bool flush() {
-        if (nbits > 0) {
-            int pad = 8 - nbits;
-            return put((1u << pad) - 1, pad);
         }
         return true;
     }
