@@ -459,6 +459,10 @@ def _native_rle_deflate(scanlines: bytes) -> bytes | None:
     import ctypes
 
     n = len(scanlines)
+    # the native BitWriter memcpy's 8-byte windows: cap must leave >= 8
+    # bytes of headroom past the final stream byte (documented at
+    # zt_zlib_rle_compress); 2*n + 4096 is far above both that and any
+    # incompressible-stream worst case
     cap = 2 * n + 4096
     out = ctypes.create_string_buffer(cap)
     rc = lib.zt_zlib_rle_compress(scanlines, n, out, cap)

@@ -18,6 +18,8 @@ The pixel data lives in exactly one of two homes:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .blending import Blending, blend_arrays
@@ -463,7 +465,14 @@ class Image:
 
             nb_in = self._np.nbytes
             nb_out = rows * cols * self._np.shape[2]
-            if host_resize_available(method) and prefer_host(
+            # Lanczos is the one method whose host path is only +-1 of
+            # the device bytes (FMA contraction; host_resize.py docstring)
+            # — auto placement must never make output bytes depend on a
+            # runtime-measured link bandwidth, so Lanczos goes host only
+            # under an explicit ZT_PLACEMENT=host
+            auto_ok = (method is not Interpolation.LANCZOS
+                       or os.environ.get("ZT_PLACEMENT") == "host")
+            if auto_ok and host_resize_available(method) and prefer_host(
                     nb_in, nb_out,
                     (nb_in + nb_out) / self._np.shape[2] / 1e6
                     * HOST_COST[method]):

@@ -992,7 +992,11 @@ inline int length_code(int len) {  // len in [3, 258] -> 0..28
 }  // namespace zdef
 
 // src -> zlib stream in dst; returns bytes written or -1 (cap too
-// small — caller falls back to zlib).
+// small — caller falls back to zlib). Cap contract: BitWriter::put
+// memcpy's a full 8-byte window, so the writer requires 8 bytes of
+// headroom past the final bit position — size dst at least
+// (worst-case stream + 8); the Python wrapper's 2*n + 4096 satisfies
+// this with huge margin.
 long zt_zlib_rle_compress(const uint8_t* src, long n, uint8_t* dst,
                           long cap) {
     using namespace zdef;

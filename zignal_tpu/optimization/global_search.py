@@ -310,9 +310,14 @@ class GlobalOptimizer:
             prev_best = (max(self._ys) if self._maximize else min(self._ys))
         x, move = self._ask_one_with_move()
         val = objective(list(x))
-        if isinstance(val, bool) or not isinstance(val, (int, float)):
+        # accept any real scalar (incl. np.float32 / 0-d jax arrays) but
+        # reject bools and non-numerics
+        if isinstance(val, bool):
             raise TypeError("objective must return a number")
-        y = float(val)
+        try:
+            y = float(val)
+        except (TypeError, ValueError):
+            raise TypeError("objective must return a number") from None
         self.tell(x, y)
         improved = prev_best is None or self._better(y, prev_best)
         return Step(x=x, y=y, improved=improved, move=move)

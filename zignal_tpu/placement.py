@@ -30,7 +30,14 @@ _DISPATCH_S = 0.006
 
 
 def reset_calibration() -> None:
+    # bump the generation so an in-flight probe thread from before the
+    # reset cannot write its (possibly contended) bandwidth into the
+    # fresh calibration state
     _CAL.clear()
+    _GEN[0] += 1
+
+
+_GEN = [0]
 
 
 def link_bandwidth_mbps() -> float:
@@ -47,6 +54,8 @@ def link_bandwidth_mbps() -> float:
     if "bw" not in _CAL:
         import threading
 
+        gen = _GEN[0]
+
         def _probe():
             try:
                 import jax
@@ -57,7 +66,8 @@ def link_bandwidth_mbps() -> float:
                 t0 = time.perf_counter()
                 np.asarray(jax.device_put(probe))
                 dt = max(time.perf_counter() - t0, 1e-7)
-                _CAL["bw"] = 2 * probe.nbytes / 1e6 / dt
+                if _GEN[0] == gen:  # stale after reset_calibration()
+                    _CAL["bw"] = 2 * probe.nbytes / 1e6 / dt
             except Exception:
                 pass  # transient RPC error: probe_thread dies, retried
 
