@@ -20,3 +20,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ.get("ZT_TEST_PLATFORM", "cpu"))
+
+
+# Modules dominated by multi-second jit compiles / end-to-end demos
+# (measured with --durations, r4). `pytest -m "not slow"` is the tight
+# edit loop (~3 min); CI / pre-commit runs the full suite.
+_SLOW_MODULES = {
+    "test_examples_smoke", "test_features", "test_qrcode",
+    "test_pallas_pipeline", "test_pallas_filter", "test_blurs_edges",
+    "test_flood_fill", "test_spatial_sharding",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -18,6 +18,7 @@ from .geometry import (
     AffineTransform, ConvexHull, ProjectiveTransform, SimilarityTransform,
 )
 from .fdm import FeatureDistributionMatching
+from .batch import ImageBatch
 from .image import Image, PixelIterator
 from .matrix import Matrix
 from .canvas import Canvas
@@ -63,7 +64,7 @@ __all__ = [
     "Blending", "BorderMode", "DrawMode", "Interpolation", "ThresholdMode",
     "Gray", "Rgb", "Rgba", "Hsl", "Hsv", "Lab", "Lch", "Lms",
     "Oklab", "Oklch", "Xyb", "Xyz", "Ycbcr",
-    "Image", "PixelIterator", "Rectangle", "Matrix", "PCA",
+    "Image", "ImageBatch", "PixelIterator", "Rectangle", "Matrix", "PCA",
     "FeatureDistributionMatching", "RunningStats", "MotionBlur", "Colormap",
     "Canvas", "BitmapFont", "AnimatedImage",
     "perlin", "perlin_array",

@@ -12,9 +12,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .binary import histogram256, lut_apply_u8
-
-__all__ = ["autocontrast", "equalize"]
+__all__ = ["autocontrast", "autocontrast_from_hists",
+           "equalize", "equalize_from_hists"]
 
 
 def _cutoff_min(hist, cutoff_pixels):
@@ -36,20 +35,19 @@ def _cutoff_max(hist, cutoff_pixels):
     return jnp.where(cutoff_pixels == 0, if_zero, idx)
 
 
-@partial(jax.jit, static_argnames=("skip_alpha",))
-def autocontrast(arr, cutoff: float = 0.0, skip_alpha: bool = True):
-    """Stretch each channel's [cutoff_min, cutoff_max] to [0, 255].
-    arr: u8 [H, W, C]."""
-    h, w, ch = arr.shape
-    total = h * w
-    cutoff_pixels = jnp.int32(jnp.trunc(jnp.float32(total) * cutoff))
+def autocontrast_from_hists(arr, hists, cutoff_pixels, skip_alpha=True):
+    """Autocontrast of u8 [H, W, C] given its per-channel histograms
+    [C, 256] — the histogram may come from a psum over a sharded image
+    (parallel/ + batch.py), in which case cutoff_pixels must be computed
+    from the GLOBAL pixel count."""
+    ch = arr.shape[-1]
     chans = []
     for i in range(ch):
         if skip_alpha and ch == 4 and i == 3:
             chans.append(arr[..., i])
             continue
         plane = arr[..., i]
-        hist = histogram256(plane)
+        hist = hists[i]
         lo = _cutoff_min(hist, cutoff_pixels).astype(jnp.float32)
         hi = _cutoff_max(hist, cutoff_pixels).astype(jnp.float32)
         rng = jnp.where(hi > lo, hi - lo, 1.0)
@@ -61,16 +59,25 @@ def autocontrast(arr, cutoff: float = 0.0, skip_alpha: bool = True):
 
 
 @partial(jax.jit, static_argnames=("skip_alpha",))
-def equalize(arr, skip_alpha: bool = True):
-    """Per-channel histogram equalization via integer CDF LUT
-    (enhancement.zig:84-150). arr: u8 [H, W, C]. All channels ride one
-    batched histogram einsum and one batched LUT apply (the former
-    per-channel loop tripled the MXU dispatches)."""
-    from .binary import histogram256_multi, lut_apply_u8_per_channel
+def autocontrast(arr, cutoff: float = 0.0, skip_alpha: bool = True):
+    """Stretch each channel's [cutoff_min, cutoff_max] to [0, 255].
+    arr: u8 [H, W, C]."""
+    from .binary import histogram256_multi
 
-    h, w, ch = arr.shape
+    h, w, _ = arr.shape
     total = h * w
-    hists = histogram256_multi(arr)                     # [C, 256]
+    cutoff_pixels = jnp.int32(jnp.trunc(jnp.float32(total) * cutoff))
+    return autocontrast_from_hists(arr, histogram256_multi(arr),
+                                   cutoff_pixels, skip_alpha)
+
+
+def equalize_from_hists(arr, hists, total: int, skip_alpha: bool = True):
+    """Equalize u8 [H, W, C] given per-channel histograms [C, 256] and
+    the GLOBAL pixel count (sharded callers psum partial histograms and
+    pass total = H_global * W)."""
+    from .binary import lut_apply_u8_per_channel
+
+    ch = arr.shape[-1]
     cdf = jnp.cumsum(hists, axis=1)
     nonzero = cdf > 0
     cdf_min = jnp.where(
@@ -89,3 +96,16 @@ def equalize(arr, skip_alpha: bool = True):
     if skip_alpha and ch == 4:
         luts = luts.at[3].set(ident)  # alpha passes through
     return lut_apply_u8_per_channel(arr, luts)
+
+
+@partial(jax.jit, static_argnames=("skip_alpha",))
+def equalize(arr, skip_alpha: bool = True):
+    """Per-channel histogram equalization via integer CDF LUT
+    (enhancement.zig:84-150). arr: u8 [H, W, C]. All channels ride one
+    batched histogram einsum and one batched LUT apply (the former
+    per-channel loop tripled the MXU dispatches)."""
+    from .binary import histogram256_multi
+
+    h, w, _ = arr.shape
+    return equalize_from_hists(arr, histogram256_multi(arr), h * w,
+                               skip_alpha)

@@ -141,19 +141,20 @@ def _clamped_row_extents(total: int, radius: int) -> np.ndarray:
     return (r2 - r1 + 1).astype(np.int32)
 
 
-def _sharded_box_sums(local, h_total: int, radius: int, axis_name: str,
-                      n: int):
-    """Exact clamped-window sums + areas for an H-sharded [h, W, C] u8
-    block. Returns (sums int32/f32-exact, area int32 [h, W, 1])."""
+def _box_sums_from_ext(ext, radius: int):
+    """Exact clamped-window sums over a ZERO-halo-extended
+    [h_loc + 2r, W, C] u8 block -> [h_loc, W, C] (int32 or f32-exact).
+
+    The horizontal pass is the stock clamped band (W is unsharded); the
+    vertical pass is a full (2r+1)-tap band over the extended rows —
+    zero halos mean absent rows contribute nothing, exactly like
+    clamping."""
     from ..ops.integral import _clamped_band
     from ..ops.mxu_resample import build_tap_matrix, exact_axis_apply
 
-    h_loc, w = local.shape[0], local.shape[1]
-    ext = halo_extend(local, radius, BorderMode.ZERO, axis_name, n)
-    # horizontal: stock clamped band (W is unsharded)
+    h_loc = ext.shape[0] - 2 * radius
+    w = ext.shape[1]
     band_w = _clamped_band(w, radius)
-    # vertical: full (2r+1)-tap band over the extended rows — zero halos
-    # mean absent rows contribute nothing, exactly like clamping
     base_h = np.arange(h_loc)[:, None] + np.arange(2 * radius + 1)[None, :]
     band_h = build_tap_matrix(base_h, np.ones(2 * radius + 1, np.int64),
                               h_loc + 2 * radius, h_loc)
@@ -161,11 +162,40 @@ def _sharded_box_sums(local, h_total: int, radius: int, axis_name: str,
     sums, _ = exact_axis_apply(t.astype(jnp.float32)
                                if t.dtype != jnp.int32 else t,
                                band_w, tb, axis=1)
+    return sums
+
+
+def _clamped_area(h_total: int, w: int, radius: int, h_loc: int, axis_name):
+    """True clamped window areas [h_loc, W, 1] for this chip's row block
+    (global per-row extent table sliced at the chip's offset)."""
     idx = jax.lax.axis_index(axis_name)
     rows_ext = jnp.asarray(_clamped_row_extents(h_total, radius))
     row_e = jax.lax.dynamic_slice_in_dim(rows_ext, idx * h_loc, h_loc)
     col_e = jnp.asarray(_clamped_row_extents(w, radius))
-    area = (row_e[:, None] * col_e[None, :])[..., None]
+    return (row_e[:, None] * col_e[None, :])[..., None]
+
+
+def _sharded_box_sums(local, h_total: int, radius: int, axis_name: str,
+                      n: int):
+    """Exact clamped-window sums + areas for an H-sharded [h, W, C] u8
+    block. Returns (sums int32/f32-exact, area int32 [h, W, 1])."""
+    h_loc, w = local.shape[0], local.shape[1]
+    ext = halo_extend(local, radius, BorderMode.ZERO, axis_name, n)
+    sums = _box_sums_from_ext(ext, radius)
+    area = _clamped_area(h_total, w, radius, h_loc, axis_name)
+    return sums, area
+
+
+def _sharded_box_sums_2d(local, h_total: int, radius: int, space_axis: str,
+                         n_space: int):
+    """Batched variant for a [b_loc, h_loc, W, C] block on a 2-D
+    (batch x space) mesh: one ZERO-halo exchange along the space ring,
+    per-image exact sums via vmap, shared clamped area table."""
+    h_loc, w = local.shape[1], local.shape[2]
+    ext = halo_extend(local, radius, BorderMode.ZERO, space_axis, n_space,
+                      axis=1)
+    sums = jax.vmap(partial(_box_sums_from_ext, radius=radius))(ext)
+    area = _clamped_area(h_total, w, radius, h_loc, space_axis)
     return sums, area
 
 
