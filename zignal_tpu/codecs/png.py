@@ -342,8 +342,10 @@ def encode(arr: np.ndarray, compression_level: int = 6) -> bytes:
             out.ctypes.data_as(ctypes.c_char_p),
         )
         if rc == 0:
-            scanlines = out.tobytes()
-            return _assemble_png(w, h, color_type, scanlines,
+            # hand the numpy buffer straight through (zlib and the
+            # native encoder both take the buffer protocol / a pointer;
+            # a .tobytes() here copied the full filtered payload)
+            return _assemble_png(w, h, color_type, out,
                                  compression_level)
 
     def filtered(rows_u8, prev_u8, which: int):
@@ -403,12 +405,16 @@ def _assemble_png(w, h, color_type, scanlines: bytes,
     return SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
-def _deflate(scanlines: bytes, level: int) -> bytes:
+def _deflate(scanlines, level: int) -> bytes:
     """Adaptive DEFLATE strategy: Z_RLE is 3-4x faster than the default
     Lempel-Ziv search on photographic (high-entropy MSD-filtered) rows
     and within ~5% of its size — but up to 16x LARGER on smooth
     synthetic content, so the strategy is picked per image by trying
-    both on a 64 KB sample (deterministic; sample cost is a few %)."""
+    both on a 64 KB sample (deterministic; sample cost is a few %).
+
+    ``scanlines``: bytes or a 1-D uint8 numpy array (buffer protocol —
+    the native filter pass hands its numpy output straight through so
+    the full payload is never copied into a bytes object)."""
 
     def _c(strategy, data):
         co = zlib.compressobj(level, zlib.DEFLATED, 15, 8, strategy)
@@ -427,7 +433,9 @@ def _deflate(scanlines: bytes, level: int) -> bytes:
     # level 2 regardless of the requested level (the Z_DEFAULT side of a
     # 32 KB sample alone cost ~0.6 ms/image — ~15% of a 0.25 MPix encode)
     step = max(1536, n // 8)
-    sample = b"".join(scanlines[o:o + 1536] for o in range(0, n, step))
+    mv = memoryview(scanlines).cast("B") if not isinstance(scanlines, bytes) \
+        else scanlines
+    sample = b"".join(bytes(mv[o:o + 1536]) for o in range(0, n, step))
 
     def _c2(strategy, data):
         co = zlib.compressobj(2, zlib.DEFLATED, 15, 8, strategy)
@@ -448,9 +456,10 @@ def _deflate(scanlines: bytes, level: int) -> bytes:
     return _c(zlib.Z_RLE if use_rle else zlib.Z_DEFAULT_STRATEGY, scanlines)
 
 
-def _native_rle_deflate(scanlines: bytes) -> bytes | None:
+def _native_rle_deflate(scanlines) -> bytes | None:
     """One-shot native encoder for the RLE strategy (~3x zlib's speed
-    at near-identical size); None -> caller falls back to zlib."""
+    at near-identical size); None -> caller falls back to zlib.
+    Accepts bytes or a 1-D uint8 numpy array."""
     from ..native import get_lib
 
     lib = get_lib()
@@ -459,18 +468,23 @@ def _native_rle_deflate(scanlines: bytes) -> bytes | None:
     import ctypes
 
     n = len(scanlines)
+    if isinstance(scanlines, np.ndarray):
+        src = scanlines.ctypes.data_as(ctypes.c_char_p)
+    else:
+        src = scanlines
     # the native BitWriter memcpy's 8-byte windows: cap must leave >= 8
     # bytes of headroom past the final stream byte (documented at
     # zt_zlib_rle_compress); 2*n + 4096 is far above both that and any
-    # incompressible-stream worst case
+    # incompressible-stream worst case. np.empty, NOT
+    # ctypes.create_string_buffer: the latter zero-fills ~2x the payload
+    # on every call (~0.3 ms/MPix measured).
     cap = 2 * n + 4096
-    out = ctypes.create_string_buffer(cap)
-    rc = lib.zt_zlib_rle_compress(scanlines, n, out, cap)
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.zt_zlib_rle_compress(src, n,
+                                  out.ctypes.data_as(ctypes.c_char_p), cap)
     if rc <= 0:
         return None
-    # string_at copies rc bytes; .raw[:rc] would first materialize the
-    # whole cap-sized buffer (~2x the payload) just to slice it
-    return ctypes.string_at(out, rc)
+    return out[:rc].tobytes()
 
 
 def save(path: str, arr: np.ndarray, **options) -> None:

@@ -387,10 +387,19 @@ static inline void aan_v(V r[8]) {
 
 static inline void aan_v8(v8f r[8]) { aan_v(r); }
 
-// in: coefficients already multiplied by the AAN-scaled dequant table.
-void idct8x8(const float* in, uint8_t* out, int out_stride) {
+typedef int16_t v8i16 __attribute__((vector_size(16)));
+
+// blk: natural-order int16 coefficients; dqs: AAN-scaled dequant table.
+// The dequant multiply happens in the vector loads (int16 -> f32 convert
+// is exact), so the 64-float intermediate never touches memory.
+void idct8x8(const int16_t* blk, const float* dqs, uint8_t* out,
+             int out_stride) {
     v8f r[8];
-    for (int v = 0; v < 8; ++v) r[v] = load8f(in + v * 8);
+    for (int v = 0; v < 8; ++v) {
+        v8i16 c;
+        std::memcpy(&c, blk + v * 8, 16);
+        r[v] = __builtin_convertvector(c, v8f) * load8f(dqs + v * 8);
+    }
     transpose8(r);  // r[u] = coefficient column u
     aan_v8(r);      // row transforms, 8 at a time
     transpose8(r);
@@ -779,11 +788,15 @@ struct Decoder {
         }
     }
 
+    // returns -1 on error, else 1 if any AC coefficient was written
+    // (0 = DC-only) — lets the streaming path skip both the per-block
+    // AC scan and the full IDCT for flat blocks
     int decode_block_seq(BitReader& br, Component* c, int16_t* blk) {
         const HuffTable& dct = dc_tables[c->dc_tbl];
         const HuffTable& act = ac_tables[c->ac_tbl];
+        int has_ac = 0;
         int t = huff_decode(br, dct);
-        if (t < 0) return br.marker_hit ? 0 : -1;
+        if (t < 0) return br.marker_hit ? has_ac : -1;
         if (t > 15) return -1;  // corrupt table: DC size category > 15
         int diff = t ? extend(br.bits(t), t) : 0;
         c->dc_pred += diff;
@@ -810,6 +823,7 @@ struct Decoder {
                     int v = (int)((w >> (64 - consumed)) & ((1 << s) - 1));
                     int val = v < (1 << (s - 1)) ? v - (1 << s) + 1 : v;
                     blk[ZIGZAG[k]] = (int16_t)val;
+                    has_ac = 1;
                     k++;
                     continue;
                 }
@@ -845,12 +859,13 @@ struct Decoder {
                 br.buf <<= s;
                 br.cnt -= s;
                 blk[ZIGZAG[k]] = (int16_t)extend(v, s);
+                has_ac = 1;
                 k++;
                 continue;
             }
             // tail near marker/EOF: checked path
             int rs = huff_decode(br, act);
-            if (rs < 0) return br.marker_hit ? 0 : -1;
+            if (rs < 0) return br.marker_hit ? has_ac : -1;
             int r = rs >> 4, s = rs & 15;
             if (s == 0) {
                 if (r == 15) { k += 16; continue; }
@@ -859,9 +874,10 @@ struct Decoder {
             k += r;
             if (k > 63) break;
             blk[ZIGZAG[k]] = (int16_t)extend(br.bits(s), s);
+            has_ac = 1;
             k++;
         }
-        return 0;
+        return has_ac;
     }
 
     int decode_sequential(BitReader& br, Component** scomp, int ns) {
@@ -911,21 +927,25 @@ struct Decoder {
     }
 
     // one coefficient block -> 8x8 u8 pixels (DC-only shortcut for
-    // constant blocks — very common in smooth regions)
+    // constant blocks — very common in smooth regions). has_ac: 1 = AC
+    // present, 0 = DC-only, -1 = unknown (buffered paths without the
+    // entropy decoder's flag scan the block)
     static void dequant_idct_block(const int16_t* blk, const float* dqs,
-                                   uint8_t* dst, int stride) {
-        int32_t ac = 0;
-        for (int k = 1; k < 64; ++k) ac |= blk[k];
-        if (ac == 0) {
+                                   uint8_t* dst, int stride,
+                                   int has_ac = -1) {
+        if (has_ac < 0) {
+            int32_t ac = 0;
+            for (int k = 1; k < 64; ++k) ac |= blk[k];
+            has_ac = ac != 0;
+        }
+        if (!has_ac) {
             int val = (int)lrintf(blk[0] * dqs[0]) + 128;
             uint8_t px = (uint8_t)(val < 0 ? 0 : val > 255 ? 255 : val);
             for (int yy = 0; yy < 8; ++yy)
                 std::memset(dst + (size_t)yy * stride, px, 8);
             return;
         }
-        float deq[64];
-        for (int k = 0; k < 64; ++k) deq[k] = (float)blk[k] * dqs[k];
-        idct8x8(deq, dst, stride);
+        idct8x8(blk, dqs, dst, stride);
     }
 
     // shared band-decode setup: per-component band buffers (v*8 plane
@@ -994,13 +1014,13 @@ struct Decoder {
                     for (int v = 0; v < c->v; ++v) {
                         for (int h = 0; h < c->h; ++h) {
                             std::memset(blk, 0, sizeof blk);
-                            if (decode_block_seq(br, c, blk) < 0)
-                                return -1;
+                            int has_ac = decode_block_seq(br, c, blk);
+                            if (has_ac < 0) return -1;
                             dequant_idct_block(
                                 blk, dqs[ci],
                                 &band[ci][(size_t)(v * 8) * pw[ci]
                                           + (size_t)(mx * c->h + h) * 8],
-                                pw[ci]);
+                                pw[ci], has_ac);
                         }
                     }
                 }
