@@ -464,19 +464,24 @@ static void interleave3(const uint8_t* r, const uint8_t* g,
 // (vect-max-version-for-alias-checks) when they are member-vector
 // loads — restrict parameters let it vectorize unconditionally.
 static void bt601_row(const uint8_t* __restrict yrow,
-                      const int32_t* __restrict cbb,
-                      const int32_t* __restrict crb,
+                      const uint8_t* __restrict cbb,
+                      const uint8_t* __restrict crb,
                       uint8_t* __restrict rb, uint8_t* __restrict gb,
                       uint8_t* __restrict bb, int width) {
+    // chroma stays u8 (4x less upsample-buffer traffic; the 4:4:4 case
+    // reads the band row directly with no expand pass at all): the -128
+    // centering is folded into the rounding constants — identical int32
+    // values, and all terms stay well inside int32 (|num| < 2^26).
+    const int32_t rk = 32768 - 91881 * 128;
+    const int32_t gk = 32768 + (22554 + 46802) * 128;
+    const int32_t bk = 32768 - 116130 * 128;
     for (int x = 0; x < width; ++x) {
         int32_t Y = (int32_t)yrow[x] << 16;
-        int32_t cb = cbb[x];
-        int32_t cr = crb[x];
-        // fixed-point BT.601 (matches color stack); all terms < 2^25,
-        // int32-safe
-        int32_t r = (Y + 91881 * cr + 32768) >> 16;
-        int32_t g = (Y - 22554 * cb - 46802 * cr + 32768) >> 16;
-        int32_t b = (Y + 116130 * cb + 32768) >> 16;
+        int32_t cb = (int32_t)cbb[x];
+        int32_t cr = (int32_t)crb[x];
+        int32_t r = (Y + 91881 * cr + rk) >> 16;
+        int32_t g = (Y - 22554 * cb - 46802 * cr + gk) >> 16;
+        int32_t b = (Y + 116130 * cb + bk) >> 16;
         rb[x] = (uint8_t)(r < 0 ? 0 : r > 255 ? 255 : r);
         gb[x] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : g);
         bb[x] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : b);
@@ -496,7 +501,7 @@ struct RowPipe {
     std::vector<int32_t> xmap[4];
     bool xident[4] = {false, false, false, false};
     bool chalf[4] = {false, false, false, false};
-    std::vector<int32_t> cbbuf, crbuf;
+    std::vector<uint8_t> cbbuf, crbuf;
     std::vector<uint8_t> ybuf, rbuf, gbuf, bbuf;
 
     void init(const Component* comp, int ncomp, int w, int hmax) {
@@ -518,21 +523,21 @@ struct RowPipe {
         bbuf.resize(w);
     }
 
-    // src chroma row -> centered full-width int32 row (value - 128)
-    void expand_c(const uint8_t* src, int ci, int32_t* dst) {
+    // src chroma row -> full-width u8 row (centering happens inside
+    // bt601_row's folded constants)
+    void expand_c(const uint8_t* src, int ci, uint8_t* __restrict dst) {
         const int width = this->width;
         if (chalf[ci]) {
             int half = width >> 1;
             for (int x = 0; x < half; ++x) {
-                int32_t v = (int32_t)src[x] - 128;
-                dst[2 * x] = v;
-                dst[2 * x + 1] = v;
+                dst[2 * x] = src[x];
+                dst[2 * x + 1] = src[x];
             }
-            if (width & 1) dst[width - 1] = (int32_t)src[half] - 128;
+            if (width & 1) dst[width - 1] = src[half];
         } else {
             const int32_t* xm = xmap[ci].data();
             for (int x = 0; x < width; ++x)
-                dst[x] = (int32_t)src[xm[x]] - 128;
+                dst[x] = src[xm[x]];
         }
     }
 
@@ -545,24 +550,18 @@ struct RowPipe {
             for (int x = 0; x < width; ++x) yb[x] = yrow[xm0[x]];
             yrow = ybuf.data();
         }
-        if (xident[1]) {
-            int32_t* __restrict cb = cbbuf.data();
-            for (int x = 0; x < width; ++x)
-                cb[x] = (int32_t)cbrow[x] - 128;
-        } else {
+        if (!xident[1]) {
             expand_c(cbrow, 1, cbbuf.data());
+            cbrow = cbbuf.data();
         }
-        if (xident[2]) {
-            int32_t* __restrict cr = crbuf.data();
-            for (int x = 0; x < width; ++x)
-                cr[x] = (int32_t)crrow[x] - 128;
-        } else {
+        if (!xident[2]) {
             expand_c(crrow, 2, crbuf.data());
+            crrow = crbuf.data();
         }
         // planar convert (interleaved stride-3 stores defeat the
         // vectorizer; planar u8 stores do not), then one interleave
         // pass over literal stride 3
-        bt601_row(yrow, cbbuf.data(), crbuf.data(), rbuf.data(),
+        bt601_row(yrow, cbrow, crrow, rbuf.data(),
                   gbuf.data(), bbuf.data(), width);
         interleave3(rbuf.data(), gbuf.data(), bbuf.data(), o, width);
     }
