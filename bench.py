@@ -255,15 +255,16 @@ def bench_colorspace(jax, jnp):
     inverse pairs at junctions (gamma round-trips, in-chain cyl hops)
     while running every conversion's own math — u8 outputs are
     bit-identical to the sequential convert_array chain (tested)."""
-    from zignal_tpu.color import convert_chain
     from zignal_tpu.ops.enhancement import autocontrast, equalize
+    from zignal_tpu.pipeline import color_chain_u8
 
     spaces = ("rgb", "lab", "rgb", "oklch", "rgb", "xyb", "rgb")
 
     def chain(x):
-        f = x.astype(jnp.float32) / 255.0
-        f = convert_chain(f, spaces)
-        u8 = jnp.clip(jnp.round(f * 255.0), 0, 255).astype(jnp.uint8)
+        # on TPU the chain + u8 quantization run as one VMEM-resident
+        # Pallas program (ops/pallas_color.py); elsewhere the fused XLA
+        # lowering (color/_chain.py)
+        u8 = color_chain_u8(x, spaces)
         eq = equalize(u8[0])
         ac = autocontrast(u8[1] if u8.shape[0] > 1 else u8[0])
         return eq.astype(jnp.float32) + ac.astype(jnp.float32)

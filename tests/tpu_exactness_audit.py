@@ -325,6 +325,29 @@ def main():
     print("pallas filter chain exact on TPU:", ok, flush=True)
     fails += not ok
 
+    # 19) fused color-chain Pallas kernel vs the XLA convert_chain path
+    # (compiled Mosaic). The chain is all-float: interpret mode is
+    # bit-identical by construction; on chip the transcendental
+    # lowerings (pow/cbrt) may differ by ulps, which u8 quantization
+    # absorbs except at exact rounding boundaries — report the u8
+    # mismatch rate and PASS when it stays under 0.5% of pixels with
+    # |diff| <= 1 (tolerance documented in ops/pallas_color.py).
+    from zignal_tpu.ops.pallas_color import fused_color_chain_u8
+    from zignal_tpu.color import convert_chain
+    spaces19 = ("rgb", "lab", "rgb", "oklch", "rgb", "xyb", "rgb")
+    x19 = jax.device_put(rng.integers(0, 256, (2, 256, 256, 3),
+                                      dtype=np.uint8))
+    got = np.asarray(fused_color_chain_u8(x19, spaces19))
+    f19 = convert_chain(x19.astype(jnp.float32) / 255.0, spaces19)
+    want = np.asarray(jnp.clip(jnp.round(f19 * 255.0), 0, 255)
+                      .astype(jnp.uint8))
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    rate = float((diff > 0).mean())
+    ok = diff.max() <= 1 and rate < 0.005
+    print(f"pallas color chain vs XLA on TPU: max|d|={int(diff.max())} "
+          f"mismatch={rate:.5f} -> {ok}", flush=True)
+    fails += not ok
+
     print("TOTAL FAILS:", fails, flush=True)
 
 if __name__ == "__main__":

@@ -21,7 +21,27 @@ from .ops.convolution import gaussian_kernel, convolve_separable
 from .ops.interpolation import resize as resize_op
 
 __all__ = ["resize_blur_oklab", "batched_resize",
-           "batched_gaussian_blur", "filter_chain"]
+           "batched_gaussian_blur", "filter_chain", "color_chain_u8"]
+
+
+def color_chain_u8(batch, spaces):
+    """[B, H, W, 3] u8 through ``color.convert_chain(spaces)`` and back
+    to u8 via clip(round(f * 255)) — the BASELINE config-2 quantized
+    chain. On TPU, chains inside the fused planar family run as ONE
+    VMEM-resident Pallas program per row-block (ops/pallas_color.py;
+    interpret-mode bit-identical, chip within transcendental-lowering
+    ulps — AUDIT check); other backends/chains take the XLA lowering."""
+    spaces = tuple(spaces)
+    if (jax.default_backend() == "tpu" and batch.dtype == jnp.uint8
+            and batch.ndim == 4):
+        from .ops.pallas_color import fused_chain_ok, fused_color_chain_u8
+
+        if fused_chain_ok(batch.shape, spaces):
+            return fused_color_chain_u8(batch, spaces)
+    from .color import convert_chain
+
+    f = convert_chain(batch.astype(jnp.float32) / 255.0, spaces)
+    return jnp.clip(jnp.round(f * 255.0), 0, 255).astype(jnp.uint8)
 
 
 def batched_resize(batch, rows: int, cols: int,
