@@ -7,6 +7,7 @@ device program per configuration.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -266,19 +267,34 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                                     bool(ins.all()), bool(ins.any())))
                 coords.append(jax.device_put(sxs))
                 coords.append(jax.device_put(sys_))
-                # union source box over all in-bounds samples: ONE
-                # gather per tile instead of one per (tile, sample) —
-                # the ~0.03 ms fixed cost per take times 20 samples x
-                # 16 tiles was ~10 ms of pure dispatch (r2 measurement)
+                # Batched gathers amortize the ~0.03 ms fixed cost per
+                # take (r2: per-(tile, sample) takes cost ~10 ms of pure
+                # dispatch), but ONE union box over all samples grows
+                # far beyond the tile for strong zooms — and gather row
+                # cost jumps ~4x once the operand leaves VMEM scale
+                # (CLAUDE.md gather roofline). Per-tile sample
+                # SCHEDULING (VERDICT r3 item 5): consecutive samples
+                # have heavily-overlapping boxes, so group them
+                # greedily until the group's union area exceeds
+                # ZT_RADIAL_GROUP_ROWS (default 512^2 rows) — one
+                # gather per GROUP from a near-minimal box. Indices and
+                # weights are untouched, so bit-exactness is preserved.
                 active = [s for s in range(n_samples) if samples[s][5]]
-                if active:
-                    ub = (min(samples[s][0] for s in active),
-                          max(samples[s][1] for s in active),
-                          min(samples[s][2] for s in active),
-                          max(samples[s][3] for s in active))
-                else:
-                    ub = None
-                layout.append((i0, j0, th, tw, samples, active, ub))
+                cap = int(os.environ.get("ZT_RADIAL_GROUP_ROWS",
+                                         str(1 << 18)))
+                groups = []
+                for s in active:
+                    b = samples[s][:4]
+                    if groups:
+                        sel, (y0u, y1u, x0u, x1u) = groups[-1]
+                        ny0, ny1 = min(y0u, b[0]), max(y1u, b[1])
+                        nx0, nx1 = min(x0u, b[2]), max(x1u, b[3])
+                        if (ny1 - ny0) * (nx1 - nx0) <= cap:
+                            sel.append(s)
+                            groups[-1] = (sel, (ny0, ny1, nx0, nx1))
+                            continue
+                    groups.append(([s], b))
+                layout.append((i0, j0, th, tw, samples, groups))
 
         u8_in = arr.dtype == jnp.uint8
 
@@ -297,21 +313,19 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
             a = a_in.astype(jnp.float32)
             out_rows = []
             row = []
-            for ti, (i0, j0, th, tw, samples, active, ub) in \
+            for ti, (i0, j0, th, tw, samples, groups) in \
                     enumerate(layout):
                 sxs = coord_args[2 * ti]
                 sys_ = coord_args[2 * ti + 1]
                 total = jnp.zeros((th, tw, c), jnp.float32)
                 count = jnp.zeros((th, tw, 1), jnp.float32)
                 n_always = 0
-                if active:
-                    # one batched gather from the tile's union box for
-                    # every in-bounds sample (indices/weights identical
-                    # to the old per-sample takes — pure data movement,
-                    # so bit-exactness is untouched)
-                    uby0, uby1, ubx0, ubx1 = ub
+                for sel_s, (uby0, uby1, ubx0, ubx1) in groups:
+                    # one batched gather from the group's union box
+                    # (indices/weights identical to per-sample takes —
+                    # pure data movement, so bit-exactness is untouched)
                     ubw = ubx1 - ubx0
-                    sel = np.asarray(active)
+                    sel = np.asarray(sel_s)
                     sxa = sxs[sel]
                     sya = sys_[sel]
                     x0 = jnp.floor(sxa)
@@ -324,27 +338,28 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                         patch, (uby0, ubx0, 0), (uby1, ubx1, 4 * c))
                     g_all = jnp.take(box.reshape(-1, 4 * c),
                                      (y0i * ubw + x0i).reshape(-1),
-                                     axis=0).reshape(len(active), th, tw,
+                                     axis=0).reshape(len(sel_s), th, tw,
                                                      4 * c)
-                for si, s in enumerate(active):
-                    all_in = samples[s][4]
-                    fx = fxs[si]
-                    fy = fys[si]
-                    g = g_all[si].astype(jnp.float32)
-                    v0 = g[..., 0:c] * (1 - fx) + g[..., c:2 * c] * fx
-                    v1 = (g[..., 2 * c:3 * c] * (1 - fx)
-                          + g[..., 3 * c:4 * c] * fx)
-                    val = v0 * (1 - fy) + v1 * fy
-                    if all_in:
-                        total = total + val
-                        n_always += 1
-                    else:
-                        sx = sxa[si]
-                        sy = sya[si]
-                        inside = ((sx >= 0) & (sx < w)
-                                  & (sy >= 0) & (sy < h))[..., None]
-                        total = total + jnp.where(inside, val, 0.0)
-                        count = count + inside
+                    for si, s in enumerate(sel_s):
+                        all_in = samples[s][4]
+                        fx = fxs[si]
+                        fy = fys[si]
+                        g = g_all[si].astype(jnp.float32)
+                        v0 = (g[..., 0:c] * (1 - fx)
+                              + g[..., c:2 * c] * fx)
+                        v1 = (g[..., 2 * c:3 * c] * (1 - fx)
+                              + g[..., 3 * c:4 * c] * fx)
+                        val = v0 * (1 - fy) + v1 * fy
+                        if all_in:
+                            total = total + val
+                            n_always += 1
+                        else:
+                            sx = sxa[si]
+                            sy = sya[si]
+                            inside = ((sx >= 0) & (sx < w)
+                                      & (sy >= 0) & (sy < h))[..., None]
+                            total = total + jnp.where(inside, val, 0.0)
+                            count = count + inside
                 count = count + jnp.float32(n_always)
                 orig = jax.lax.slice(a, (i0, j0, 0), (i0 + th, j0 + tw, c))
                 res = jnp.where(count > 0,
