@@ -185,10 +185,19 @@ def test_motion_blur_and_warp_batch_only():
     assert np.array_equal(ref, b1.motion_blur(mb).to_numpy())
     b2 = ImageBatch(arr, mesh=_mesh2())
     for op, args in [("motion_blur", (mb,)), ("resize", (0.5,)),
-                     ("canny", ()), ("warp", (None,)),
-                     ("ssim", (b2,))]:
+                     ("canny", ()), ("warp", (None,))]:
         with pytest.raises((ValueError, TypeError)):
             getattr(b2, op)(*args)
+
+
+def test_ssim_space_sharded_matches():
+    a, bb = _arr(b=4, h=64, seed=1), _arr(b=4, h=64, seed=2)
+    s0 = np.asarray(ImageBatch(a).ssim(ImageBatch(bb)))
+    m = _mesh2()
+    s2 = np.asarray(ImageBatch(a, mesh=m).ssim(ImageBatch(bb, mesh=m)))
+    assert np.allclose(s0, s2, atol=1e-6)  # f32 reduction-order only
+    self2 = np.asarray(ImageBatch(a, mesh=m).ssim(ImageBatch(a, mesh=m)))
+    assert np.allclose(self2, 1.0)
 
 
 def test_crop_extract_match_image():

@@ -1045,18 +1045,38 @@ class ImageBatch:
                              out_space="raw")
 
     def ssim(self, other: "ImageBatch"):
-        """[B] mean SSIM (valid 11x11 windows). Space sharding is
-        unsupported (the op mixes global means with windowed moments);
-        use parallel.spatial_ssim for a single H-sharded image."""
-        self._batch_only("ssim")
+        """[B] mean SSIM (valid 11x11 windows). On a (batch, space)
+        mesh this runs the halo-exchange body from parallel.spatial_ssim
+        vmapped over the local batch (global means and window sums
+        psum'd over the space ring) — matches the single-device op to
+        f32 reduction-order tolerance; batch sharding is exact vmap."""
         self._check_same(other)
         if self.rows < 11 or self.cols < 11:
             raise ValueError("images must be at least 11x11 for SSIM")
+        if not self._space_sharded():
+            def mk():
+                from .ops.metrics import ssim as op
 
-        def mk():
-            from .ops.metrics import ssim as op
+                return op
 
-            return op
+            return self._vmapped(("ssim",), mk, extra=(other._dev,),
+                                 out_space="raw")
+        b_ax, s_ax = self._axes()
+        key = ("ssim2d", self._mesh_key(), self.rows)
 
-        return self._vmapped(("ssim",), mk, extra=(other._dev,),
-                             out_space="raw")
+        def build():
+            import jax
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.spatial import _ssim_body
+
+            n_space = dict(zip(self._mesh.axis_names,
+                               self._mesh.devices.shape))[s_ax]
+            body = _ssim_body(self.rows, s_ax, n_space)
+            spec = P(b_ax, s_ax, None, None)
+            return jax.jit(shard_map(
+                lambda a, b: jax.vmap(body)(a, b), mesh=self._mesh,
+                in_specs=(spec, spec), out_specs=P(b_ax)))
+
+        return _run(_cached(key, build), self._dev, other._dev)

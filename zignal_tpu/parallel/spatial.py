@@ -321,15 +321,13 @@ def spatial_median_blur(mesh: Mesh, radius: int, axis_name: str = "batch"):
 # ---------------------------------------------------------------------------
 
 
-def spatial_ssim(mesh: Mesh, h_total: int, axis_name: str = "batch"):
-    """Mean SSIM of two H-sharded [H, W, C] u8 images: global means via
-    psum, 5-row halos for the 11x11 valid windows, per-chip masked
-    window sums psum'd to the global mean (matches ops.metrics.ssim to
-    f32 reduction-order tolerance)."""
+def _ssim_body(h_total: int, axis_name: str, n: int):
+    """Per-image SSIM body for ONE H-sharded [h_loc, W, C] u8 pair —
+    must run inside shard_map (vmap-able over a local batch dim for the
+    2-D-mesh ImageBatch path)."""
     from ..ops.metrics import _ssim_window_1d, _valid_sep_conv, \
         luminance_plane
 
-    n = mesh.devices.size
     k1d = _ssim_window_1d()
     c1 = (0.01 * 255.0) ** 2
     c2 = (0.03 * 255.0) ** 2
@@ -367,6 +365,15 @@ def spatial_ssim(mesh: Mesh, h_total: int, axis_name: str = "batch"):
             jnp.sum(valid.astype(jnp.float32)) * smap.shape[1], axis_name)
         return total / count
 
+    return body
+
+
+def spatial_ssim(mesh: Mesh, h_total: int, axis_name: str = "batch"):
+    """Mean SSIM of two H-sharded [H, W, C] u8 images: global means via
+    psum, 5-row halos for the 11x11 valid windows, per-chip masked
+    window sums psum'd to the global mean (matches ops.metrics.ssim to
+    f32 reduction-order tolerance)."""
+    body = _ssim_body(h_total, axis_name, mesh.devices.size)
     spec = P(axis_name, None, None)
     return jax.jit(shard_map(body, mesh=mesh, in_specs=(spec, spec),
                              out_specs=P()))
