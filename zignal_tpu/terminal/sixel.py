@@ -74,12 +74,14 @@ def _emit_bands_native(indices: np.ndarray) -> str | None:
     # worst case: every column a distinct literal char per color ->
     # bounded by bands * (256 colors * (5 + w)); cap generously
     cap = (h // 6 + 1) * (256 * 8 + 6 * w) + 1024
-    out = ctypes.create_string_buffer(cap)
+    # np.empty, not create_string_buffer: the latter zero-fills the
+    # whole cap; .raw[:rc] would also materialize it in full (r4)
+    out = np.empty(cap, dtype=np.uint8)
     rc = lib.zt_sixel_emit(src.ctypes.data_as(ctypes.c_char_p), h, w,
-                           out, cap)
+                           out.ctypes.data_as(ctypes.c_char_p), cap)
     if rc < 0:
         return None
-    return out.raw[:rc].decode("ascii")
+    return out[:rc].tobytes().decode("ascii")
 
 
 def sixel_from_array(arr: np.ndarray, options: SixelOptions | None = None,
