@@ -332,9 +332,17 @@ def main():
     # absorbs except at exact rounding boundaries — report the u8
     # mismatch rate and PASS when it stays under 0.5% of pixels with
     # |diff| <= 1 (tolerance documented in ops/pallas_color.py).
-    from zignal_tpu.ops.pallas_color import fused_color_chain_u8
+    from zignal_tpu.ops.pallas_color import (fused_color_chain_u8,
+                                             mosaic_transcendentals_ok)
     from zignal_tpu.color import convert_chain
     spaces19 = ("rgb", "lab", "rgb", "oklch", "rgb", "xyb", "rgb")
+    if not mosaic_transcendentals_ok():
+        print("pallas color chain: Mosaic rejected the transcendental "
+              "set — kernel disabled, XLA fallback active (FAIL)",
+              flush=True)
+        fails += 1
+        print("TOTAL FAILS:", fails, flush=True)
+        return
     x19 = jax.device_put(rng.integers(0, 256, (2, 256, 256, 3),
                                       dtype=np.uint8))
     got = np.asarray(fused_color_chain_u8(x19, spaces19))

@@ -33,7 +33,36 @@ import numpy as np
 
 from ..color import _array as A
 
-__all__ = ["fused_chain_ok", "fused_color_chain_u8"]
+__all__ = ["fused_chain_ok", "fused_color_chain_u8",
+           "mosaic_transcendentals_ok"]
+
+# one-time Mosaic capability probe result (None = not probed yet)
+_MOSAIC_OK: list = [None]
+
+
+def mosaic_transcendentals_ok() -> bool:
+    """True when Mosaic compiles the kernel's transcendental set
+    (jnp.cbrt, non-integer **, jnp.where branches) on the current TPU
+    backend — probed ONCE with a tiny kernel so a Mosaic regression
+    degrades color_chain_u8 to the XLA path instead of erroring the
+    caller. Only call on a TPU backend (CPU pallas needs interpret)."""
+    if _MOSAIC_OK[0] is None:
+        from jax.experimental import pallas as pl
+
+        def k(x_ref, o_ref):
+            x = x_ref[...]
+            o_ref[...] = jnp.where(
+                x > 0.5, jnp.cbrt(x) + x ** 2.4, x ** (1.0 / 2.4))
+
+        try:
+            fn = pl.pallas_call(
+                k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))
+            jax.jit(fn).lower(
+                jax.ShapeDtypeStruct((8, 128), jnp.float32)).compile()
+            _MOSAIC_OK[0] = True
+        except Exception:
+            _MOSAIC_OK[0] = False
+    return _MOSAIC_OK[0]
 
 _LINEAR_SPACES = ("lab", "lch", "oklab", "oklch", "xyb", "xyz")
 _CYL_OF = {"lch": "lab", "oklch": "oklab"}

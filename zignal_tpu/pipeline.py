@@ -34,9 +34,12 @@ def color_chain_u8(batch, spaces):
     spaces = tuple(spaces)
     if (jax.default_backend() == "tpu" and batch.dtype == jnp.uint8
             and batch.ndim == 4):
-        from .ops.pallas_color import fused_chain_ok, fused_color_chain_u8
+        from .ops.pallas_color import (fused_chain_ok,
+                                       fused_color_chain_u8,
+                                       mosaic_transcendentals_ok)
 
-        if fused_chain_ok(batch.shape, spaces):
+        if fused_chain_ok(batch.shape, spaces) \
+                and mosaic_transcendentals_ok():
             return fused_color_chain_u8(batch, spaces)
     from .color import convert_chain
 
