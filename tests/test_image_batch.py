@@ -190,6 +190,26 @@ def test_motion_blur_and_warp_batch_only():
             getattr(b2, op)(*args)
 
 
+def test_blend_matches_image():
+    arr = _arr(b=4)
+    over = _arr(b=4, c=4, seed=9)
+    over[..., 3] = 128
+    got = ImageBatch(arr, mesh=make_mesh(4, axis_name="batch")).blend(
+        ImageBatch(over), z.Blending.NORMAL).to_numpy()
+    for i in range(4):
+        img = z.Image.from_numpy(arr[i].copy())
+        img.blend(z.Image.from_numpy(over[i].copy()), z.Blending.NORMAL)
+        assert np.array_equal(got[i], img.to_numpy())
+    # transcendental modes: device f32 vs host path within 1 step
+    got2 = ImageBatch(arr).blend(ImageBatch(over),
+                                 z.Blending.SOFT_LIGHT).to_numpy()
+    for i in range(4):
+        img = z.Image.from_numpy(arr[i].copy())
+        img.blend(z.Image.from_numpy(over[i].copy()), z.Blending.SOFT_LIGHT)
+        assert np.abs(got2[i].astype(int)
+                      - img.to_numpy().astype(int)).max() <= 1
+
+
 def test_ssim_space_sharded_matches():
     a, bb = _arr(b=4, h=64, seed=1), _arr(b=4, h=64, seed=2)
     s0 = np.asarray(ImageBatch(a).ssim(ImageBatch(bb)))

@@ -388,6 +388,43 @@ class ImageBatch:
 
         return self._vmapped(("fliptb",), mk)
 
+    def blend(self, overlay: "ImageBatch", mode=None) -> "ImageBatch":
+        """Alpha-composite ``overlay`` over every image (pointwise —
+        shard-local under any sharding). Unlike the mutating
+        ``Image.blend``, returns a NEW batch in self's dtype. Device f32
+        blend math: bit-equal to the host path for the arithmetic modes,
+        within 1 u8 step for the transcendental ones."""
+        from .blending import Blending
+
+        if not isinstance(overlay, ImageBatch):
+            raise TypeError("overlay must be an ImageBatch")
+        if overlay._dev.shape[:3] != self._dev.shape[:3]:
+            raise ValueError("overlay batch dimensions must match")
+        mode = Blending.NORMAL if mode is None else Blending(mode)
+
+        def mk():
+            import jax.numpy as jnp
+
+            from .blending import blend_arrays
+            from .color._array import convert_u8_array
+
+            src_space, over_space = self._space, overlay._space
+
+            def fn(img, over):
+                base = convert_u8_array(img, src_space, "rgba") \
+                    .astype(jnp.float32) / 255.0
+                ov = convert_u8_array(over, over_space, "rgba") \
+                    .astype(jnp.float32) / 255.0
+                out = blend_arrays(base, ov, mode)
+                u8 = jnp.floor(255.0 * jnp.clip(out, 0.0, 1.0) + 0.5) \
+                    .astype(jnp.uint8)
+                return convert_u8_array(u8, "rgba", src_space)
+
+            return fn
+
+        return self._vmapped(("blend", mode, self._space, overlay._space),
+                             mk, extra=(overlay._dev,))
+
     # -- geometry (batch-only sharding) --------------------------------------
 
     def _out_size(self, size):
