@@ -36,6 +36,8 @@ SWEEP_OPS = [
     ("letterbox", (24,)),
     ("rotate", (0.3,)),
     ("invert", ()),
+    ("fill", ((10, 200, 30),)),
+    ("set_border", ((4, 4, 40, 24), (255, 0, 0))),
     ("flip_left_right", ()),
     ("flip_top_bottom", ()),
     ("gaussian_blur", (1.5,)),
@@ -185,7 +187,9 @@ def test_motion_blur_and_warp_batch_only():
     assert np.array_equal(ref, b1.motion_blur(mb).to_numpy())
     b2 = ImageBatch(arr, mesh=_mesh2())
     for op, args in [("motion_blur", (mb,)), ("resize", (0.5,)),
-                     ("canny", ()), ("warp", (None,))]:
+                     ("canny", ()), ("warp", (None,)),
+                     ("flood_fill", (1, 1, 0)),
+                     ("insert", (None, (0, 0, 2, 2)))]:
         with pytest.raises((ValueError, TypeError)):
             getattr(b2, op)(*args)
 
@@ -282,6 +286,108 @@ def test_from_paths(tmp_path):
         paths.append(str(p))
     b = ImageBatch.from_paths(paths, mesh=make_mesh(4, axis_name="batch"))
     assert b.batch_size == 4 and b.rows == 20 and b.cols == 24
+
+
+def test_fill_set_border_match_image():
+    arr = _arr(b=3)
+    b = ImageBatch(arr)
+    got = b.fill((12, 34, 56)).to_numpy()
+    for i in range(3):
+        img = z.Image.from_numpy(arr[i].copy())
+        img.fill((12, 34, 56))
+        assert np.array_equal(got[i], img.to_numpy())
+    rect = z.Rectangle(4, 5, 30, 20)
+    for color in (None, (9, 8, 7)):
+        got = b.set_border(rect, color).to_numpy()
+        for i in range(3):
+            img = z.Image.from_numpy(arr[i].copy())
+            img.set_border(rect, color)
+            assert np.array_equal(got[i], img.to_numpy())
+    # a non-intersecting rect fills everything (Image.set_border clause)
+    far = z.Rectangle(1000, 1000, 1200, 1200)
+    got = b.set_border(far, 3).to_numpy()
+    img = z.Image.from_numpy(arr[0].copy())
+    img.set_border(far, 3)
+    assert np.array_equal(got[0], img.to_numpy())
+
+
+def test_diff_matches_host_compute():
+    a, bb = _arr(b=3, seed=1), _arr(b=3, seed=2)
+    for kw in (dict(), dict(threshold=10.5, scale=2.0),
+               dict(binary=True, threshold=3.0)):
+        vis, counts = ImageBatch(a).diff(ImageBatch(bb), **kw)
+        counts = np.asarray(counts)
+        for i in range(3):
+            ref_vis, ref_res = z.Image.from_numpy(a[i].copy()).diff(
+                z.Image.from_numpy(bb[i].copy()), **kw)
+            assert np.array_equal(vis.to_numpy()[i], ref_vis.to_numpy())
+            assert counts[i] == ref_res.diff_count
+    # rgba + force_opaque pins alpha
+    a4, b4 = _arr(b=2, c=4, seed=3), _arr(b=2, c=4, seed=4)
+    vis, _ = ImageBatch(a4).diff(ImageBatch(b4), force_opaque=True)
+    ref_vis, _ = z.Image.from_numpy(a4[0].copy()).diff(
+        z.Image.from_numpy(b4[0].copy()), force_opaque=True)
+    assert np.array_equal(vis.to_numpy()[0], ref_vis.to_numpy())
+    assert (vis.to_numpy()[..., 3] == 255).all()
+
+
+def test_insert_matches_image():
+    arr = _arr(b=2, h=40, w=40)
+    src = _arr(b=1, h=10, w=12, seed=5)[0]
+    rect = z.Rectangle(8, 6, 30, 26)
+    got = ImageBatch(arr).insert(
+        z.Image.from_numpy(src.copy()), rect, 0.3).to_numpy()
+    for i in range(2):
+        img = z.Image.from_numpy(arr[i].copy())
+        img.insert(z.Image.from_numpy(src.copy()), rect, 0.3)
+        assert np.array_equal(got[i], img.to_numpy())
+    # per-image sources from a batch
+    srcs = _arr(b=2, h=10, w=12, seed=6)
+    got2 = ImageBatch(arr).insert(ImageBatch(srcs), rect).to_numpy()
+    for i in range(2):
+        img = z.Image.from_numpy(arr[i].copy())
+        img.insert(z.Image.from_numpy(srcs[i].copy()), rect)
+        assert np.array_equal(got2[i], img.to_numpy())
+    # rgba source + blending
+    src4 = _arr(b=1, h=10, w=12, c=4, seed=7)[0]
+    src4[..., 3] = 128
+    got3 = ImageBatch(arr).insert(
+        z.Image.from_numpy(src4.copy()), rect,
+        blend_mode=z.Blending.NORMAL).to_numpy()
+    for i in range(2):
+        img = z.Image.from_numpy(arr[i].copy())
+        img.insert(z.Image.from_numpy(src4.copy()), rect,
+                   blend_mode=z.Blending.NORMAL)
+        assert np.array_equal(got3[i], img.to_numpy())
+
+
+def test_flood_fill_matches_image():
+    arr = _arr(b=2, h=80, w=80)  # >4096 px: Image takes the device path
+    got = ImageBatch(arr).flood_fill(
+        40, 40, (255, 0, 0), threshold=60.0).to_numpy()
+    for i in range(2):
+        img = z.Image.from_numpy(arr[i].copy())
+        img.flood_fill(40, 40, (255, 0, 0), threshold=60.0)
+        assert np.array_equal(got[i], img.to_numpy())
+
+
+def test_save_roundtrip(tmp_path):
+    arr = _arr(b=3, h=16, w=20)
+    b = ImageBatch(arr)
+    paths = [str(tmp_path / f"o{i}.png") for i in range(3)]
+    b.save(paths)
+    b2 = ImageBatch.from_paths(paths)
+    assert np.array_equal(b2.to_numpy(), arr)
+    with pytest.raises(ValueError):
+        b.save(paths[:2])
+
+
+def test_copy_and_rectangle():
+    b = ImageBatch(_arr(b=2))
+    c = b.copy()
+    assert c is not b and np.array_equal(c.to_numpy(), b.to_numpy())
+    r = b.get_rectangle()
+    assert (r.left, r.top, r.right, r.bottom) == (0, 0, 48, 32)
 
 
 def test_chaining_stays_on_device():

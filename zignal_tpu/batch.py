@@ -264,6 +264,35 @@ class ImageBatch:
         return [Image._from_host(arr[i].copy(), self._space)
                 for i in range(arr.shape[0])]
 
+    def copy(self) -> "ImageBatch":
+        """Same pixels and placement (jax arrays are immutable, so this
+        is O(1) — mirrors Image.copy's device branch)."""
+        return self._wrap(self._dev)
+
+    def get_rectangle(self):
+        from .rectangle import Rectangle
+
+        return Rectangle(0, 0, self.cols, self.rows)
+
+    def save(self, paths, workers: int = 8, **options) -> None:
+        """Encode every image to its path (codec picked by extension,
+        like Image.save; reference: src/image.zig:279) using parallel
+        worker threads — the host codecs' native hot loops release the
+        GIL, so encodes overlap the way io_pipeline's decodes do."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .codecs import save_array
+
+        paths = [os.fspath(p) for p in paths]
+        if len(paths) != self.batch_size:
+            raise ValueError(
+                f"need {self.batch_size} paths, got {len(paths)}")
+        arr = self.to_numpy()
+        with ThreadPoolExecutor(max_workers=max(1, int(workers))) as ex:
+            list(ex.map(lambda i: save_array(paths[i], arr[i], **options),
+                        range(len(paths))))
+
     # -- dispatch helpers ----------------------------------------------------
 
     def _vmapped(self, key, mk_fn, arr=None, extra=(), out_space=None):
@@ -425,6 +454,111 @@ class ImageBatch:
         return self._vmapped(("blend", mode, self._space, overlay._space),
                              mk, extra=(overlay._dev,))
 
+    def _fill_px(self, px: np.ndarray) -> "ImageBatch":
+        """Constant-color batch with self's shape/sharding (pointwise)."""
+        def mk():
+            import jax.numpy as jnp
+
+            p = jnp.asarray(px)
+            # (img & 0) | p, not broadcast_to(p): a constant output has
+            # no data dependence on the input, so GSPMD would replicate
+            # it onto one device instead of keeping the batch sharding
+            return lambda img: (img & jnp.uint8(0)) | p
+
+        return self._vmapped(("fill", tuple(int(v) for v in px)), mk)
+
+    def fill(self, color) -> "ImageBatch":
+        """Every image becomes the constant ``color`` — the functional
+        mirror of the mutating Image.fill (reference: src/image.zig
+        fill). Pointwise: shard-local under any sharding."""
+        from .image import _parse_color
+
+        return self._fill_px(
+            np.array(_parse_color(color, self._space), dtype=np.uint8))
+
+    def set_border(self, rect, color=None) -> "ImageBatch":
+        """Fill everything outside ``rect`` with ``color`` (default
+        zero) — functional mirror of Image.set_border (reference:
+        src/image.zig setBorder). The bounds are trace-time constants,
+        so the mask is pointwise iota math: shard-local under any
+        sharding, including space-sharded rows."""
+        from .image import _parse_color
+        from .rectangle import Rectangle
+
+        if isinstance(rect, (tuple, list)):
+            rect = Rectangle(*rect)
+        if not isinstance(rect, Rectangle):
+            raise TypeError("set_border requires a Rectangle or 4-tuple")
+        px = (np.zeros(self.channels, dtype=np.uint8) if color is None
+              else np.array(_parse_color(color, self._space),
+                            dtype=np.uint8))
+        clipped = rect.intersect(self.get_rectangle())
+        if clipped is None:
+            return self._fill_px(px)
+        l, t = int(clipped.left), int(clipped.top)
+        r, b = int(clipped.right), int(clipped.bottom)
+
+        def mk():
+            import jax.numpy as jnp
+
+            p = jnp.asarray(px)
+
+            def fn(img):
+                h, w = img.shape[0], img.shape[1]
+                rows_in = (jnp.arange(h) >= t) & (jnp.arange(h) < b)
+                cols_in = (jnp.arange(w) >= l) & (jnp.arange(w) < r)
+                inside = rows_in[:, None] & cols_in[None, :]
+                return jnp.where(inside[..., None], img, p)
+
+            return fn
+
+        return self._vmapped(
+            ("border", l, t, r, b, tuple(int(v) for v in px)), mk)
+
+    def diff(self, other: "ImageBatch", threshold: float = 0.0,
+             scale: float = 1.0, binary: bool = False,
+             force_opaque: bool = False):
+        """Batched per-pixel difference visualization -> (ImageBatch,
+        [B] int32 differing-pixel counts). The visualization math is
+        the device lift of ops/diff.compute (reference:
+        src/image/diff.zig:27) and is bit-equal to it: |a-b| of u8 and
+        the f32 scale/floor chain are IEEE-exact in f32, and the strict
+        ``> threshold`` test on integer-valued diffs is lowered to an
+        integer cut so no f32 rounding of the threshold can flip it.
+        The per-image RunningStats summary of Image.diff stays a
+        host-side diagnostic (f64 Welford has no device equivalent)."""
+        self._check_same(other)
+        # strict "d > threshold" with d integer-valued == "d >= cut"
+        cut = int(np.floor(float(threshold))) + 1
+        scl = np.float32(scale)
+
+        def mk():
+            import jax.numpy as jnp
+
+            def fn(a, b):
+                d = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
+                differs = (d >= np.float32(cut)).any(axis=-1)
+                count = differs.sum(dtype=jnp.int32)
+                if binary:
+                    vis = jnp.broadcast_to(
+                        jnp.where(differs[..., None], jnp.uint8(255),
+                                  jnp.uint8(0)), a.shape)
+                else:
+                    vis = jnp.clip(jnp.floor(d * scl + jnp.float32(0.5)),
+                                   0, 255).astype(jnp.uint8)
+                if force_opaque and a.shape[-1] == 4:
+                    vis = jnp.concatenate(
+                        [vis[..., :3], jnp.full_like(vis[..., 3:], 255)],
+                        axis=-1)
+                return vis, count
+
+            return fn
+
+        vis, counts = self._vmapped(
+            ("diff", cut, float(scale), binary, force_opaque), mk,
+            extra=(other._dev,), out_space="raw")
+        return self._wrap(vis), counts
+
     # -- geometry (batch-only sharding) --------------------------------------
 
     def _out_size(self, size):
@@ -580,6 +714,99 @@ class ImageBatch:
         key = ("warp", tuple(np.asarray(matrix).ravel().tolist()),
                rows, cols, method)
         return self._vmapped(key, mk)
+
+    def insert(self, source, rect, angle: float = 0.0,
+               method: Interpolation = Interpolation.BILINEAR,
+               blend_mode=None) -> "ImageBatch":
+        """Insert ``source`` at a rotated rect into every image —
+        functional mirror of the mutating Image.insert (reference:
+        transforms.zig:293-380). ``source`` is an Image (shared across
+        the batch, vmap in_axes=None so it is NOT embedded as an HLO
+        constant) or a same-length ImageBatch (per-image sources).
+        Batch-only sharding: the warped source region may straddle
+        space shards."""
+        self._batch_only("insert")
+        from .blending import Blending
+        from .rectangle import Rectangle
+
+        if isinstance(rect, (tuple, list)):
+            rect = Rectangle(*rect)
+        if not isinstance(rect, Rectangle):
+            raise TypeError("expected a Rectangle or (l, t, r, b) tuple")
+        mode = Blending.NONE if blend_mode is None else Blending(blend_mode)
+        per_image = isinstance(source, ImageBatch)
+        if not per_image and not isinstance(source, Image):
+            raise TypeError("source must be an Image or an ImageBatch")
+        if per_image and source.batch_size != self.batch_size:
+            raise ValueError("source batch length must match")
+        src_space = source._space
+        if mode != Blending.NONE and src_space == "rgba":
+            src = source._dev if per_image else source._device()
+        else:
+            src = (source.convert(self.dtype)._dev if per_image
+                   else source.convert(self.dtype)._device())
+            mode = Blending.NONE
+        src_shape = tuple(src.shape[-3:])
+
+        def build():
+            import jax
+
+            from .ops.warp import insert_region
+
+            fn = partial(
+                insert_region,
+                rect=(rect.left, rect.top, rect.right, rect.bottom),
+                angle=float(angle), method=Interpolation(method),
+                blend_mode=mode)
+            return jax.jit(jax.vmap(fn, in_axes=(0, 0 if per_image
+                                                 else None)))
+
+        key = ("insert", rect.left, rect.top, rect.right, rect.bottom,
+               float(angle), method, mode, per_image, src_shape, src_space)
+        out = _run(_cached(key, build), self._dev, src)
+        return self._wrap(out)
+
+    def flood_fill(self, row: int, col: int, fill_value,
+                   threshold: float = 0.0, connectivity: int = 4,
+                   mode=None) -> "ImageBatch":
+        """Flood fill every image from the same seed — functional
+        mirror of Image.flood_fill (reference: image.zig:831;
+        flood_fill.zig), always on the device while_loop propagation
+        path (ops/flood_fill.py), vmapped over the batch. Batch-only
+        sharding: the propagation scans whole rows."""
+        self._batch_only("flood_fill")
+        from .enums import ThresholdMode
+        from .image import _parse_color
+
+        row, col = int(row), int(col)
+        if not (0 <= row < self.rows and 0 <= col < self.cols):
+            raise ValueError("seed coordinates out of bounds")
+        if connectivity not in (4, 8):
+            raise ValueError("connectivity must be 4 or 8")
+        mode = ThresholdMode.SEED if mode is None else ThresholdMode(mode)
+        px = np.array(_parse_color(fill_value, self._space), dtype=np.uint8)
+
+        def mk():
+            import jax.numpy as jnp
+
+            from .enums import ThresholdMode as TM
+            from .ops.flood_fill import flood_region, threshold_sq_int
+
+            thr = threshold_sq_int(float(threshold))
+            neighbor = mode == TM.NEIGHBOR
+            p = jnp.asarray(px)
+
+            def fn(img):
+                mask = flood_region(img, row, col, thr,
+                                    connectivity=connectivity,
+                                    neighbor_mode=neighbor)
+                return jnp.where(mask[..., None], p, img)
+
+            return fn
+
+        return self._vmapped(
+            ("flood", row, col, float(threshold), connectivity, mode,
+             tuple(int(v) for v in px)), mk)
 
     def motion_blur(self, config) -> "ImageBatch":
         self._batch_only("motion_blur")
