@@ -10,6 +10,7 @@ pipelines used by the CLI, the benchmarks, and the driver entry.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -27,13 +28,16 @@ __all__ = ["resize_blur_oklab", "batched_resize",
 def color_chain_u8(batch, spaces):
     """[B, H, W, 3] u8 through ``color.convert_chain(spaces)`` and back
     to u8 via clip(round(f * 255)) — the BASELINE config-2 quantized
-    chain. On TPU, chains inside the fused planar family run as ONE
-    VMEM-resident Pallas program per row-block (ops/pallas_color.py;
-    interpret-mode bit-identical, chip within transcendental-lowering
-    ulps — AUDIT check); other backends/chains take the XLA lowering."""
+    chain. The default lowering is the fused XLA convert_chain: the
+    chain is transcendental-compute-bound and XLA's native pow/cbrt
+    beat Mosaic's exp/log + Newton refinement ~2x on chip (r4 A/B,
+    tools/ab_color.py — 0.63 vs 1.29 ms per 4 MPix), so the Pallas
+    kernel (ops/pallas_color.py, u8-identical on chip) is opt-in via
+    ZT_COLOR_PALLAS=1 and kept as the audit's Mosaic-exactness probe."""
     spaces = tuple(spaces)
-    if (jax.default_backend() == "tpu" and batch.dtype == jnp.uint8
-            and batch.ndim == 4):
+    if (os.environ.get("ZT_COLOR_PALLAS") == "1"
+            and jax.default_backend() == "tpu"
+            and batch.dtype == jnp.uint8 and batch.ndim == 4):
         from .ops.pallas_color import (fused_chain_ok,
                                        fused_color_chain_u8,
                                        mosaic_transcendentals_ok)
