@@ -291,11 +291,12 @@ def bench_filter_fusion(jax, jnp):
     rng = np.random.default_rng(2)
     x = jax.device_put(
         rng.integers(0, 256, (_DIM, _DIM, 1), dtype=np.uint8))
-    # 1 MPix gray per iter is fast; long loops keep the differenced
-    # signal far above tunnel jitter (a 12-iter loop once measured
-    # NEGATIVE throughput)
+    # 1 MPix gray per iter is FAST (~18 us at the kernel's ~55 GPix/s),
+    # so the loop count must be large: an 85-iter loop left only a
+    # ~1.5 ms differenced signal and once read 260 GPix/s of pure
+    # jitter (r4); 500 extra iters put the signal at ~10 ms
     per_iter = device_loop_timer(jax, jnp, chain, x,
-                                 *((1, 3) if _SMOKE else (5, 85)))
+                                 *((1, 3) if _SMOKE else (5, 505)))
     gpix = _DIM * _DIM / per_iter / 1e9
     emit("fused blur+sharpen+morphology+threshold", round(gpix, 3),
          "GPix/s", None)
@@ -606,8 +607,15 @@ def main():
     # config so a recovering tunnel gets picked up mid-run.
     healthy = True
     if not device_free:
-        healthy = _probe_tunnel(timeout_s=min(
-            90, max(15, (deadline - time.time()) / 8)))
+        # two attempts: the FIRST probe after a heavy tunnel user exits
+        # reliably times out while the tunnel drains that process's
+        # deferred work (r4: two back-to-back bench runs each lost their
+        # first device configs to a cold probe, then recovered mid-run)
+        for _ in range(2):
+            healthy = _probe_tunnel(timeout_s=min(
+                90, max(15, (deadline - time.time()) / 8)))
+            if healthy:
+                break
         if not healthy:
             print(json.dumps({"note": "initial tunnel probe failed; "
                               "device configs will re-probe and skip "
@@ -625,10 +633,16 @@ def main():
 
         needs_device = (name in _NEEDS_DEVICE) and not device_free
         if needs_device and not healthy:
-            # cheap re-probe: a tunnel that recovered since the last
-            # failure gets picked up; one that is still dead costs <=60 s
-            healthy = _probe_tunnel(
-                timeout_s=min(60, max(10, remaining / 10)))
+            # re-probe: a tunnel that recovered since the last failure
+            # gets picked up; with plenty of budget left allow a second
+            # attempt (transient drain windows clear within minutes)
+            attempts = 2 if remaining > 480 else 1
+            for _ in range(attempts):
+                healthy = _probe_tunnel(
+                    timeout_s=min(60, max(10, remaining / 10)))
+                if healthy:
+                    break
+                remaining = deadline - time.time()
             if not healthy:
                 _emit_skip(name, "tunnel stalled (probe timed out)")
                 continue
