@@ -261,9 +261,10 @@ def bench_colorspace(jax, jnp):
     spaces = ("rgb", "lab", "rgb", "oklch", "rgb", "xyb", "rgb")
 
     def chain(x):
-        # on TPU the chain + u8 quantization run as one VMEM-resident
-        # Pallas program (ops/pallas_color.py); elsewhere the fused XLA
-        # lowering (color/_chain.py)
+        # fused XLA lowering (color/_chain.py): measured 2x faster than
+        # the Pallas kernel on chip (r4, tools/ab_color.py) — the chain
+        # is transcendental-bound and XLA's native pow/cbrt beat
+        # Mosaic's exp/log+Newton; kernel stays opt-in (ZT_COLOR_PALLAS)
         u8 = color_chain_u8(x, spaces)
         eq = equalize(u8[0])
         ac = autocontrast(u8[1] if u8.shape[0] > 1 else u8[0])
