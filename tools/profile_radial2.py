@@ -35,10 +35,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
+
+if "--cpu" in sys.argv:          # local exactness runs: the axon
+    sys.argv.remove("--cpu")     # sitecustomize ignores JAX_PLATFORMS
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
-STRENGTH = float(sys.argv[2]) if len(sys.argv) > 2 else 0.7
-H = W = 512
+EXACT_ONLY = "--exact" in sys.argv
+if EXACT_ONLY:
+    sys.argv.remove("--exact")
+# argv is only OURS when run as a script: importers (tune_radial2,
+# ab_packed) have their own argv — parsing it here as strength once
+# produced STRENGTH=512 -> n_samples=12296 and "hung" sweeps (r4)
+STRENGTH = (float(sys.argv[2])
+            if __name__ == "__main__" and len(sys.argv) > 2 else 0.7)
+H = W = int(os.environ.get("ZT_PROF_SIZE", "512"))
 C = 3
 TILE = 256
 CAP = 1 << 18
@@ -377,6 +388,103 @@ def build_wide(tiles, h, w, c):
     return apply
 
 
+def build_packed(tiles, h, w, c, pack=8):
+    """precomp + PACKED patch: `pack` consecutive x-positions share one
+    gather row ([H, ceil(W/pack), pack*4c] via a free reshape), so the
+    physical 128-lane-padded operand shrinks pack-x and the union box
+    stays VMEM-scale at any cap. Row count per (pixel, sample) is
+    unchanged; the x0%pack lane pick is a log2(pack)-level static-mask
+    select of u8 values — pure data movement, bit-exact."""
+    lanes = pack * 4 * c
+    assert lanes <= 128
+    nlvl = int(np.log2(pack))
+
+    @jax.jit
+    def apply(a_in, coords, packsel):
+        patch = make_patch(a_in, c)
+        wp = -(-(w + 0) // pack)  # padded-to-pack column blocks
+        patch_p = jnp.pad(patch, ((0, 0), (0, wp * pack - w), (0, 0))
+                          ).reshape(patch.shape[0], wp, lanes)
+        a = a_in.astype(jnp.float32)
+        out_rows, row = [], []
+        for ti, t in enumerate(tiles):
+            th, tw = t["th"], t["tw"]
+            total = jnp.zeros((th, tw, c), jnp.float32)
+            count = jnp.zeros((th, tw, 1), jnp.float32)
+            n_always = 0
+            for gi, (sel_s, (uby0, uby1, ubx0, ubx1)) in \
+                    enumerate(t["groups"]):
+                pre = coords[ti]["pre"][gi]
+                ps = packsel[ti][gi]
+                ubx0p = ubx0 // pack
+                ubx1p = -(-ubx1 // pack)
+                ubwp = ubx1p - ubx0p
+                box = jax.lax.slice(patch_p, (uby0, ubx0p, 0),
+                                    (uby1, ubx1p, lanes))
+                g_all = jnp.take(box.reshape(-1, lanes),
+                                 ps["lin"].reshape(-1),
+                                 axis=0).reshape(len(sel_s), th, tw, lanes)
+                for si, s in enumerate(sel_s):
+                    all_in = t["samples"][s][4]
+                    fx = pre["fx"][si][..., None]
+                    fy = pre["fy"][si][..., None]
+                    g = g_all[si]
+                    half = lanes
+                    for lvl in range(nlvl):
+                        half //= 2
+                        m = ps["bits"][lvl][si][..., None]
+                        g = jnp.where(m, g[..., half:2 * half],
+                                      g[..., 0:half])
+                    g = g.astype(jnp.float32)
+                    v0 = g[..., 0:c] * (1 - fx) + g[..., c:2 * c] * fx
+                    v1 = (g[..., 2 * c:3 * c] * (1 - fx)
+                          + g[..., 3 * c:4 * c] * fx)
+                    val = v0 * (1 - fy) + v1 * fy
+                    if all_in:
+                        total = total + val
+                        n_always += 1
+                    else:
+                        inside = pre["ins"][si][..., None] > 0
+                        total = total + jnp.where(inside, val, 0.0)
+                        count = count + pre["ins"][si][..., None]
+            count = count + jnp.float32(n_always)
+            orig = jax.lax.slice(a, (t["i0"], t["j0"], 0),
+                                 (t["i0"] + th, t["j0"] + tw, c))
+            res = jnp.where(count > 0, total / jnp.maximum(count, 1.0),
+                            orig)
+            assemble(tiles, w, row, out_rows, t, res)
+        return finish_u8(out_rows[0] if len(out_rows) == 1
+                         else jnp.concatenate(out_rows, axis=0))
+    return apply
+
+
+def build_packsel(tiles, coords, h, w, pack=8):
+    """Host-side packed linear indices + per-level select masks.
+    Recomputes x0i/y0i exactly as build_tables' pre step."""
+    nlvl = int(np.log2(pack))
+    out = []
+    for ti, t in enumerate(tiles):
+        per_tile = []
+        for gi, (sel_s, (uby0, uby1, ubx0, ubx1)) in \
+                enumerate(t["groups"]):
+            sxa = np.asarray(coords[ti]["sxs"])[sel_s]
+            sya = np.asarray(coords[ti]["sys"])[sel_s]
+            x0i = np.clip(np.floor(sxa).astype(np.int32), 0, w - 1)
+            y0i = np.clip(np.floor(sya).astype(np.int32), 0, h - 1)
+            ubx0p = ubx0 // pack
+            ubx1p = -(-ubx1 // pack)
+            ubwp = ubx1p - ubx0p
+            xb = x0i // pack - ubx0p
+            k = x0i % pack
+            lin = ((y0i - uby0) * ubwp + xb).astype(np.int32)
+            bits = [jax.device_put(
+                ((k >> (nlvl - 1 - lvl)) & 1).astype(bool))
+                for lvl in range(nlvl)]
+            per_tile.append(dict(lin=jax.device_put(lin), bits=bits))
+        out.append(per_tile)
+    return out
+
+
 def time_variant(apply, arr, coords, k_small=1, k_large=5):
     ts = {}
     for k in (k_small, k_large):
@@ -411,6 +519,9 @@ def main():
             "precomp": build_precomp(tiles, H, W, C),
             "wide": build_wide(tiles, H, W, C),
         }
+        packsel = build_packsel(tiles, coords, H, W, pack=8)
+        pk = build_packed(tiles, H, W, C, pack=8)
+        variants["packed"] = lambda a, c_: pk(a, c_, packsel)
         ref = None
         for name, fn in variants.items():
             t0 = time.perf_counter()
@@ -419,11 +530,13 @@ def main():
             line = {"mode": mode, "variant": name, "warm_s": round(dt, 2)}
             if name == "full":
                 ref = out
-            elif name in ("precomp", "wide"):
+            elif name in ("precomp", "wide", "packed"):
                 line["exact"] = bool((out == ref).all())
                 line["maxdiff"] = int(
                     np.abs(out.astype(int) - ref.astype(int)).max())
             print(json.dumps(line), flush=True)
+        if EXACT_ONLY:
+            continue
         best = {n: 1e9 for n in variants}
         for rnd in range(4):
             for name, fn in variants.items():

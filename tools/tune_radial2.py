@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 import tools.profile_radial2 as p2
 
-CAPS = [1 << 12, 1 << 13, 1 << 14, 1 << 15, 1 << 16, 1 << 18]
+CAPS = [int(c) for c in __import__("os").environ.get(
+    "ZT_SWEEP_CAPS", "32768").split(",")]
 
 
 def main():
@@ -47,9 +48,12 @@ def main():
         t0 = time.perf_counter()
         tiles, coords = p2.build_tables(size, size, zoom, n_samples)
         ngroups = sum(len(t["groups"]) for t in tiles)
+        print(json.dumps({"cap": cap, "ngroups": ngroups, "tables_s":
+                          round(time.perf_counter() - t0, 1)}), flush=True)
+        t0 = time.perf_counter()
         fns[cap] = (p2.build_full(tiles, size, size, p2.C), coords)
         out = np.asarray(fns[cap][0](arr, coords))  # warm
-        print(json.dumps({"cap": cap, "ngroups": ngroups,
+        print(json.dumps({"cap": cap,
                           "warm_s": round(time.perf_counter() - t0, 1),
                           "checksum": int(out.astype(np.int64).sum())}),
               flush=True)
