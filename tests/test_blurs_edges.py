@@ -334,6 +334,30 @@ class TestRadialOracle:
         want = _radial_oracle(arr, (0.4, 0.6), 0.7, zoom=True)
         assert np.array_equal(got, want)
 
+    def test_packed_gather_layout_bit_exact(self):
+        """ZT_RADIAL_PACKED=1 (pack-of-8 x-positions per gather row,
+        motion_blur_ops._accumulate_static) is pure data movement: the
+        mask-select pick of the x0%pack block must leave output bytes
+        identical for every channel count and both modes."""
+        import os
+
+        import jax.numpy as jnp
+
+        from zignal_tpu.ops import motion_blur_ops as mb
+
+        rng = np.random.default_rng(19)
+        for c, zoom in ((3, True), (3, False), (1, True), (4, True)):
+            arr = jnp.asarray(
+                rng.integers(0, 256, (40, 36, c), dtype=np.uint8))
+            try:
+                os.environ["ZT_RADIAL_PACKED"] = "0"
+                ref = np.asarray(mb.radial_blur(arr, 0.4, 0.6, 0.7, zoom))
+                os.environ["ZT_RADIAL_PACKED"] = "1"
+                got = np.asarray(mb.radial_blur(arr, 0.4, 0.6, 0.7, zoom))
+            finally:
+                os.environ.pop("ZT_RADIAL_PACKED", None)
+            assert np.array_equal(ref, got), (c, zoom)
+
     def test_spin_within_one(self):
         """Spin coords go through libm sin/cos/atan2, which may differ
         from other libms by ulps -> documented +/-1 tolerance."""

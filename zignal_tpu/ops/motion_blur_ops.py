@@ -238,6 +238,23 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
     h, w = arr.shape[0], arr.shape[1]
     c = arr.shape[2]
 
+    # Packed gather layout (r4): `pack` consecutive x-positions share
+    # one gather row via a FREE reshape of the patch ([H, W/pack,
+    # pack*4c]), because u8 [N, 4c] operands are physically padded to
+    # 128 lanes — a 2^18-row union box is ~33 MB, far past the
+    # VMEM-resident regime where the measured gather rate is ~0.84
+    # ns/row (vs 2.4 beyond it; tools/profile_radial2.py attribution:
+    # the gather is ~95% of radial cost). Row count per (pixel,
+    # sample) is unchanged; the x0%pack block pick is a log2(pack)-
+    # level mask select of u8 values — pure data movement, bit-exact
+    # (tools/ab_packed.py verifies on chip, tests on CPU).
+    pack = 1
+    if os.environ.get("ZT_RADIAL_PACKED", "0") == "1":
+        while pack * 2 * 4 * c <= 128:
+            pack *= 2
+    cap = int(os.environ.get("ZT_RADIAL_GROUP_ROWS", str(1 << 18)))
+    key = key + (pack, cap)
+
     cached = _STATIC_CACHE.get(key)
     if cached is None:
         ys_full, xs_full = np.meshgrid(np.arange(h, dtype=np.float32),
@@ -280,8 +297,6 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                 # gather per GROUP from a near-minimal box. Indices and
                 # weights are untouched, so bit-exactness is preserved.
                 active = [s for s in range(n_samples) if samples[s][5]]
-                cap = int(os.environ.get("ZT_RADIAL_GROUP_ROWS",
-                                         str(1 << 18)))
                 groups = []
                 for s in active:
                     b = samples[s][:4]
@@ -310,6 +325,11 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
             p01 = jnp.pad(ap, ((0, 1), (0, 0), (0, 0)), mode="edge")[1:]
             p11 = jnp.pad(p01, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:]
             patch = jnp.concatenate([ap, p10, p01, p11], axis=-1)
+            lanes = pack * 4 * c
+            if pack > 1:
+                wp = -(-w // pack)
+                patch = jnp.pad(patch, ((0, 0), (0, wp * pack - w),
+                                        (0, 0))).reshape(h, wp, lanes)
             a = a_in.astype(jnp.float32)
             out_rows = []
             row = []
@@ -324,7 +344,6 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                     # one batched gather from the group's union box
                     # (indices/weights identical to per-sample takes —
                     # pure data movement, so bit-exactness is untouched)
-                    ubw = ubx1 - ubx0
                     sel = np.asarray(sel_s)
                     sxa = sxs[sel]
                     sya = sys_[sel]
@@ -332,19 +351,45 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                     y0 = jnp.floor(sya)
                     fxs = (sxa - x0)[..., None]
                     fys = (sya - y0)[..., None]
-                    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1) - ubx0
+                    x0g = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
                     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1) - uby0
-                    box = jax.lax.slice(
-                        patch, (uby0, ubx0, 0), (uby1, ubx1, 4 * c))
-                    g_all = jnp.take(box.reshape(-1, 4 * c),
-                                     (y0i * ubw + x0i).reshape(-1),
+                    if pack == 1:
+                        ubw = ubx1 - ubx0
+                        box = jax.lax.slice(
+                            patch, (uby0, ubx0, 0), (uby1, ubx1, lanes))
+                        lin = y0i * ubw + (x0g - ubx0)
+                        kbits = None
+                    else:
+                        # x-block index + in-block position (exact int
+                        # ops on the same clipped x0 — data movement
+                        # only, so output bytes are unchanged)
+                        ubx0p = ubx0 // pack
+                        ubx1p = -(-ubx1 // pack)
+                        ubwp = ubx1p - ubx0p
+                        box = jax.lax.slice(
+                            patch, (uby0, ubx0p, 0), (uby1, ubx1p, lanes))
+                        lin = y0i * ubwp + (x0g // pack - ubx0p)
+                        kbits = x0g % pack
+                    g_all = jnp.take(box.reshape(-1, lanes),
+                                     lin.reshape(-1),
                                      axis=0).reshape(len(sel_s), th, tw,
-                                                     4 * c)
+                                                     lanes)
+                    nlvl = pack.bit_length() - 1
                     for si, s in enumerate(sel_s):
                         all_in = samples[s][4]
                         fx = fxs[si]
                         fy = fys[si]
-                        g = g_all[si].astype(jnp.float32)
+                        g = g_all[si]
+                        if kbits is not None:
+                            half = lanes
+                            k = kbits[si]
+                            for lvl in range(nlvl):
+                                half //= 2
+                                m = (((k >> (nlvl - 1 - lvl)) & 1)
+                                     .astype(bool)[..., None])
+                                g = jnp.where(m, g[..., half:],
+                                              g[..., :half])
+                        g = g.astype(jnp.float32)
                         v0 = (g[..., 0:c] * (1 - fx)
                               + g[..., c:2 * c] * fx)
                         v1 = (g[..., 2 * c:3 * c] * (1 - fx)
