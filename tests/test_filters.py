@@ -286,3 +286,26 @@ def test_box_blur_uniform_preserved():
     img = zignal.Image.from_numpy(np.full((17, 23, 3), 77, np.uint8))
     out = img.box_blur(3)
     assert (out.to_numpy() == 77).all()
+
+
+def test_image_convolve_methods_match_ops():
+    """Image.convolve / .convolve_separable surface the ops-level kernels
+    (reference methods: image.zig:917 convolve, :935 convolveSeparable)."""
+    src = RNG.integers(0, 256, (12, 14, 3), dtype=np.uint8)
+    img = zignal.Image.from_numpy(src)
+    k2 = ((0.0, -1.0, 0.0), (-1.0, 5.0, -1.0), (0.0, -1.0, 0.0))
+    got = img.convolve(k2, BorderMode.REPLICATE).to_numpy()
+    want = np.asarray(convolve2d(src, k2, BorderMode.REPLICATE))
+    assert np.array_equal(got, want)
+
+    k1 = gaussian_kernel(1.2)
+    got = img.convolve_separable(k1, k1, BorderMode.MIRROR).to_numpy()
+    want = _sep_oracle_u8(src, k1, k1, BorderMode.MIRROR)
+    assert np.array_equal(got, want)
+
+    # accepts numpy kernels; rejects even sizes
+    img.convolve(np.ones((3, 3), np.float32) / 9.0)
+    with pytest.raises(ValueError):
+        img.convolve(np.ones((2, 3), np.float32))
+    with pytest.raises(ValueError):
+        img.convolve_separable((0.5, 0.5), (1.0,))

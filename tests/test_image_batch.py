@@ -49,6 +49,8 @@ SWEEP_OPS = [
     ("max_blur", (1,)),
     ("midpoint_blur", (1,)),
     ("alpha_trimmed_mean_blur", (1, 0.2)),
+    ("convolve", (((0.0, -1.0, 0.0), (-1.0, 5.0, -1.0), (0.0, -1.0, 0.0)),)),
+    ("convolve_separable", ((0.25, 0.5, 0.25), (0.25, 0.5, 0.25))),
     ("sobel", ()),
     ("canny", (1.0, 40, 120)),
     ("equalize", ()),

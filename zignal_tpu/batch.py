@@ -849,6 +849,43 @@ class ImageBatch:
 
         return self._windowed(("gauss", sigma), mk, radius, BorderMode.MIRROR)
 
+    def convolve(self, kernel, border=BorderMode.MIRROR) -> "ImageBatch":
+        """Batched 2-D convolution (reference: image.zig:917). Windowed:
+        on a (batch, space) mesh the vertical halo rides the ICI ring."""
+        k = np.asarray(kernel, dtype=np.float32)
+        if k.ndim != 2 or k.shape[0] % 2 == 0 or k.shape[1] % 2 == 0:
+            raise ValueError("kernel must be 2-D with odd dimensions")
+        ktup = tuple(tuple(float(v) for v in row) for row in k)
+        border = BorderMode(border)
+
+        def mk():
+            from .ops.convolution import convolve2d as op
+
+            return partial(op, kernel=ktup, border=border)
+
+        return self._windowed(("conv2d", ktup, border), mk,
+                              k.shape[0] // 2, border)
+
+    def convolve_separable(self, kernel_x, kernel_y,
+                           border=BorderMode.MIRROR) -> "ImageBatch":
+        """Batched separable convolution (reference: image.zig:935)."""
+        kx = np.asarray(kernel_x, dtype=np.float32)
+        ky = np.asarray(kernel_y, dtype=np.float32)
+        if kx.ndim != 1 or ky.ndim != 1 or len(kx) % 2 == 0 \
+                or len(ky) % 2 == 0:
+            raise ValueError("kernels must be 1-D with odd length")
+        kxt = tuple(float(v) for v in kx)
+        kyt = tuple(float(v) for v in ky)
+        border = BorderMode(border)
+
+        def mk():
+            from .ops.convolution import convolve_separable as op
+
+            return partial(op, kernel_x=kxt, kernel_y=kyt, border=border)
+
+        return self._windowed(("convsep", kxt, kyt, border), mk,
+                              len(kyt) // 2, border)
+
     def _order_stat(self, op_name, radius, border, **kw):
         radius = int(radius)
         if radius < 0:

@@ -646,6 +646,36 @@ class Image:
 
         return Image._from_device(op(self._device(), sigma), self._space)
 
+    def convolve(self, kernel,
+                 border: BorderMode = BorderMode.MIRROR) -> "Image":
+        """2-D convolution with an arbitrary kernel (reference:
+        image.zig:917 convolve). u8 images use the reference's 8.8
+        fixed-point path bit-exactly; float images use f32."""
+        k = np.asarray(kernel, dtype=np.float32)
+        if k.ndim != 2 or k.shape[0] % 2 == 0 or k.shape[1] % 2 == 0:
+            raise ValueError("kernel must be 2-D with odd dimensions")
+        ktup = tuple(tuple(float(v) for v in row) for row in k)
+        from .ops.convolution import convolve2d as op
+
+        return Image._from_device(
+            op(self._device(), ktup, BorderMode(border)), self._space)
+
+    def convolve_separable(self, kernel_x, kernel_y,
+                           border: BorderMode = BorderMode.MIRROR) -> "Image":
+        """Separable convolution with 1-D kernels (reference:
+        image.zig:935 convolveSeparable)."""
+        kx = np.asarray(kernel_x, dtype=np.float32)
+        ky = np.asarray(kernel_y, dtype=np.float32)
+        if kx.ndim != 1 or ky.ndim != 1 or len(kx) % 2 == 0 \
+                or len(ky) % 2 == 0:
+            raise ValueError("kernels must be 1-D with odd length")
+        from .ops.convolution import convolve_separable as op
+
+        return Image._from_device(
+            op(self._device(), tuple(float(v) for v in kx),
+               tuple(float(v) for v in ky), BorderMode(border)),
+            self._space)
+
     def _order_stat(self, op_name, radius, border, **kw):
         radius = int(radius)
         if radius < 0:
