@@ -346,6 +346,7 @@ class TestRadialOracle:
         from zignal_tpu.ops import motion_blur_ops as mb
 
         rng = np.random.default_rng(19)
+        orig = os.environ.get("ZT_RADIAL_PACKED")
         for c, zoom in ((3, True), (3, False), (1, True), (4, True)):
             arr = jnp.asarray(
                 rng.integers(0, 256, (40, 36, c), dtype=np.uint8))
@@ -355,7 +356,10 @@ class TestRadialOracle:
                 os.environ["ZT_RADIAL_PACKED"] = "1"
                 got = np.asarray(mb.radial_blur(arr, 0.4, 0.6, 0.7, zoom))
             finally:
-                os.environ.pop("ZT_RADIAL_PACKED", None)
+                if orig is None:
+                    os.environ.pop("ZT_RADIAL_PACKED", None)
+                else:
+                    os.environ["ZT_RADIAL_PACKED"] = orig
             assert np.array_equal(ref, got), (c, zoom)
 
     def test_spin_within_one(self):

@@ -36,17 +36,29 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax
 
-if "--cpu" in sys.argv:          # local exactness runs: the axon
-    sys.argv.remove("--cpu")     # sitecustomize ignores JAX_PLATFORMS
-    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
-EXACT_ONLY = "--exact" in sys.argv
-if EXACT_ONLY:
-    sys.argv.remove("--exact")
+
+def use_cpu():
+    """Reroute to the CPU backend (the axon sitecustomize ignores
+    JAX_PLATFORMS; only jax.config works). Importers call this instead
+    of relying on argv side effects."""
+    jax.config.update("jax_platforms", "cpu")
+
+
+EXACT_ONLY = False
 # argv is only OURS when run as a script: importers (tune_radial2,
-# ab_packed) have their own argv — parsing it here as strength once
-# produced STRENGTH=512 -> n_samples=12296 and "hung" sweeps (r4)
+# ab_packed) have their own argv — parsing it here at import time once
+# produced STRENGTH=512 -> n_samples=12296 and "hung" sweeps (r4), and
+# --cpu/--exact flags silently rerouted importers' platforms. Every
+# argv touch is therefore guarded by __name__ == "__main__".
+if __name__ == "__main__":
+    if "--cpu" in sys.argv:
+        sys.argv.remove("--cpu")
+        use_cpu()
+    if "--exact" in sys.argv:
+        sys.argv.remove("--exact")
+        EXACT_ONLY = True
 STRENGTH = (float(sys.argv[2])
             if __name__ == "__main__" and len(sys.argv) > 2 else 0.7)
 H = W = int(os.environ.get("ZT_PROF_SIZE", "512"))

@@ -7,7 +7,10 @@ way past VMEM scale, which is where the gather rate degrades from
 ~0.84 ns/row (r2 measurement, small operand) to the ~2.4 ns/row the
 stage attribution shows (tools/profile_radial2.py). The r4 session-1
 sweep only tested caps >= 2^16 (>= 8 MB padded) — all in the slow
-regime, hence "flat". This sweeps 2^12..2^18.
+regime, hence "flat". The cap list comes from ZT_SWEEP_CAPS
+(comma-separated row counts; default "32768" = 2^15 for a quick single
+point — set e.g. ZT_SWEEP_CAPS=4096,16384,65536,262144 for the full
+2^12..2^18 sweep).
 
 Uses profile_radial2's table build + full variant. 512^2 by default
 (fast compiles); pass a size to confirm at 1024.

@@ -304,7 +304,11 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                         sel, (y0u, y1u, x0u, x1u) = groups[-1]
                         ny0, ny1 = min(y0u, b[0]), max(y1u, b[1])
                         nx0, nx1 = min(x0u, b[2]), max(x1u, b[3])
-                        if (ny1 - ny0) * (nx1 - nx0) <= cap:
+                        # cap compares PHYSICAL gather rows: the packed
+                        # layout folds `pack` x-positions into one row,
+                        # so its operand is ~pack× smaller per logical
+                        # area — measure ceil(width/pack) (r4 advisor)
+                        if (ny1 - ny0) * (-(-(nx1 - nx0) // pack)) <= cap:
                             sel.append(s)
                             groups[-1] = (sel, (ny0, ny1, nx0, nx1))
                             continue
