@@ -296,19 +296,25 @@ def main():
     print("fused ORB matches host oracle on TPU:", ok, flush=True)
     fails += not ok
 
-    # 17) host-placement resize == device resize bytes, all six methods
-    # (integer methods exactly; Lanczos measured bit-identical on chip
-    # too — the +-1 fma tolerance only applies to the CPU XLA backend)
+    # 17) host-placement resize == device resize bytes, all six methods.
+    # Lanczos exercises the fmaf host accumulate vs XLA's fma
+    # contraction ON SILICON over ~750k output samples (two sizes, down
+    # + up) — large enough that a contraction mismatch (~1e-5 flip
+    # rate, r2 measurement) would show with overwhelming probability.
     from zignal_tpu.ops.host_resize import host_resize_u8
-    a17 = rng.integers(0, 256, (222, 257, 3), dtype=np.uint8)
-    for m17 in (Interpolation.BILINEAR, Interpolation.NEAREST,
-                Interpolation.BICUBIC, Interpolation.CATMULL_ROM,
-                Interpolation.MITCHELL, Interpolation.LANCZOS):
-        got = host_resize_u8(a17, 111, 128, m17)
-        want = np.asarray(resize(jax.device_put(a17), 111, 128, m17))
-        ok = np.array_equal(got, want)
-        print(f"host resize == device resize ({m17.name}):", ok, flush=True)
-        fails += not ok
+    for (h17, w17, oh17, ow17) in ((222, 257, 111, 128),
+                                   (623, 881, 400, 560),
+                                   (222, 257, 450, 520)):
+        a17 = rng.integers(0, 256, (h17, w17, 3), dtype=np.uint8)
+        for m17 in (Interpolation.BILINEAR, Interpolation.NEAREST,
+                    Interpolation.BICUBIC, Interpolation.CATMULL_ROM,
+                    Interpolation.MITCHELL, Interpolation.LANCZOS):
+            got = host_resize_u8(a17, oh17, ow17, m17)
+            want = np.asarray(resize(jax.device_put(a17), oh17, ow17, m17))
+            ok = np.array_equal(got, want)
+            print(f"host resize == device resize ({m17.name} "
+                  f"{h17}x{w17}->{oh17}x{ow17}):", ok, flush=True)
+            fails += not ok
 
     # 18) fused filter-chain Pallas kernel (compiled Mosaic path)
     from zignal_tpu.ops.pallas_filter import fused_blur_sharpen_morph

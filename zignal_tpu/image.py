@@ -465,14 +465,11 @@ class Image:
 
             nb_in = self._np.nbytes
             nb_out = rows * cols * self._np.shape[2]
-            # Lanczos is the one method whose host path is only +-1 of
-            # the device bytes (FMA contraction; host_resize.py docstring)
-            # — auto placement must never make output bytes depend on a
-            # runtime-measured link bandwidth, so Lanczos goes host only
-            # under an explicit ZT_PLACEMENT=host
-            auto_ok = (method is not Interpolation.LANCZOS
-                       or os.environ.get("ZT_PLACEMENT") == "host")
-            if auto_ok and host_resize_available(method) and prefer_host(
+            # every host method is bit-identical to the device lowering
+            # (Lanczos included: fmaf accumulate reproduces XLA's fma
+            # contraction — host_resize.py docstring), so auto placement
+            # never changes output bytes
+            if host_resize_available(method) and prefer_host(
                     nb_in, nb_out,
                     (nb_in + nb_out) / self._np.shape[2] / 1e6
                     * HOST_COST[method]):

@@ -1456,11 +1456,19 @@ long zt_resize_lanczos_u8(const uint8_t* src, long sh, long sw, long c,
             for (int ky = 0; ky < 6; ky++) {
                 const uint8_t* r = rows[ky];
                 for (int kx = 0; kx < 6; kx++) {
-                    float w = wyv[ky] * wxv[kx];
+                    // XLA lowers the device accumulation as a ROUNDED
+                    // f32 weight product followed by fma into the
+                    // accumulator (verified bit-exact vs the CPU XLA
+                    // backend; tests/test_native_parity.py). Reproduce
+                    // it exactly: the f64 product is exact and the
+                    // cast rounds once == f32 mul, and -ffp-contract
+                    // cannot re-fuse across the cast; the accumulate
+                    // is an explicit fmaf.
+                    float w = (float)((double)wyv[ky] * (double)wxv[kx]);
                     wsum += w;
                     const uint8_t* p = r + xo[kx];
                     for (long ch = 0; ch < c; ch++)
-                        tot[ch] += (float)p[ch] * w;
+                        tot[ch] = __builtin_fmaf((float)p[ch], w, tot[ch]);
                 }
             }
             for (long ch = 0; ch < c; ch++) {

@@ -10,10 +10,12 @@ ops/interpolation.py exactly — same f32 align-centers coordinates
 truncation, mirror borders, >>16 truncating divide — so placement is
 invisible in the output bytes for the integer-exact methods (nearest,
 bilinear, and the cubic family). Lanczos uses float weights; XLA
-contracts its multiply-add chain into FMAs, which numpy cannot
-reproduce, so the host Lanczos matches the device within +-1 on
-isolated pixels (same order as the device's own CPU-vs-TPU backend
-variation).
+contracts its multiply-add chain into FMAs, and the host paths
+reproduce that lowering exactly (rounded f32 weight product + fmaf
+accumulate — native via __builtin_fmaf, numpy via exact f64
+emulation), so Lanczos placement is bit-invisible as well
+(tests/test_native_parity.py asserts array_equal for all six methods;
+tpu_exactness_audit check 17 re-proves it on chip).
 """
 
 from __future__ import annotations
@@ -109,25 +111,31 @@ def _cubic_family_numpy(src: np.ndarray, rows: int, cols: int,
 
 
 def _lanczos_numpy(src: np.ndarray, rows: int, cols: int) -> np.ndarray:
-    """Strict-f32 mirror of ops.interpolation._resize_lanczos_u8: same
-    tables and accumulation order; matches the device within +-1 on
-    isolated pixels (XLA fma-contracts the multiply-add chain — see
-    module docstring)."""
+    """Mirror of ops.interpolation._resize_lanczos_u8 reproducing XLA's
+    lowering exactly: the weight product is a single-rounded f32 mul,
+    and the accumulate is an fma (XLA contracts ``total + px * w``).
+    numpy has no vectorized fmaf, so the fma is emulated through f64 —
+    the f64 product of two f32 is exact and the add rounds once, which
+    equals fmaf except for double-rounding ties (~2^-29 per op,
+    never observed in the parity sweep)."""
     from .interpolation import _lanczos_axis_table
 
     sh, sw = src.shape[0], src.shape[1]
     y_idx, wy = _lanczos_axis_table(sh, rows)
     x_idx, wx = _lanczos_axis_table(sw, cols)
-    total = np.zeros((rows, cols, src.shape[2]), np.float32)
+    total = np.zeros((rows, cols, src.shape[2]), np.float64)
     wsum = np.zeros((rows, cols), np.float32)
-    sf = src.astype(np.float32)
+    sf = src.astype(np.float64)
     for ky in range(6):
         rowg = sf[y_idx[:, ky]]
         for kx in range(6):
             px = rowg[:, x_idx[:, kx]]
-            w = wy[:, ky, None] * wx[None, :, kx]
-            total = total + px * w[..., None]
+            w = wy[:, ky, None] * wx[None, :, kx]  # f32 rounded mul
+            # fmaf(px, w, total): f64 product is exact; round once
+            total = (px * w[..., None].astype(np.float64)
+                     + total).astype(np.float32).astype(np.float64)
             wsum = wsum + w
+    total = total.astype(np.float32)
     with np.errstate(divide="ignore", invalid="ignore"):
         out = np.where(wsum[..., None] != 0, total / wsum[..., None],
                        np.float32(0.0))
