@@ -240,3 +240,42 @@ class TestOrbDevicePath:
             == [(k.x, k.y, k.octave, k.response) for k in kh]
         for da, db in zip(dd, dh):
             assert np.array_equal(da.bits, db.bits)
+
+
+class TestOrbBatch:
+    def test_batch_matches_per_image(self):
+        """detect_and_compute_batch == per-image detect_and_compute
+        (one vmapped dispatch + one fetch; VERDICT r4 #5)."""
+        import numpy as np
+        import zignal_tpu as zignal
+        from zignal_tpu.features.orb import Orb
+
+        rng = np.random.default_rng(23)
+        imgs = [zignal.Image.from_numpy(
+            rng.integers(0, 256, (64, 72, 3), dtype=np.uint8))
+            for _ in range(4)]
+        orb = Orb(n_features=60, n_levels=3)
+        batched = orb.detect_and_compute_batch(imgs)
+        assert len(batched) == 4
+        for im, (kps, descs) in zip(imgs, batched):
+            rk, rd = orb.detect_and_compute(im)
+            assert len(kps) == len(rk) and len(descs) == len(rd)
+            for a, b in zip(kps, rk):
+                assert (a.x, a.y, a.angle, a.response, a.octave) == \
+                    (b.x, b.y, b.angle, b.response, b.octave)
+            for a, b in zip(descs, rd):
+                assert np.array_equal(a.bits, b.bits)
+
+    def test_batch_rejects_mixed_shapes_and_empty(self):
+        import numpy as np
+        import zignal_tpu as zignal
+        from zignal_tpu.features.orb import Orb
+
+        orb = Orb(n_features=20, n_levels=2)
+        assert orb.detect_and_compute_batch([]) == []
+        a = zignal.Image.from_numpy(np.zeros((32, 32, 3), np.uint8))
+        b = zignal.Image.from_numpy(np.zeros((32, 48, 3), np.uint8))
+        import pytest
+
+        with pytest.raises(ValueError):
+            orb.detect_and_compute_batch([a, b])

@@ -399,3 +399,31 @@ def test_chaining_stays_on_device():
     ref = ImageBatch(_arr()).resize((16, 24)).gaussian_blur(1.0) \
         .convert(z.Gray).equalize()
     assert np.array_equal(out.to_numpy(), ref.to_numpy())
+
+
+def test_resize_blur_oklab_matches_pipeline():
+    """The container's fused north-star entry is bit-identical to
+    pipeline.resize_blur_oklab (VERDICT r4 #4), unsharded and on a 1-D
+    mesh, and the sharded dispatch compiles collective-free with the
+    output still batch-sharded."""
+    from zignal_tpu import pipeline
+
+    arr = _arr()
+    want = np.asarray(pipeline.resize_blur_oklab(arr, 16, 24, 1.5))
+    got = ImageBatch(arr).resize_blur_oklab((16, 24), sigma=1.5)
+    assert np.array_equal(np.asarray(got), want)
+
+    b = ImageBatch(arr, mesh=make_mesh(8))
+    got_sh = b.resize_blur_oklab((16, 24), sigma=1.5)
+    assert np.array_equal(np.asarray(got_sh), want)
+    assert len(got_sh.sharding.device_set) == 8
+    hlo = batch_mod.last_compiled_hlo()
+    for coll in ("all-gather", "all-reduce", "collective-permute",
+                 "all-to-all"):
+        assert coll not in hlo, f"resize_blur_oklab compiled a {coll}"
+
+    # scale-factor form + gray batch rejection
+    got2 = ImageBatch(arr).resize_blur_oklab(0.5)
+    assert np.asarray(got2).shape == (8, 16, 24, 3)
+    with pytest.raises(ValueError):
+        ImageBatch(arr).convert(z.Gray).resize_blur_oklab((16, 24))

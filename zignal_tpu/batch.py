@@ -64,6 +64,32 @@ def _run(fn, *args):
     return fn(*args)
 
 
+def resize_blur_oklab_fn(rows: int, cols: int, sigma: float, method,
+                         mesh=None):
+    """The cached jitted callable behind ImageBatch.resize_blur_oklab —
+    exposed so the driver entry (__graft_entry__.entry) compile-checks
+    exactly what the container dispatches. mesh=None: the plain fused
+    chain; a 1-D mesh: shard_map'd per-shard chain (collective-free)."""
+    import jax
+
+    def build():
+        from .pipeline import resize_blur_oklab as chain
+
+        if mesh is None:
+            return jax.jit(partial(chain, out_rows=rows, out_cols=cols,
+                                   sigma=sigma, method=method))
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(mesh.axis_names[0], None, None, None)
+        return jax.jit(shard_map(
+            lambda local: chain(local, out_rows=rows, out_cols=cols,
+                                sigma=sigma, method=method),
+            mesh=mesh, in_specs=spec, out_specs=spec))
+
+    return _cached(("rbo", rows, cols, sigma, method, mesh), build)
+
+
 def last_compiled_hlo() -> str:
     """Compiled HLO text of the most recent ImageBatch op dispatch
     (sharding-aware: lowering sees the committed input shardings)."""
@@ -596,6 +622,29 @@ class ImageBatch:
 
         fn = _cached(("resize", rows, cols, method), build)
         return self._wrap(_run(fn, self._dev))
+
+    def resize_blur_oklab(self, size, sigma: float = 2.0,
+                          method: Interpolation = Interpolation.BILINEAR):
+        """The north-star fused chain (BASELINE.md): resize -> Gaussian
+        blur -> sRGB->Oklab as ONE program — on TPU a single
+        VMEM-resident Pallas kernel per shard when the gate allows
+        (ops/pallas_pipeline.py), the fused XLA lowering otherwise.
+
+        Returns a [B, rows, cols, 3] float32 Oklab device array (not an
+        ImageBatch — Oklab is float-typed), bit-identical to
+        ``pipeline.resize_blur_oklab`` on the same batch. Under a 1-D
+        (batch) mesh each shard runs the whole chain locally via
+        shard_map, so the compiled HLO is collective-free and the
+        output stays batch-sharded."""
+        self._batch_only("resize_blur_oklab")
+        rows, cols = self._out_size(size)
+        sigma = float(sigma)
+        method = Interpolation(method)
+        if self._space != "rgb" or self.channels != 3:
+            raise ValueError("resize_blur_oklab expects an Rgb batch")
+
+        fn = resize_blur_oklab_fn(rows, cols, sigma, method, self._mesh)
+        return _run(fn, self._dev)
 
     def letterbox(self, size, method: Interpolation = Interpolation.BILINEAR
                   ) -> "ImageBatch":

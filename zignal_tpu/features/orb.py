@@ -100,12 +100,7 @@ class Orb:
         kps = self._detect_host(levels, scores)
         return kps, self._compute_host(levels, kps)
 
-    def _device_detect_compute(self, plane, want_desc: bool):
-        """Whole ORB pipeline (pyramid + FAST + NMS + Harris + top-k +
-        orientation + rotated BRIEF) as ONE jitted device program and ONE
-        packed fetch (VERDICT r2 item 4 — the former flow fetched ~0.9 MB
-        of maps per image and ran orientation/BRIEF on the host)."""
-        h, w = plane.shape
+    def _fused_params(self, h, w):
         shapes = self._level_shapes(h, w)
         per_level = self._features_per_level()
         ks, margins, lv_ids = [], [], []
@@ -119,12 +114,13 @@ class Orb:
             margins.append(float(max(3.0, self.edge_threshold / scale)))
             if k:
                 lv_ids.append(level)
-        packed = np.asarray(_orb_fused_jit(
-            plane, self.n_levels, self.scale_factor, self.fast_threshold,
-            tuple(ks), tuple(margins),
-            self.score_type == "harris_score", want_desc))
-        # unpack: per selected level [resp f32 | x i32 | y i32 | valid u8
-        # -> one f32 slot | ang f32 | desc 32 u8-in-f32] rows of width 37
+        return tuple(ks), tuple(margins), lv_ids
+
+    def _unpack_packed(self, packed, ks, lv_ids, want_desc: bool):
+        """Host side: split the flat f32 vector into KeyPoints +
+        descriptors. Layout per selected level: [resp f32 | x i32 |
+        y i32 | valid -> one f32 slot | ang f32 | desc 32 u8-in-f32]
+        rows of width 37."""
         out_kps, out_desc = [], []
         off = 0
         width = 5 + (32 if want_desc else 0)
@@ -145,6 +141,46 @@ class Orb:
         if want_desc:
             return out_kps, out_desc
         return out_kps, None
+
+    def _device_detect_compute(self, plane, want_desc: bool):
+        """Whole ORB pipeline (pyramid + FAST + NMS + Harris + top-k +
+        orientation + rotated BRIEF) as ONE jitted device program and ONE
+        packed fetch (VERDICT r2 item 4 — the former flow fetched ~0.9 MB
+        of maps per image and ran orientation/BRIEF on the host)."""
+        h, w = plane.shape
+        ks, margins, lv_ids = self._fused_params(h, w)
+        packed = np.asarray(_orb_fused_jit(
+            plane, self.n_levels, self.scale_factor, self.fast_threshold,
+            ks, margins, self.score_type == "harris_score", want_desc))
+        return self._unpack_packed(packed, ks, lv_ids, want_desc)
+
+    def detect_and_compute_batch(self, images):
+        """Batched detect+compute over same-shape images: the fused
+        device program runs vmapped in ONE dispatch and ALL packed
+        results come back in ONE host fetch, amortizing the per-call
+        dispatch (~6 ms) and tunnel round-trip latency across the batch
+        (VERDICT r4 #5). Returns a list of (keypoints, descriptors)
+        pairs identical to per-image detect_and_compute
+        (reference: orb.zig:133 detectAndCompute, batched)."""
+        images = list(images)
+        if not images:
+            return []
+        if not self.use_device:
+            return [self.detect_and_compute(im) for im in images]
+        import jax.numpy as jnp
+
+        planes = [self._plane(im) for im in images]
+        shape = planes[0].shape
+        if any(p.shape != shape for p in planes):
+            raise ValueError("detect_and_compute_batch requires "
+                             "same-shape images")
+        ks, margins, lv_ids = self._fused_params(*shape)
+        packed = np.asarray(_orb_fused_batch_jit(
+            jnp.stack(planes), self.n_levels, self.scale_factor,
+            self.fast_threshold, ks, margins,
+            self.score_type == "harris_score", True))
+        return [self._unpack_packed(packed[i], ks, lv_ids, True)
+                for i in range(len(planes))]
 
     def _plane(self, image):
         from ..image import Image
@@ -428,6 +464,35 @@ class _LazyFusedJit:
 
 
 _orb_fused_jit = _LazyFusedJit()
+
+
+class _LazyFusedBatchJit:
+    """jit(vmap(_orb_fused_impl over the plane axis)) — one dispatch +
+    one fetch for a whole [B, H, W] stack (detect_and_compute_batch)."""
+    _fn = None
+
+    def __call__(self, planes, n_levels, scale_factor, thr0, ks, margins,
+                 harris, want_desc):
+        if _LazyFusedBatchJit._fn is None:
+            import jax
+            from functools import partial as _p
+
+            def batched(planes, n_levels, scale_factor, thr0, ks,
+                        margins, harris, want_desc):
+                return jax.vmap(lambda p: _orb_fused_impl(
+                    p, n_levels, scale_factor, thr0, ks, margins,
+                    harris, want_desc))(planes)
+
+            _LazyFusedBatchJit._fn = _p(jax.jit, static_argnames=(
+                "n_levels", "scale_factor", "thr0", "ks", "margins",
+                "harris", "want_desc"))(batched)
+        return _LazyFusedBatchJit._fn(planes, n_levels=n_levels,
+                                      scale_factor=scale_factor,
+                                      thr0=thr0, ks=ks, margins=margins,
+                                      harris=harris, want_desc=want_desc)
+
+
+_orb_fused_batch_jit = _LazyFusedBatchJit()
 
 
 def _orientation_batch(arr: np.ndarray, xs: np.ndarray,
