@@ -266,6 +266,42 @@ class TestOrbBatch:
             for a, b in zip(descs, rd):
                 assert np.array_equal(a.bits, b.bits)
 
+    def test_host_gray_plane_bit_exact(self):
+        """_plane_host_np (the batch path's minimal-byte upload) is
+        bit-identical to the device BT.709 conversion for rgb/rgba/gray
+        and mirrors _plane's channel-0 rule for raw arrays."""
+        import numpy as np
+        import zignal_tpu as zignal
+        from zignal_tpu.features.orb import Orb
+
+        orb = Orb()
+        rng = np.random.default_rng(3)
+        base = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        # include the extremes (0/255 corners exercise the clip)
+        base[0, 0] = 0
+        base[0, 1] = 255
+        for space, arr in (
+                ("rgb", base),
+                ("rgba", np.concatenate(
+                    [base, rng.integers(0, 256, (40, 56, 1),
+                                        dtype=np.uint8)], axis=-1)),
+                ("gray", base[..., :1])):
+            im = zignal.Image.from_numpy(arr)
+            assert im._space == space
+            host = orb._plane_host_np(im)
+            dev = np.asarray(orb._plane(im))
+            assert host.dtype == np.uint8
+            assert np.array_equal(host, dev), space
+        # raw ndarray: channel 0, no conversion (matches _plane)
+        assert np.array_equal(orb._plane_host_np(base), base[..., 0])
+        g = base[..., 0].copy()
+        assert np.array_equal(orb._plane_host_np(g), g)
+        # device-resident Image (no host mirror) opts out
+        dev_im = zignal.Image._from_device(
+            __import__("jax.numpy", fromlist=["asarray"]).asarray(base),
+            "rgb")
+        assert orb._plane_host_np(dev_im) is None
+
     def test_batch_rejects_mixed_shapes_and_empty(self):
         import numpy as np
         import zignal_tpu as zignal

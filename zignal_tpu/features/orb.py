@@ -169,11 +169,29 @@ class Orb:
             return [self.detect_and_compute(im) for im in images]
         import jax.numpy as jnp
 
-        planes = [self._plane(im) for im in images]
-        shape = planes[0].shape
-        if any(p.shape != shape for p in planes):
-            raise ValueError("detect_and_compute_batch requires "
-                             "same-shape images")
+        host_planes = [self._plane_host_np(im) for im in images]
+        if all(p is not None for p in host_planes):
+            shape = host_planes[0].shape
+            if any(p.shape != shape for p in host_planes):
+                raise ValueError("detect_and_compute_batch requires "
+                                 "same-shape images")
+            # Ship u8 GRAY planes (3x fewer bytes than RGB) on parallel
+            # streams: single-stream tunnel bandwidth is ~5.7 MB/s but
+            # aggregates to ~27-38 MB/s across 2-8 concurrent puts (r3
+            # measurement) — the upload, not the detector, dominates the
+            # remote-tunnel wall time.
+            import jax
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                    max_workers=min(8, len(host_planes))) as ex:
+                planes = list(ex.map(jax.device_put, host_planes))
+        else:
+            planes = [self._plane(im) for im in images]
+            shape = planes[0].shape
+            if any(p.shape != shape for p in planes):
+                raise ValueError("detect_and_compute_batch requires "
+                                 "same-shape images")
         ks, margins, lv_ids = self._fused_params(*shape)
         packed = np.asarray(_orb_fused_batch_jit(
             jnp.stack(planes), self.n_levels, self.scale_factor,
@@ -191,6 +209,34 @@ class Orb:
 
         a = jnp.asarray(np.asarray(image))
         return a[..., 0] if a.ndim == 3 else a
+
+    def _plane_host_np(self, image):
+        """Host-side gray plane: the integer BT.709 16.16 twin of
+        color._array.rgb_to_gray_u8 (color.zig:1031) — pure int math,
+        bit-identical to the device conversion, so the batch path can
+        upload 1-channel planes instead of converting RGB on device.
+        Returns None when the image has no host mirror (device-resident
+        Images keep the device conversion path)."""
+        from ..image import Image
+
+        if isinstance(image, Image):
+            if image._np is None:
+                return None
+            arr, space = image._np, image._space
+        else:
+            # raw arrays mirror _plane exactly: channel 0, no conversion
+            arr = np.asarray(image)
+            return np.ascontiguousarray(
+                arr[..., 0] if arr.ndim == 3 else arr)
+        if space == "gray" or arr.shape[-1] == 1:
+            return np.ascontiguousarray(arr[..., 0])
+        from ..color._scalar import _GRAY_FWD
+
+        wr, wg, wb = _GRAY_FWD
+        a = arr[..., :3].astype(np.int32)
+        y = (a[..., 0] * wr + a[..., 1] * wg + a[..., 2] * wb
+             + 32768) >> 16
+        return np.clip(y, 0, 255).astype(np.uint8)
 
     def _detect_host(self, levels, scores) -> list:
         """Per-level candidate selection, vectorized across keypoints
