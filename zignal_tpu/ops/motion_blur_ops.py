@@ -248,6 +248,17 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
     # sample) is unchanged; the x0%pack block pick is a log2(pack)-
     # level mask select of u8 values — pure data movement, bit-exact
     # (tools/ab_packed.py verifies on chip, tests on CPU).
+    #
+    # MEASURED ON CHIP (r5, tools/ab_packed.py, interleaved minima over
+    # 4 rounds): packed LOSES ~10-20% — zoom 17.7 vs 16.0 ms/512^2@24,
+    # spin 17.2 vs 16.2, at every cap 2^16/18/20 (bit-exact each run).
+    # The 8x-smaller physical operand does NOT lower the per-row gather
+    # rate: XLA's dynamic-gather issue rate, not operand residency,
+    # sets the 2.4 ns/row cost, and the log2(pack) select levels only
+    # add VPU work. Default stays off; the ~60 ms/MPix measured zoom
+    # wall is the XLA gather floor on this chip (row count is immovable
+    # — sample dedup measured dead r4 — and Mosaic cannot express the
+    # 2-D runtime gather that a fused kernel would need; r2/r3 probes).
     pack = 1
     if os.environ.get("ZT_RADIAL_PACKED", "0") == "1":
         while pack * 2 * 4 * c <= 128:
