@@ -362,6 +362,38 @@ class TestRadialOracle:
                     os.environ["ZT_RADIAL_PACKED"] = orig
             assert np.array_equal(ref, got), (c, zoom)
 
+    def test_grouped_window_gather_bit_exact(self):
+        """ZT_RADIAL_GROUPED=1 (one K*W-lane window row serving G
+        consecutive output pixels, motion_blur_ops._accumulate_static)
+        is pure data movement: the dy-strip + binary-dx-shift
+        extraction must yield the exact clamped 2x2 taps the per-pixel
+        path gathers, leaving output bytes identical for every channel
+        count and both modes. (At these sizes every sample takes the
+        grouped path — verified via _pick_group_plan instrumentation.)"""
+        import os
+
+        import jax.numpy as jnp
+
+        from zignal_tpu.ops import motion_blur_ops as mb
+
+        rng = np.random.default_rng(23)
+        orig = os.environ.get("ZT_RADIAL_GROUPED")
+        for c, zoom, size in ((3, True, 64), (3, False, 64),
+                              (1, True, 40), (4, False, 52)):
+            arr = jnp.asarray(
+                rng.integers(0, 256, (size, size - 6, c), dtype=np.uint8))
+            try:
+                os.environ["ZT_RADIAL_GROUPED"] = "0"
+                ref = np.asarray(mb.radial_blur(arr, 0.4, 0.6, 0.7, zoom))
+                os.environ["ZT_RADIAL_GROUPED"] = "1"
+                got = np.asarray(mb.radial_blur(arr, 0.4, 0.6, 0.7, zoom))
+            finally:
+                if orig is None:
+                    os.environ.pop("ZT_RADIAL_GROUPED", None)
+                else:
+                    os.environ["ZT_RADIAL_GROUPED"] = orig
+            assert np.array_equal(ref, got), (c, zoom)
+
     def test_spin_within_one(self):
         """Spin coords go through libm sin/cos/atan2, which may differ
         from other libms by ulps -> documented +/-1 tolerance."""

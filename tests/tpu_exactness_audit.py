@@ -424,6 +424,31 @@ def main():
           flush=True)
     fails += not ok
 
+    # 23) grouped-window radial gather on chip: ZT_RADIAL_GROUPED=1
+    # (one K*W-lane window row serving G output pixels,
+    # motion_blur_ops._accumulate_static) is pure data movement, so it
+    # must be BIT-identical to the per-pixel path for zoom AND spin.
+    x23 = jax.device_put(rng.integers(0, 256, (320, 288, 3),
+                                      dtype=np.uint8))
+    _saved23 = _os.environ.get("ZT_RADIAL_GROUPED")
+    try:
+        for zoom23 in (True, False):
+            _os.environ["ZT_RADIAL_GROUPED"] = "0"
+            ref23 = np.asarray(_mb.radial_blur(x23, 0.45, 0.55, 0.7,
+                                               zoom23))
+            _os.environ["ZT_RADIAL_GROUPED"] = "1"
+            got23 = np.asarray(_mb.radial_blur(x23, 0.45, 0.55, 0.7,
+                                               zoom23))
+            ok = np.array_equal(ref23, got23)
+            print(f"grouped radial gather bit-exact on TPU "
+                  f"(zoom={zoom23}):", ok, flush=True)
+            fails += not ok
+    finally:
+        if _saved23 is None:
+            _os.environ.pop("ZT_RADIAL_GROUPED", None)
+        else:
+            _os.environ["ZT_RADIAL_GROUPED"] = _saved23
+
     print("TOTAL FAILS:", fails, flush=True)
 
 if __name__ == "__main__":

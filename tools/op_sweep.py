@@ -69,3 +69,37 @@ for name, fn, x in OPS:
         print(f"{name:28s} {t*1e3:7.2f} ms/Mpix", flush=True)
     except Exception as e:
         print(f"{name:28s} FAILED {str(e)[:80]}", flush=True)
+
+# Radial blur times via chained xor calls, NOT the fori_loop timer:
+# its trace-time numpy coord tables ride as cached device ARGS of the
+# library's own jit, and re-tracing inside an outer jit would embed
+# them as megapixel HLO constants (axon HTTP 413; CLAUDE.md r4 notes).
+# Per-call ~6 ms dispatch stays in the number, so this is an upper
+# bound on device time.
+from zignal_tpu.ops import motion_blur_ops as mb
+
+def chain_timer(call, x, k_small=1, k_large=5):
+    ests = []
+    for _ in range(3):
+        ts = {}
+        for k in (k_small, k_large):
+            t0 = time.perf_counter()
+            r = call(x)
+            for _i in range(k - 1):
+                r = call(jnp.bitwise_xor(x, r))
+            int(r[0, 0, 0])
+            ts[k] = time.perf_counter() - t0
+        ests.append((ts[k_large] - ts[k_small]) / (k_large - k_small))
+    return sorted(ests)[1]
+
+img512 = jax.device_put(rng.integers(0, 256, (512, 512, 3), np.uint8))
+for name, zoom in (("radial zoom s0.7 (24 samp)", True),
+                   ("radial spin s0.7 (24 samp)", False)):
+    try:
+        call = lambda a, z=zoom: mb.radial_blur(a, 0.5, 0.5, 0.7, z)
+        call(img512)  # warm compile
+        t = chain_timer(call, img512)
+        print(f"{name:28s} {t*1e3*4:7.2f} ms/Mpix  (incl. dispatch)",
+              flush=True)
+    except Exception as e:
+        print(f"{name:28s} FAILED {str(e)[:80]}", flush=True)

@@ -222,6 +222,40 @@ _STATIC_CACHE: dict = {}
 _STATIC_CACHE_MAX = 8
 
 
+def _group_shape_menu(c: int):
+    """Window shapes (K rows x W cols) for the grouped gather, smallest
+    area first. K*W*c <= 256 keeps the gathered row within 256 physical
+    u8 lanes — measured (tools/probe_gather_width.py, r5) to gather at
+    the SAME ~1.5-2.3 ns/row as a 128-lane row (512+ lanes are 6-8x
+    worse), so a row serving G output pixels cuts gather cost ~G-fold."""
+    cands = [(3, 8), (3, 12), (4, 10), (4, 16), (6, 14), (8, 10),
+             (6, 20), (8, 16), (10, 24), (12, 20), (16, 16)]
+    menu = [(k, w_) for (k, w_) in cands if k * w_ * c <= 256]
+    return sorted(menu, key=lambda s: s[0] * s[1])
+
+
+def _pick_group_plan(y0i, x0i, tw, menu):
+    """Choose (G, K, W) so every G-pixel group's clamped 2x2 anchors fit
+    a K x W window: y-span <= K-2 and x-span <= W-2 (the +2 covers the
+    bilinear x0+1/y0+1 taps). Spans are exact trace-time numpy over the
+    same clipped floors the device recomputes, so the device-side
+    anchor mins can never escape the window. None = keep the per-pixel
+    path for this (tile, sample)."""
+    th = y0i.shape[0]
+    for g in (8, 4, 2):
+        pad = (-tw) % g
+        yp = np.pad(y0i, ((0, 0), (0, pad)), mode="edge")
+        xp = np.pad(x0i, ((0, 0), (0, pad)), mode="edge")
+        yp = yp.reshape(th, -1, g)
+        xp = xp.reshape(th, -1, g)
+        need_k = int((yp.max(2) - yp.min(2)).max()) + 2
+        need_w = int((xp.max(2) - xp.min(2)).max()) + 2
+        for kk, ww in menu:
+            if kk >= need_k and ww >= need_w:
+                return (g, kk, ww)
+    return None
+
+
 def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
     """_accumulate for trace-time numpy f32 coordinates.
 
@@ -264,7 +298,13 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
         while pack * 2 * 4 * c <= 128:
             pack *= 2
     cap = int(os.environ.get("ZT_RADIAL_GROUP_ROWS", str(1 << 18)))
-    key = key + (pack, cap)
+    # Grouped-window gather (r5): u8 only (the 256-lane row budget is a
+    # byte budget; f32 rows would fit just 64 taps) and off under an
+    # explicit opt-out. Read per call, like the other knobs.
+    grouped_env = (os.environ.get("ZT_RADIAL_GROUPED", "1") == "1"
+                   and arr.dtype == jnp.uint8 and pack == 1)
+    menu = _group_shape_menu(c) if grouped_env else None
+    key = key + (pack, cap, grouped_env)
 
     cached = _STATIC_CACHE.get(key)
     if cached is None:
@@ -308,6 +348,29 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                 # gather per GROUP from a near-minimal box. Indices and
                 # weights are untouched, so bit-exactness is preserved.
                 active = [s for s in range(n_samples) if samples[s][5]]
+                # Grouped-window routing (r5): one gathered K*W*c row
+                # serves G consecutive output pixels — G-fold fewer
+                # gather rows at an unchanged per-row cost (see
+                # _group_shape_menu). Pure data movement: the window
+                # bytes a pixel extracts are exactly the clamped 2x2
+                # taps the per-pixel path gathers, so output bytes are
+                # identical (tests sweep grouped vs ungrouped).
+                gplans: dict = {}
+                if grouped_env:
+                    ungrouped = []
+                    for s in active:
+                        sx = sxs[s]
+                        sy = sys_[s]
+                        x0i = np.clip(np.floor(sx).astype(np.int64),
+                                      0, w - 1)
+                        y0i = np.clip(np.floor(sy).astype(np.int64),
+                                      0, h - 1)
+                        plan = _pick_group_plan(y0i, x0i, tw, menu)
+                        if plan is None:
+                            ungrouped.append(s)
+                        else:
+                            gplans.setdefault(plan, []).append(s)
+                    active = ungrouped
                 groups = []
                 for s in active:
                     b = samples[s][:4]
@@ -324,7 +387,8 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                             groups[-1] = (sel, (ny0, ny1, nx0, nx1))
                             continue
                     groups.append(([s], b))
-                layout.append((i0, j0, th, tw, samples, groups))
+                layout.append((i0, j0, th, tw, samples, groups,
+                               sorted(gplans.items())))
 
         u8_in = arr.dtype == jnp.uint8
 
@@ -346,15 +410,109 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                 patch = jnp.pad(patch, ((0, 0), (0, wp * pack - w),
                                         (0, 0))).reshape(h, wp, lanes)
             a = a_in.astype(jnp.float32)
+
+            # Grouped-window operands (r5): row (y, x) of wop[K, W] holds
+            # the K x W u8 window anchored at (y, x) of the edge-padded
+            # image — built once per shape as K*W fused static slices.
+            # One gathered row serves a whole G-pixel group (G-fold
+            # fewer gather rows; per-row cost is flat to 256 lanes,
+            # tools/probe_gather_width.py).
+            wops = {}
+
+            def window_operand(kk, ww):
+                if (kk, ww) not in wops:
+                    p = jnp.pad(a_in, ((0, kk - 1), (0, ww - 1), (0, 0)),
+                                mode="edge")
+                    cols = [jax.lax.slice(p, (k, j, 0), (k + h, j + w, c))
+                            for k in range(kk) for j in range(ww)]
+                    wops[(kk, ww)] = jnp.concatenate(
+                        cols, axis=-1).reshape(h * w, kk * ww * c)
+                return wops[(kk, ww)]
+
             out_rows = []
             row = []
-            for ti, (i0, j0, th, tw, samples, groups) in \
+            for ti, (i0, j0, th, tw, samples, groups, gplans) in \
                     enumerate(layout):
                 sxs = coord_args[2 * ti]
                 sys_ = coord_args[2 * ti + 1]
                 total = jnp.zeros((th, tw, c), jnp.float32)
                 count = jnp.zeros((th, tw, 1), jnp.float32)
                 n_always = 0
+                # sample -> (val, all_in, sx, sy); accumulation happens
+                # in ascending sample order below so the f32 sum order
+                # matches the reference's sequential per-sample loop
+                # exactly, whichever path produced each sample's taps.
+                vals = {}
+                for (gsz, kk, ww), sel_s in gplans:
+                    lanes_g = kk * ww * c
+                    sel = np.asarray(sel_s)
+                    sxa = sxs[sel]
+                    sya = sys_[sel]
+                    x0 = jnp.floor(sxa)
+                    y0 = jnp.floor(sya)
+                    fxs = (sxa - x0)[..., None]
+                    fys = (sya - y0)[..., None]
+                    x0g = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+                    y0g = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+                    padx = (-tw) % gsz
+                    x0p = jnp.pad(x0g, ((0, 0), (0, 0), (0, padx)),
+                                  mode="edge").reshape(
+                                      len(sel_s), th, -1, gsz)
+                    y0p = jnp.pad(y0g, ((0, 0), (0, 0), (0, padx)),
+                                  mode="edge").reshape(
+                                      len(sel_s), th, -1, gsz)
+                    # device group anchors = mins over the SAME clipped
+                    # floors the host span check used, so dy <= K-2 and
+                    # dx <= W-2 hold by construction
+                    ax = x0p.min(axis=-1)
+                    ay = y0p.min(axis=-1)
+                    lin = ay * w + ax
+                    rows = jnp.take(window_operand(kk, ww),
+                                    lin.reshape(-1), axis=0).reshape(
+                                        len(sel_s), th, -1, lanes_g)
+                    dxs = x0p - ax[..., None]
+                    dys = y0p - ay[..., None]
+                    bits_x = (ww - 2).bit_length()
+                    ln_fin = (ww + 2) * c
+                    ln_top = ln_fin + c * ((1 << bits_x) - 1)
+                    for si, s in enumerate(sel_s):
+                        r = rows[si][..., None, :]
+                        dyi = dys[si][..., None]
+                        dxi = dxs[si][..., None]
+                        # per-pixel extraction: pick the dy'th 2-row
+                        # strip, then binary-shift by dx. The where
+                        # chains fuse per OUTPUT byte (depth ~K+log2 W
+                        # selects per byte), never materializing the
+                        # broadcast window.
+                        ln_y = 2 * ww * c
+                        g = r[..., 0:ln_y]
+                        for k in range(1, kk - 1):
+                            g = jnp.where(
+                                dyi == k,
+                                r[..., k * ww * c:k * ww * c + ln_y], g)
+                        if ln_top > ln_y:
+                            g = jnp.pad(
+                                g, ((0, 0), (0, 0), (0, 0),
+                                    (0, ln_top - ln_y)))
+                        for b in reversed(range(bits_x)):
+                            ln_next = ln_fin + c * ((1 << b) - 1)
+                            sh = c * (1 << b)
+                            m = ((dxi >> b) & 1).astype(bool)
+                            g = jnp.where(m, g[..., sh:sh + ln_next],
+                                          g[..., :ln_next])
+                        g12 = jnp.concatenate(
+                            [g[..., :2 * c],
+                             g[..., ww * c:ww * c + 2 * c]], axis=-1)
+                        g12 = g12.reshape(th, tw + padx, 4 * c)[:, :tw]
+                        gf = g12.astype(jnp.float32)
+                        fx = fxs[si]
+                        fy = fys[si]
+                        v0 = (gf[..., 0:c] * (1 - fx)
+                              + gf[..., c:2 * c] * fx)
+                        v1 = (gf[..., 2 * c:3 * c] * (1 - fx)
+                              + gf[..., 3 * c:4 * c] * fx)
+                        vals[s] = (v0 * (1 - fy) + v1 * fy,
+                                   samples[s][4], sxa[si], sya[si])
                 for sel_s, (uby0, uby1, ubx0, ubx1) in groups:
                     # one batched gather from the group's union box
                     # (indices/weights identical to per-sample takes —
@@ -409,17 +567,18 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                               + g[..., c:2 * c] * fx)
                         v1 = (g[..., 2 * c:3 * c] * (1 - fx)
                               + g[..., 3 * c:4 * c] * fx)
-                        val = v0 * (1 - fy) + v1 * fy
-                        if all_in:
-                            total = total + val
-                            n_always += 1
-                        else:
-                            sx = sxa[si]
-                            sy = sya[si]
-                            inside = ((sx >= 0) & (sx < w)
-                                      & (sy >= 0) & (sy < h))[..., None]
-                            total = total + jnp.where(inside, val, 0.0)
-                            count = count + inside
+                        vals[s] = (v0 * (1 - fy) + v1 * fy,
+                                   all_in, sxa[si], sya[si])
+                for s in sorted(vals):
+                    val, all_in, sx, sy = vals[s]
+                    if all_in:
+                        total = total + val
+                        n_always += 1
+                    else:
+                        inside = ((sx >= 0) & (sx < w)
+                                  & (sy >= 0) & (sy < h))[..., None]
+                        total = total + jnp.where(inside, val, 0.0)
+                        count = count + inside
                 count = count + jnp.float32(n_always)
                 orig = jax.lax.slice(a, (i0, j0, 0), (i0 + th, j0 + tw, c))
                 res = jnp.where(count > 0,
