@@ -355,9 +355,19 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                 # bytes a pixel extracts are exactly the clamped 2x2
                 # taps the per-pixel path gathers, so output bytes are
                 # identical (tests sweep grouped vs ungrouped).
-                gplans: dict = {}
+                # Each (plan, sample) gets trace-time GROUP-ANCHOR
+                # bounds (mins of the same clipped floors the device
+                # recomputes), and same-plan samples are greedily
+                # union-boxed under a per-shape physical-row cap: the
+                # gather rate CLIFFS ~4x once the operand leaves the
+                # fast-residency regime (probe at 2^20 rows: ~10 ns/row
+                # vs 2.4-3.6 at 2^16), so boxed VMEM-scale operands —
+                # not one whole-image operand — are what keep the
+                # grouped win at megapixel sizes.
+                gplans: list = []
                 if grouped_env:
                     ungrouped = []
+                    bucket: dict = {}
                     for s in active:
                         sx = sxs[s]
                         sy = sys_[s]
@@ -368,9 +378,38 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                         plan = _pick_group_plan(y0i, x0i, tw, menu)
                         if plan is None:
                             ungrouped.append(s)
-                        else:
-                            gplans.setdefault(plan, []).append(s)
+                            continue
+                        g, _kk, _ww = plan
+                        padg = (-tw) % g
+                        ayn = np.pad(y0i, ((0, 0), (0, padg)),
+                                     mode="edge").reshape(th, -1, g).min(2)
+                        axn = np.pad(x0i, ((0, 0), (0, padg)),
+                                     mode="edge").reshape(th, -1, g).min(2)
+                        bucket.setdefault(plan, []).append(
+                            (s, (int(ayn.min()), int(ayn.max()),
+                                 int(axn.min()), int(axn.max()))))
                     active = ungrouped
+                    for plan in sorted(bucket):
+                        _g, kk, ww = plan
+                        phys = 128 * (-(-(kk * ww * c) // 128))
+                        cap_g = max(1, cap * 128 // phys)
+                        cur = None
+                        for s, (ay0, ay1, ax0, ax1) in bucket[plan]:
+                            if cur is not None:
+                                sel, (by0, by1, bx0, bx1) = cur
+                                ny0 = min(by0, ay0)
+                                ny1 = max(by1, ay1)
+                                nx0 = min(bx0, ax0)
+                                nx1 = max(bx1, ax1)
+                                if ((ny1 - ny0 + 1) * (nx1 - nx0 + 1)
+                                        <= cap_g):
+                                    sel.append(s)
+                                    cur = (sel, (ny0, ny1, nx0, nx1))
+                                    continue
+                                gplans.append((plan,) + cur)
+                            cur = ([s], (ay0, ay1, ax0, ax1))
+                        if cur is not None:
+                            gplans.append((plan,) + cur)
                 groups = []
                 for s in active:
                     b = samples[s][:4]
@@ -387,8 +426,7 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                             groups[-1] = (sel, (ny0, ny1, nx0, nx1))
                             continue
                     groups.append(([s], b))
-                layout.append((i0, j0, th, tw, samples, groups,
-                               sorted(gplans.items())))
+                layout.append((i0, j0, th, tw, samples, groups, gplans))
 
         u8_in = arr.dtype == jnp.uint8
 
@@ -411,23 +449,32 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                                         (0, 0))).reshape(h, wp, lanes)
             a = a_in.astype(jnp.float32)
 
-            # Grouped-window operands (r5): row (y, x) of wop[K, W] holds
-            # the K x W u8 window anchored at (y, x) of the edge-padded
-            # image — built once per shape as K*W fused static slices.
+            # Grouped-window operands (r5): row (y - by0, x - bx0) of a
+            # group's boxed operand holds the K x W u8 window anchored
+            # at image position (y, x) — built per union-box group as
+            # K*W fused static slices of one shared edge-padded image.
             # One gathered row serves a whole G-pixel group (G-fold
-            # fewer gather rows; per-row cost is flat to 256 lanes,
-            # tools/probe_gather_width.py).
-            wops = {}
+            # fewer gather rows; per-row cost is flat to 256 lanes),
+            # and the union boxes keep every operand under the cap so
+            # the gather rate stays in the fast-residency regime
+            # (tools/probe_gather_width.py: ~10 ns/row at 2^20 operand
+            # rows vs 2.4-3.6 at 2^16 — a whole-image operand at 1 MPix
+            # forfeits most of the grouped win).
+            kmax = max((pl[1] for t in layout for (pl, _, _) in t[6]),
+                       default=0)
+            wmax = max((pl[2] for t in layout for (pl, _, _) in t[6]),
+                       default=0)
+            pwin = (jnp.pad(a_in, ((0, kmax - 1), (0, wmax - 1), (0, 0)),
+                            mode="edge") if kmax else None)
 
-            def window_operand(kk, ww):
-                if (kk, ww) not in wops:
-                    p = jnp.pad(a_in, ((0, kk - 1), (0, ww - 1), (0, 0)),
-                                mode="edge")
-                    cols = [jax.lax.slice(p, (k, j, 0), (k + h, j + w, c))
-                            for k in range(kk) for j in range(ww)]
-                    wops[(kk, ww)] = jnp.concatenate(
-                        cols, axis=-1).reshape(h * w, kk * ww * c)
-                return wops[(kk, ww)]
+            def window_operand(kk, ww, by0, bx0, bh, bw_):
+                sl = jax.lax.slice(
+                    pwin, (by0, bx0, 0),
+                    (by0 + bh + kk - 1, bx0 + bw_ + ww - 1, c))
+                cols = [jax.lax.slice(sl, (k, j, 0), (k + bh, j + bw_, c))
+                        for k in range(kk) for j in range(ww)]
+                return jnp.concatenate(
+                    cols, axis=-1).reshape(bh * bw_, kk * ww * c)
 
             out_rows = []
             row = []
@@ -443,8 +490,10 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                 # matches the reference's sequential per-sample loop
                 # exactly, whichever path produced each sample's taps.
                 vals = {}
-                for (gsz, kk, ww), sel_s in gplans:
+                for (gsz, kk, ww), sel_s, (by0, by1, bx0, bx1) in gplans:
                     lanes_g = kk * ww * c
+                    bh = by1 - by0 + 1
+                    bw_ = bx1 - bx0 + 1
                     sel = np.asarray(sel_s)
                     sxa = sxs[sel]
                     sya = sys_[sel]
@@ -462,12 +511,13 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
                                   mode="edge").reshape(
                                       len(sel_s), th, -1, gsz)
                     # device group anchors = mins over the SAME clipped
-                    # floors the host span check used, so dy <= K-2 and
-                    # dx <= W-2 hold by construction
+                    # floors the host span/box check used, so dy <= K-2,
+                    # dx <= W-2, and box membership hold by construction
                     ax = x0p.min(axis=-1)
                     ay = y0p.min(axis=-1)
-                    lin = ay * w + ax
-                    rows = jnp.take(window_operand(kk, ww),
+                    lin = (ay - by0) * bw_ + (ax - bx0)
+                    rows = jnp.take(window_operand(kk, ww, by0, bx0,
+                                                   bh, bw_),
                                     lin.reshape(-1), axis=0).reshape(
                                         len(sel_s), th, -1, lanes_g)
                     dxs = x0p - ax[..., None]
