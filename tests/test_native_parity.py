@@ -185,13 +185,22 @@ def test_host_resize_bit_identical_to_device(fallback):
                 got_numpy = host_resize_u8(src, oh, ow, method)
             finally:
                 restore(saved)
-            # all six methods bit-identical — Lanczos included: the
-            # host paths reproduce XLA's fma contraction exactly
-            # (rounded f32 weight mul + fmaf accumulate)
-            assert np.array_equal(got_native, want), \
-                (h, w, c, oh, ow, method)
-            assert np.array_equal(got_numpy, want), \
-                (h, w, c, oh, ow, method)
+            if method == Interpolation.LANCZOS:
+                # float-weight path: the fmaf host twin matches the CPU
+                # XLA backend at these shapes, but ON TPU the fma
+                # contraction is SHAPE-DEPENDENT (audit r5: exact at
+                # 222x257->111x128, +-1 on isolated pixels at
+                # 623x881->400x560) — so the cross-backend contract is
+                # +-1, and Image.resize auto placement excludes Lanczos
+                for got in (got_native, got_numpy):
+                    d = np.abs(got.astype(int) - want.astype(int))
+                    assert d.max() <= 1, (h, w, c, oh, ow, method)
+                    assert (d > 0).mean() < 1e-3, (h, w, c, oh, ow, method)
+            else:
+                assert np.array_equal(got_native, want), \
+                    (h, w, c, oh, ow, method)
+                assert np.array_equal(got_numpy, want), \
+                    (h, w, c, oh, ow, method)
 
 
 def test_image_resize_placement_host_matches_device():

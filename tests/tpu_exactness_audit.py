@@ -296,11 +296,13 @@ def main():
     print("fused ORB matches host oracle on TPU:", ok, flush=True)
     fails += not ok
 
-    # 17) host-placement resize == device resize bytes, all six methods.
-    # Lanczos exercises the fmaf host accumulate vs XLA's fma
-    # contraction ON SILICON over ~750k output samples (two sizes, down
-    # + up) — large enough that a contraction mismatch (~1e-5 flip
-    # rate, r2 measurement) would show with overwhelming probability.
+    # 17) host-placement resize == device resize bytes for the five
+    # integer-exact methods; Lanczos (float weights) holds a +-1 /
+    # <1e-3-rate contract instead — measured r5 ON SILICON: XLA's fma
+    # contraction of the float accumulate is SHAPE-DEPENDENT (the fmaf
+    # host twin is exact at 222x257->111x128 but +-1 on isolated
+    # pixels at 623x881->400x560 and ->450x520), which is why
+    # Image.resize auto placement excludes Lanczos (image.py).
     from zignal_tpu.ops.host_resize import host_resize_u8
     for (h17, w17, oh17, ow17) in ((222, 257, 111, 128),
                                    (623, 881, 400, 560),
@@ -311,9 +313,17 @@ def main():
                     Interpolation.MITCHELL, Interpolation.LANCZOS):
             got = host_resize_u8(a17, oh17, ow17, m17)
             want = np.asarray(resize(jax.device_put(a17), oh17, ow17, m17))
-            ok = np.array_equal(got, want)
-            print(f"host resize == device resize ({m17.name} "
-                  f"{h17}x{w17}->{oh17}x{ow17}):", ok, flush=True)
+            if m17 == Interpolation.LANCZOS:
+                d17 = np.abs(got.astype(np.int32) - want.astype(np.int32))
+                ok = d17.max() <= 1 and (d17 > 0).mean() < 1e-3
+                print(f"host resize +-1 of device (LANCZOS "
+                      f"{h17}x{w17}->{oh17}x{ow17}): max|d|="
+                      f"{int(d17.max())} rate={(d17 > 0).mean():.2e} ->",
+                      ok, flush=True)
+            else:
+                ok = np.array_equal(got, want)
+                print(f"host resize == device resize ({m17.name} "
+                      f"{h17}x{w17}->{oh17}x{ow17}):", ok, flush=True)
             fails += not ok
 
     # 18) fused filter-chain Pallas kernel (compiled Mosaic path)

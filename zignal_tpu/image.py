@@ -465,11 +465,17 @@ class Image:
 
             nb_in = self._np.nbytes
             nb_out = rows * cols * self._np.shape[2]
-            # every host method is bit-identical to the device lowering
-            # (Lanczos included: fmaf accumulate reproduces XLA's fma
-            # contraction — host_resize.py docstring), so auto placement
-            # never changes output bytes
-            if host_resize_available(method) and prefer_host(
+            # auto placement must never change output bytes. The five
+            # integer-exact methods are bit-identical host vs device;
+            # Lanczos is NOT — XLA's fma contraction of its float
+            # accumulate is SHAPE-DEPENDENT on TPU (audit r5: the fmaf
+            # host twin matches at 222x257->111x128 but not at
+            # 623x881->400x560 or ->450x520, +-1 on isolated pixels),
+            # so Lanczos routes host only under an explicit
+            # ZT_PLACEMENT=host
+            auto_ok = (method is not Interpolation.LANCZOS
+                       or os.environ.get("ZT_PLACEMENT") == "host")
+            if auto_ok and host_resize_available(method) and prefer_host(
                     nb_in, nb_out,
                     (nb_in + nb_out) / self._np.shape[2] / 1e6
                     * HOST_COST[method]):

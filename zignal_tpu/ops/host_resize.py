@@ -9,13 +9,15 @@ ops/interpolation.py exactly — same f32 align-centers coordinates
 (channel_ops.zig:144-191 semantics), 8.8 fixed-point weights with
 truncation, mirror borders, >>16 truncating divide — so placement is
 invisible in the output bytes for the integer-exact methods (nearest,
-bilinear, and the cubic family). Lanczos uses float weights; XLA
-contracts its multiply-add chain into FMAs, and the host paths
-reproduce that lowering exactly (rounded f32 weight product + fmaf
-accumulate — native via __builtin_fmaf, numpy via exact f64
-emulation), so Lanczos placement is bit-invisible as well
-(tests/test_native_parity.py asserts array_equal for all six methods;
-tpu_exactness_audit check 17 re-proves it on chip).
+bilinear, and the cubic family). Lanczos uses float weights; the host
+paths emulate an fma-contracted accumulate (native via
+__builtin_fmaf, numpy via exact f64 emulation), which matches the CPU
+XLA backend and SOME TPU shapes — but XLA's fma contraction on TPU is
+SHAPE-DEPENDENT (audit r5: exact at 222x257->111x128, +-1 on isolated
+pixels at 623x881->400x560 and ->450x520). The cross-backend Lanczos
+contract is therefore +-1 with <1e-3 mismatch rate, and Image.resize
+auto placement EXCLUDES Lanczos (host only under an explicit
+ZT_PLACEMENT=host) so placement never changes output bytes.
 """
 
 from __future__ import annotations
