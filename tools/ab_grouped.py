@@ -58,11 +58,14 @@ def main():
         mode = "zoom" if zoom else "spin"
         calls = {}
         ref = None
-        for name, env in (("perpix", "0"), ("grouped", "1")):
+        for name, env, g16 in (("perpix", "0", "0"), ("grouped", "1", "0"),
+                               ("g16", "1", "1")):
             os.environ["ZT_RADIAL_GROUPED"] = env
+            os.environ["ZT_RADIAL_G16"] = g16
 
-            def call(a, env=env):
+            def call(a, env=env, g16=g16):
                 os.environ["ZT_RADIAL_GROUPED"] = env
+                os.environ["ZT_RADIAL_G16"] = g16
                 return mb.radial_blur(a, 0.5, 0.5, strength, zoom)
 
             t0 = time.perf_counter()
@@ -90,6 +93,7 @@ def main():
                               "best_ms_per_mpix":
                               round(t * 1e3 * scale, 2)}), flush=True)
     os.environ.pop("ZT_RADIAL_GROUPED", None)
+    os.environ.pop("ZT_RADIAL_G16", None)
 
 
 if __name__ == "__main__":

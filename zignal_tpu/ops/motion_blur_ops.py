@@ -230,8 +230,23 @@ def _group_shape_menu(c: int):
     worse), so a row serving G output pixels cuts gather cost ~G-fold."""
     cands = [(3, 8), (3, 12), (4, 10), (4, 16), (6, 14), (8, 10),
              (6, 20), (8, 16), (10, 24), (12, 20), (16, 16)]
+    if _g16_enabled():
+        # shallow-wide shapes for G=16 groups (x-span <= 16+2)
+        cands += [(3, 18), (3, 20), (4, 18), (3, 28), (4, 24)]
     menu = [(k, w_) for (k, w_) in cands if k * w_ * c <= 256]
     return sorted(menu, key=lambda s: s[0] * s[1])
+
+
+def _g16_enabled() -> bool:
+    """G=16 grouping (halves gather rows again for samples whose 16-px
+    x-span fits a window) is bit-exact (pure data movement, CPU oracle
+    tests) but MEASURED SLOWER on chip (tools/ab_grouped.py, r5,
+    interleaved minima over 4 rounds at 512^2 @ 24 samples): zoom 42.4
+    vs 35.1 ms/MPix, spin 38.9 vs 25.4 for plain grouped — the wider-W
+    rows' extra log2(W) shift-select levels cost more than the halved
+    gather rows save, the same failure mode as the packed layout (r4).
+    Kept off; the knob exists so the A/B stays reproducible."""
+    return os.environ.get("ZT_RADIAL_G16", "0") == "1"
 
 
 def _pick_group_plan(y0i, x0i, tw, menu):
@@ -242,7 +257,7 @@ def _pick_group_plan(y0i, x0i, tw, menu):
     anchor mins can never escape the window. None = keep the per-pixel
     path for this (tile, sample)."""
     th = y0i.shape[0]
-    for g in (8, 4, 2):
+    for g in ((16, 8, 4, 2) if _g16_enabled() else (8, 4, 2)):
         pad = (-tw) % g
         yp = np.pad(y0i, ((0, 0), (0, pad)), mode="edge")
         xp = np.pad(x0i, ((0, 0), (0, pad)), mode="edge")
@@ -304,7 +319,7 @@ def _accumulate_static(arr, sample_fn_np, n_samples, key, tile: int = 256):
     grouped_env = (os.environ.get("ZT_RADIAL_GROUPED", "1") == "1"
                    and arr.dtype == jnp.uint8 and pack == 1)
     menu = _group_shape_menu(c) if grouped_env else None
-    key = key + (pack, cap, grouped_env)
+    key = key + (pack, cap, grouped_env, grouped_env and _g16_enabled())
 
     cached = _STATIC_CACHE.get(key)
     if cached is None:
