@@ -838,18 +838,25 @@ def main():
     # retry re-probes first and its lines carry "retried": true.
     _PRIORITY = ("north_star", "filter_fusion", "colorspace", "fdm",
                  "features", "codec_roundtrip")
-    for name in sorted(set(salvage), key=_PRIORITY.index):
+    pending = sorted(set(salvage), key=_PRIORITY.index)
+    while pending:
         remaining = deadline - time.time()
         if remaining < 90:
             break
         healthy = _probe_tunnel(timeout_s=min(60, max(10, remaining / 10)))
         if not healthy:
-            # still stalled — later salvage entries would only burn the
-            # probe budget against the same dead tunnel
-            print(json.dumps({"note": f"salvage probe for {name} failed;"
-                              " tunnel still stalled"}),
+            # still stalled — but do NOT give up: stall windows clear
+            # within minutes (r4 and r5 both saw the tunnel recover
+            # MID-bench), so sleep briefly and re-probe for as long as
+            # the budget allows instead of abandoning the retries on
+            # the first dead probe.
+            print(json.dumps({"note": f"salvage probe for {pending[0]} "
+                              "failed; tunnel still stalled — will "
+                              "re-probe while budget remains"}),
                   file=sys.stderr, flush=True)
-            break
+            time.sleep(min(45, max(5, (deadline - time.time()) / 8)))
+            continue
+        name = pending.pop(0)
         nominal = 600 if name == "north_star" else 400
         t_limit = max(60, min(nominal, deadline - time.time() - 15))
         env = dict(os.environ, _ZT_BENCH_CHILD=name)
