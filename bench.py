@@ -305,7 +305,12 @@ def _transcendental_rates(jax, jnp):
     u = jax.device_put(
         rng.integers(0, 256, (4, _DIM, _DIM), dtype=np.uint8))
     elems = u.size
-    loops = (1, 3) if _SMOKE else (2, 30)
+    # a single transcendental over 4M elems is ~30-60 us/iter, so the
+    # loop counts must be ~20x the other configs' to push the
+    # differenced signal past tunnel jitter (r5: loops of (2,30) put
+    # ~1 ms of signal under ~ms noise and measured NEGATIVE pow/exp
+    # rates; the r2 rule is a differenced signal of >= ~8 ms)
+    loops = (1, 3) if _SMOKE else (4, 516)
     rates = {}
     for name, op in (
             ("pow", lambda v: v ** 2.4),
@@ -317,6 +322,9 @@ def _transcendental_rates(jax, jnp):
             v = (xi.astype(jnp.float32) + 1.0) * (1.0 / 256.0)
             return op(v)
         per = device_loop_timer(jax, jnp, step, u, *loops)
+        if per <= 0:  # contention swamped the signal: no honest rate
+            raise RuntimeError(f"non-positive {name} rate "
+                               f"({per * 1e6:.0f} us/iter)")
         rates[name] = elems / per
     return rates
 
@@ -378,7 +386,12 @@ def bench_colorspace(jax, jnp):
                 round(npix / t_bound / 1e9, 2) if t_bound else None,
             "pct_transcendental_roofline":
                 round(100 * t_bound / per_iter, 1) if t_bound else None,
-            "bound_by": "vpu transcendentals (pow/cbrt/exp)",
+            # r5 measurement: the chain runs at ~39% of the pure-
+            # transcendental bound — the other ~60% is the config's
+            # equalize/autocontrast histogram+LUT MXU passes and the
+            # u8 fixed-point color mixes, not waste in the pow/cbrt
+            "bound_by": "vpu transcendentals (pow/cbrt/exp) + "
+                        "histogram/LUT MXU passes (equalize+autocontrast)",
         }
     except Exception as e:  # census is diagnostic: never kill the config
         extra = {"roofline_error": str(e)[:120]}
@@ -517,7 +530,10 @@ def bench_features_stretch():
     # detect_and_compute_batch) so the ~6 ms dispatch + tunnel latency
     # amortizes across the batch (VERDICT r4 #5) — per-image device
     # compute is unchanged (orb_device_ms_per_image below)
-    k_batch = 4 if _SMOKE else 16
+    # k=8 (not 16): halves the vmapped-ORB warm compile through the
+    # tunnel — r5's 20-min run starved this config at its 245 s budget
+    # clamp with k=16; amortization is already ~flat past 8 images
+    k_batch = 4 if _SMOKE else 8
     corpus = [img, rot] + [Image.from_numpy(synth_photo(
         dim, dim, seed=50 + i)) for i in range(k_batch - 2)]
     results = orb.detect_and_compute_batch(corpus)  # warm (compiles)
@@ -620,8 +636,11 @@ def bench_features_stretch():
          tunnel_roundtrip_ms_per_image=t_link_ms)
 
 
+# features runs BEFORE fdm: it has the heaviest warm compile (vmapped
+# fused ORB), so giving it the earlier slot leaves the lighter fdm
+# config as the one that inherits a starved end-of-budget window
 _CONFIGS = ("north_star", "codec_roundtrip", "colorspace",
-            "filter_fusion", "fdm", "features")
+            "filter_fusion", "features", "fdm")
 
 # canonical metric names, so skip lines carry the same metric string the
 # real run would (the artifact stays parseable per-config either way)
