@@ -746,19 +746,6 @@ def _emit_child_lines(text, extra=None):
     return n
 
 
-def _probe_escalating(timeouts):
-    """Probe with each timeout in turn until one passes. A fresh
-    process's FIRST device op pays a ~100 s tunnel cold-start in slow
-    windows (measured r5: first roundtrip 100.5 s, warm roundtrip
-    0.0 s, new-shape 0.5 s in the SAME process) — a single 60-90 s cap
-    misclassifies those windows as dead while the 400-600 s config
-    children would in fact complete."""
-    for t in timeouts:
-        if t >= 10 and _probe_tunnel(timeout_s=t):
-            return True
-    return False
-
-
 def _run_child(here, name, t_limit, extra=None):
     """Run one config in a killable child and re-emit its JSON lines
     (merged with ``extra``). Returns (got_data, timed_out). A child
@@ -797,158 +784,177 @@ def _emit_skip(name, reason):
     emit(_METRIC_NAMES[name], None, "skipped", None, skipped=reason)
 
 
-def main():
-    """Parent driver. Contract (VERDICT r3 #1): ALWAYS exits 0 with one
-    JSON line per config — a measured value, an error line, or an
-    explicit skip — and NEVER exceeds the total wall budget
-    (ZT_BENCH_TOTAL_MINUTES, default 20), whatever the tunnel does.
-    Round 3's artifact was empty because a dead tunnel plus 20-40 min
-    per-config timeouts overran the driver's own kill timer."""
-    only = os.environ.get("_ZT_BENCH_CHILD")  # parent->child protocol
-    if only:  # child mode: one config, in-process, no probe
-        if only not in _CONFIGS:
-            print(f"unknown bench config {only!r}; expected one of "
-                  f"{_CONFIGS}", file=sys.stderr)
-            return 2
-        _run_config(only)
+def _worker(names):
+    """Worker child (_ZT_BENCH_WORKER): run the listed configs
+    sequentially IN ONE PROCESS, emitting each config's JSON lines and
+    then a {"__done__": name} sentinel.
+
+    Why a persistent worker: a fresh process's FIRST device op through
+    the axon tunnel costs anywhere from 26 to 280 s in slow windows
+    (measured r5, same-minute back-to-back probes) while warm ops in
+    the same process run in milliseconds — per-config child processes
+    pay that cold start per CONFIG and can starve the whole budget, and
+    concurrent probe processes make each other slower. One process pays
+    it once; the {"__session__": seconds} line after a tiny warmup
+    roundtrip tells the parent the tunnel is alive at all."""
+    t0 = time.time()
+    try:
+        import jax
+        if os.environ.get("JAX_PLATFORMS") == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        np.asarray(jax.device_put(np.ones((8, 8), np.float32)) + 1)
+    except Exception as e:
+        print(json.dumps({"__session__": None, "error": repr(e)[:200]}),
+              flush=True)
         return
+    print(json.dumps({"__session__": round(time.time() - t0, 1)}),
+          flush=True)
+    for name in names:
+        if name in _CONFIGS:
+            try:
+                _run_config(name)
+            except BaseException as e:  # keep later configs alive
+                emit(_METRIC_NAMES[name], None, "error", None,
+                     error=repr(e)[:200])
+        print(json.dumps({"__done__": name}), flush=True)
 
-    total_min = float(os.environ.get("ZT_BENCH_TOTAL_MINUTES", "20"))
-    deadline = time.time() + total_min * 60
-    on_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
-    device_free = _SMOKE or on_cpu  # no tunnel involved at all
 
-    # Quick initial probe (bounded). A dead tunnel does NOT block the
-    # host-feasible configs, and it is re-probed before each device
-    # config so a recovering tunnel gets picked up mid-run.
-    healthy = True
-    if not device_free:
-        # two attempts, the second with a longer leash: the FIRST probe
-        # after a heavy tunnel user exits reliably times out while the
-        # tunnel drains (r4), and slow-start windows put the per-process
-        # cold start right at ~100 s (r5) — see _probe_escalating
-        budget = deadline - time.time()
-        healthy = _probe_escalating([
-            min(90, max(15, budget / 8)),
-            min(165, max(15, budget / 7))])
-        if not healthy:
-            print(json.dumps({"note": "initial tunnel probe failed; "
-                              "device configs will re-probe and skip "
-                              "explicitly if still stalled"}),
-                  file=sys.stderr, flush=True)
+def _worker_pass(here, names, deadline, tag=None, session_cap=300.0):
+    """Drive `names` through a persistent worker, enforcing per-config
+    deadlines from the parent (a hung in-process fetch can never be
+    cancelled, so stalls are handled by killing the worker). Returns
+    (no_data, not_attempted, tunnel_suspect):
 
+    - no_data: configs attempted but with no data line (an error line
+      was emitted for each; retryable),
+    - not_attempted: configs never started (no line of any kind),
+    - tunnel_suspect: True when the pass ended on a silent stall (no
+      session sentinel within session_cap, or a config timeout with
+      zero output) — the caller should probe before trying again.
+
+    A config that produced data but no __done__ sentinel (e.g. the
+    worker hung in teardown) counts as captured; the worker is killed
+    and restarted for the remaining configs."""
+    import collections
+    import queue as queue_mod
     import subprocess
-    here = os.path.abspath(__file__)
-    salvage = []  # device configs with NO data line yet (VERDICT r4 #1)
-    for i, name in enumerate(_CONFIGS):
-        remaining = deadline - time.time()
-        if remaining < 45:
-            _emit_skip(name, f"total bench budget ({total_min:.0f} min) "
-                             "exhausted")
-            continue
+    import threading
 
-        needs_device = (name in _NEEDS_DEVICE) and not device_free
-        if needs_device and not healthy:
-            # re-probe: a tunnel that recovered since the last failure
-            # gets picked up; with plenty of budget left allow a second
-            # attempt with a cold-start-sized leash (transient drain /
-            # slow-start windows clear within minutes)
-            attempts = [min(60, max(10, remaining / 10))]
-            if remaining > 480:
-                attempts.append(min(150, max(10, remaining / 5)))
-            healthy = _probe_escalating(attempts)
-            remaining = deadline - time.time()
-            if not healthy:
-                _emit_skip(name, "tunnel stalled (probe timed out)")
-                salvage.append(name)
-                continue
+    no_data = []
+    idx = 0
+    while idx < len(names):
+        if deadline - time.time() < 45:
+            return no_data, list(names[idx:]), False
+        batch = names[idx:]
+        env = dict(os.environ, _ZT_BENCH_WORKER=",".join(batch))
+        proc = subprocess.Popen([sys.executable, here], env=env,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True)
+        q = queue_mod.Queue()
+        err_tail = collections.deque(maxlen=40)
 
-        # a recovered tunnel first pays back the HEADLINE: if
-        # north_star was skipped earlier and the tunnel looks alive
-        # now, retry it immediately instead of hoping budget survives
-        # to the salvage pass (r5 rehearsal: fdm ate the final 400 s
-        # of budget and the skipped headline never ran)
-        if ("north_star" in salvage and healthy and not device_free
-                and remaining > 330):
-            salvage.remove("north_star")
-            n_here = len(_CONFIGS) - i
-            t_head = max(60, min(600, remaining - 45 * n_here - 15))
-            got, timed_out = _run_child(here, "north_star", t_head,
-                                        extra={"retried": True})
-            if timed_out:
-                healthy = False
-                if not got:
-                    salvage.append("north_star")
-                remaining = deadline - time.time()
-                if remaining < 45:
-                    _emit_skip(name, f"total bench budget "
-                                     f"({total_min:.0f} min) exhausted")
-                    if needs_device:
-                        salvage.append(name)
+        def _drain_out(p=proc, q=q):
+            for ln in p.stdout:
+                q.put(ln)
+            q.put(None)
+
+        def _drain_err(p=proc, buf=err_tail):
+            for ln in p.stderr:
+                buf.append(ln)
+
+        threading.Thread(target=_drain_out, daemon=True).start()
+        threading.Thread(target=_drain_err, daemon=True).start()
+
+        def _next_obj(t_deadline):
+            """Next parsed JSON object from the worker, or 'eof'/None."""
+            while time.time() < t_deadline:
+                try:
+                    ln = q.get(timeout=min(
+                        5.0, max(0.1, t_deadline - time.time())))
+                except queue_mod.Empty:
                     continue
-                if needs_device:
-                    # the headline retry stalled; re-probe before
-                    # spending this config's cap on the same window
-                    if not _probe_escalating(
-                            [min(60, max(10, remaining / 10))]):
-                        _emit_skip(name,
-                                   "tunnel stalled (probe timed out)")
-                        salvage.append(name)
-                        continue
-                    healthy = True
+                if ln is None:
+                    return "eof"
+                try:
+                    obj = json.loads(ln.strip())
+                except ValueError:
+                    continue
+                if isinstance(obj, dict):
+                    return obj
+            return None
+
+        # session warmup: the worker's first device roundtrip IS the
+        # tunnel probe — no separate probe processes (they contend)
+        sess_deadline = time.time() + min(session_cap,
+                                          max(60, deadline - time.time()))
+        obj = _next_obj(sess_deadline)
+        if not (isinstance(obj, dict) and obj.get("__session__")
+                is not None):
+            proc.kill()
+            return no_data, list(batch), True
+
+        restart = tunnel_suspect = False
+        for j, name in enumerate(batch):
             remaining = deadline - time.time()
-
-        # per-config cap, clamped so this config can never eat the
-        # whole remaining budget when others still wait (later configs
-        # inherit whatever is left; a child killed at its cap still has
-        # its already-emitted JSON lines salvaged below)
-        nominal = 600 if name == "north_star" else 400
-        if _SMOKE:
-            nominal = 300
-        n_left = len(_CONFIGS) - i - 1
-        t_limit = max(60, min(nominal, remaining - 45 * n_left - 15))
-        got, timed_out = _run_child(here, name, t_limit)
-        if timed_out:
-            if not got and needs_device:
-                salvage.append(name)
-            if needs_device:
-                healthy = False  # force a re-probe before the next one
-
-    # Salvage pass (VERDICT r4 #1): r4's artifact proved the tunnel can
-    # recover MID-bench — the last config ran while four earlier skips
-    # stood. Retry every device config that produced no data, in
-    # headline-priority order, for as long as budget remains; each
-    # retry re-probes first and its lines carry "retried": true.
-    _PRIORITY = ("north_star", "filter_fusion", "colorspace", "fdm",
-                 "features", "codec_roundtrip")
-    pending = sorted(set(salvage), key=_PRIORITY.index)
-    while pending:
-        remaining = deadline - time.time()
-        if remaining < 90:
+            if remaining < 45:
+                break
+            nominal = 600 if name == "north_star" else 400
+            if _SMOKE:
+                nominal = 300
+            n_left = len(batch) - j - 1
+            t_limit = max(60, min(nominal, remaining - 45 * n_left - 15))
+            cfg_deadline = time.time() + t_limit
+            got = done = eof = False
+            while True:
+                obj = _next_obj(cfg_deadline)
+                if obj is None:
+                    break
+                if obj == "eof":
+                    eof = True
+                    break
+                if "__done__" in obj:
+                    if obj["__done__"] == name:
+                        done = True
+                    break
+                if "__session__" in obj:
+                    continue
+                if tag:
+                    obj.update(tag)
+                _EMITTED.append(obj)
+                print(json.dumps(obj), flush=True)
+                if (obj.get("metric") == _METRIC_NAMES.get(name)
+                        and obj.get("value") is not None):
+                    got = True
+            idx += 1
+            if done:
+                continue
+            # config deadline passed, or the worker died mid-config
+            if not got:
+                why = ("worker exited" if eof
+                       else f"timeout after {t_limit:.0f}s (tunnel stall?)")
+                tail = "".join(err_tail)[-200:].strip()
+                emit(_METRIC_NAMES[name], None, "error", None,
+                     error=why + (f": {tail}" if eof and tail else ""),
+                     **(tag or {}))
+                no_data.append(name)
+                tunnel_suspect = not eof
+            restart = True
             break
-        healthy = _probe_tunnel(
-            timeout_s=min(150, max(20, remaining / 6)))
-        if not healthy:
-            # still stalled — but do NOT give up: stall windows clear
-            # within minutes (r4 and r5 both saw the tunnel recover
-            # MID-bench), so sleep briefly and re-probe for as long as
-            # the budget allows instead of abandoning the retries on
-            # the first dead probe.
-            print(json.dumps({"note": f"salvage probe for {pending[0]} "
-                              "failed; tunnel still stalled — will "
-                              "re-probe while budget remains"}),
-                  file=sys.stderr, flush=True)
-            time.sleep(min(45, max(5, (deadline - time.time()) / 8)))
-            continue
-        name = pending.pop(0)
-        nominal = 600 if name == "north_star" else 400
-        t_limit = max(60, min(nominal, deadline - time.time() - 15))
-        _run_child(here, name, t_limit, extra={"retried": True})
+        proc.kill()  # also reaps a worker idling in backend teardown
+        if not restart:
+            return no_data, list(names[idx:]), False
+        if tunnel_suspect:
+            # silent stall: hand the remaining configs back so the
+            # caller can probe/wait instead of burning their caps on
+            # the same dead window
+            return no_data, list(names[idx:]), True
+    return no_data, [], False
 
-    # Final summary line: the driver treats the LAST emitted line as
-    # THE bench metric, so close with the headline (the north star when
-    # captured, the sustained codec stream otherwise) rather than
-    # whatever config happened to run last.
+
+def _summary():
+    """Close the artifact with the headline metric: the driver treats
+    the LAST line as THE bench number, so it must not be whatever
+    config happened to run last."""
     def _best(key):
         want = _METRIC_NAMES[key]
         for obj in reversed(_EMITTED):
@@ -961,6 +967,98 @@ def main():
         line = dict(head)
         line["summary"] = True
         print(json.dumps(line), flush=True)
+
+
+def main():
+    """Parent driver. Contract (VERDICT r3 #1): ALWAYS exits 0 with one
+    JSON line per config — a measured value, an error line, or an
+    explicit skip — and NEVER exceeds the total wall budget
+    (ZT_BENCH_TOTAL_MINUTES, default 20), whatever the tunnel does.
+    All configs ride ONE persistent worker (_worker_pass) so the
+    26-280 s per-process tunnel cold start is paid once, not per
+    config; the worker's session sentinel doubles as the tunnel probe,
+    and silent stalls fall back to a probe-gated salvage loop."""
+    only = os.environ.get("_ZT_BENCH_CHILD")  # parent->child protocol
+    if only:  # child mode: one config, in-process, no probe
+        if only not in _CONFIGS:
+            print(f"unknown bench config {only!r}; expected one of "
+                  f"{_CONFIGS}", file=sys.stderr)
+            return 2
+        _run_config(only)
+        return
+
+    worker = os.environ.get("_ZT_BENCH_WORKER")
+    if worker:  # parent->worker protocol
+        _worker([n for n in worker.split(",") if n])
+        return
+
+    total_min = float(os.environ.get("ZT_BENCH_TOTAL_MINUTES", "20"))
+    deadline = time.time() + total_min * 60
+    here = os.path.abspath(__file__)
+
+    def _note(msg):
+        print(json.dumps({"note": msg}), file=sys.stderr, flush=True)
+
+    no_data, not_run, suspect = _worker_pass(here, list(_CONFIGS),
+                                             deadline)
+    if suspect:
+        _note("worker stalled before/at "
+              f"{(not_run or ['?'])[0]}; falling back to probe-gated "
+              "retries")
+
+    # the codec config never needs the tunnel — if the worker died
+    # before reaching it, run it as its own child right away
+    if "codec_roundtrip" in not_run and deadline - time.time() > 105:
+        not_run.remove("codec_roundtrip")
+        _run_child(here, "codec_roundtrip",
+                   max(60, min(400, deadline - time.time() - 90)))
+
+    # Salvage (VERDICT r4 #1): retry device configs that produced no
+    # data, headline first, for as long as budget remains. Probe-gated:
+    # after a silent stall the cheap way to wait out the window is a
+    # killable probe, not another worker burning config caps. Each
+    # config gets at most 3 attempts total so a crash-looping config
+    # cannot spam the artifact.
+    _PRIORITY = ("north_star", "filter_fusion", "colorspace", "fdm",
+                 "features", "codec_roundtrip")
+    pending = sorted(set(no_data) | set(not_run), key=_PRIORITY.index)
+    tries = {name: 1 if name in no_data else 0 for name in pending}
+    sess_fails = 0  # consecutive worker deaths before ANY config ran
+    while pending:
+        remaining = deadline - time.time()
+        if remaining < 90:
+            break
+        if suspect and not _probe_tunnel(
+                timeout_s=min(150, max(20, remaining / 6))):
+            _note(f"salvage probe for {pending[0]} failed; tunnel still "
+                  "stalled — will re-probe while budget remains")
+            time.sleep(min(45, max(5, (deadline - time.time()) / 8)))
+            continue
+        nd, nr, suspect = _worker_pass(here, pending, deadline,
+                                       tag={"retried": True})
+        attempted = [n for n in pending if n not in nr]
+        if not attempted:
+            # the worker died during session warmup even though the
+            # probe passed — something beyond a tunnel stall; bounded
+            sess_fails += 1
+            if sess_fails >= 3:
+                break
+        else:
+            sess_fails = 0
+        for name in attempted:
+            tries[name] += 1
+        pending = sorted((set(nd) | set(nr)) & {
+            n for n in tries if tries[n] < 3}, key=_PRIORITY.index)
+
+    # contract sweep: any config that never produced a line of any kind
+    # gets an explicit skip so the artifact stays one-line-per-config
+    seen = {obj.get("metric") for obj in _EMITTED}
+    for name in _CONFIGS:
+        if _METRIC_NAMES[name] not in seen:
+            _emit_skip(name, "tunnel stalled (no healthy window within "
+                             f"the {total_min:.0f} min budget)")
+
+    _summary()
     return 0
 
 
