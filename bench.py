@@ -183,7 +183,17 @@ def bench_north_star(jax, jnp):
          pct_hbm_roofline=round(100 * hbm_gb_s / _V5E_HBM_GB_S, 1),
          mxu_tflops=round(2 * macs / t_iter / 1e12, 3),
          bound_by="vpu (u8 resample/blur stages + oklab transcendentals"
-                  "; HBM and MXU both far from peak)")
+                  "; HBM and MXU both far from peak)",
+         # BASELINE.md's target is AGGREGATE v5e-8 throughput; only one
+         # chip is reachable here. Linear scaling is justified, not
+         # assumed: the batch-sharded container ops compile
+         # collective-free on a 1-D mesh (HLO asserted,
+         # tests/test_image_batch.py) and dryrun_multichip(8) executes
+         # the full sharded step every round (MULTICHIP_r*.json)
+         v5e8_aggregate_projection_gpix_s=round(8 * gpix, 1),
+         projection_basis="8x single-chip: batch-parallel mesh, "
+                          "HLO-asserted collective-free, 8-device "
+                          "dryrun executes")
 
 
 def bench_codec_roundtrip():
