@@ -409,6 +409,35 @@ def bench_colorspace(jax, jnp):
         }
     except Exception as e:  # census is diagnostic: never kill the config
         extra = {"roofline_error": str(e)[:120]}
+    try:
+        # stagewise floor: the transcendental roofline above ignores
+        # the chain's equalize/autocontrast histogram+LUT MXU passes,
+        # so "is the chain at its bound?" needs the other comparison —
+        # chain time vs the SUM of each stage timed standalone. Each
+        # stage is separately at its own measured optimum
+        # (convert_chain beat the Pallas color kernel 2x on chip, r4;
+        # equalize/autocontrast ride the nibble one-hot MXU path), so
+        # pct_of_stagewise_floor ~= 100 means no fusion headroom left.
+        u8_pair = jax.block_until_ready(color_chain_u8(x, spaces))
+        t_color = device_loop_timer(
+            jax, jnp, lambda xi: color_chain_u8(xi, spaces)
+            .astype(jnp.float32), x, *((1, 3) if _SMOKE else (2, 14)))
+        eq_loops = (1, 3) if _SMOKE else (2, 30)
+        t_eq = device_loop_timer(
+            jax, jnp, lambda xi: equalize(xi).astype(jnp.float32),
+            u8_pair[0], *eq_loops)
+        t_ac = device_loop_timer(
+            jax, jnp, lambda xi: autocontrast(xi).astype(jnp.float32),
+            u8_pair[1], *eq_loops)
+        floor_s = t_color + t_eq + t_ac
+        extra.update(
+            stage_ms={"color_chain": round(t_color * 1e3, 2),
+                      "equalize": round(t_eq * 1e3, 2),
+                      "autocontrast": round(t_ac * 1e3, 2)},
+            stagewise_floor_gpix_s=round(npix / floor_s / 1e9, 2),
+            pct_of_stagewise_floor=round(100 * floor_s / per_iter, 1))
+    except Exception as e:
+        extra["stagewise_error"] = str(e)[:120]
     emit("batched colorspace chain (rgb<->lab/oklch/xyb) + equalize"
          " + autocontrast", round(gpix, 3), "GPix/s", None, **extra)
 

@@ -66,6 +66,13 @@ def timer(fn, x, n_small=2, n_large=12):
 for name, fn, x in OPS:
     try:
         t = timer(fn, x)
+        if t * 1e3 < 0.4:
+            # sub-0.4 ms/Mpix ops leave <5 ms of differenced signal at
+            # 12 iters — below tunnel jitter (r2 rule: need ~8 ms);
+            # re-measure with loops sized for ~15+ ms of signal
+            t = timer(fn, x, n_small=5, n_large=155)
+        if t * 1e3 < 0.05:  # ultra-fast ops (e.g. dilate): one more rung
+            t = timer(fn, x, n_small=5, n_large=1005)
         print(f"{name:28s} {t*1e3:7.2f} ms/Mpix", flush=True)
     except Exception as e:
         print(f"{name:28s} FAILED {str(e)[:80]}", flush=True)
