@@ -302,3 +302,131 @@ def test_lanczos3_lut_matches_reference_recipe():
         direct = 3.0 * np.sin(pi_x) * np.sin(pi_x / 3.0) / (pi_x * pi_x)
     direct = np.where(t == 0, 1.0, direct)
     assert np.abs(got - direct).max() < 5e-4
+
+
+class TestStaticWarp:
+    """The packed-patch static warp path (ops/warp.py warp_static /
+    _sample_tile_patch): gather cost is per ROW, so packing the 2x2
+    bilinear neighborhood into one [*, 4C] patch row from a
+    border-pre-resolved pad quarters the dominant cost. The contract is
+    bit-identity with the generic 4-tap tile path (same taps, same
+    blend expressions)."""
+
+    def _coords(self, rng, lo_x, hi_x, lo_y, hi_y, shape=(20, 22)):
+        import numpy as np
+
+        xs = rng.uniform(lo_x, hi_x, shape).astype(np.float32)
+        ys = rng.uniform(lo_y, hi_y, shape).astype(np.float32)
+        return xs, ys
+
+    @pytest.mark.parametrize("border_name", ["ZERO", "REPLICATE",
+                                             "MIRROR", "WRAP"])
+    @pytest.mark.parametrize("dtype_name", ["uint8", "float32"])
+    def test_patch_path_bit_identical(self, border_name, dtype_name):
+        """Eligible tiles (anchors in [-1, n-1]) through the patch path
+        must equal the generic path byte-for-byte, every border mode,
+        u8 and float, including the frame rows at exactly -1/n-1."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from zignal_tpu.enums import BorderMode, Interpolation
+        from zignal_tpu.ops import warp as W
+
+        border = getattr(BorderMode, border_name)
+        rng = np.random.default_rng(5)
+        a = (rng.integers(0, 256, (37, 45, 3)).astype(np.uint8)
+             if dtype_name == "uint8"
+             else rng.random((37, 45, 3), np.float32))
+        ad = jnp.asarray(a)
+        xs, ys = self._coords(rng, -0.999, 44.999, -0.999, 36.999)
+        pad = W._pad1(ad, border)
+        got = np.asarray(W._sample_tile(
+            ad, xs, ys, Interpolation.BILINEAR, border, pad))
+        want = np.asarray(W._sample_tile(
+            ad, xs, ys, Interpolation.BILINEAR, border, None))
+        assert np.array_equal(got, want)
+
+    def test_far_oob_tiles_fall_back(self):
+        """Tiles with anchors beyond [-1, n-1] must take the generic
+        4-tap path (the patch trick's consecutive-neighbor premise
+        breaks on the descending branch of the mirror wave) and still
+        match it exactly."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from zignal_tpu.enums import BorderMode, Interpolation
+        from zignal_tpu.ops import warp as W
+
+        rng = np.random.default_rng(6)
+        a = rng.integers(0, 256, (37, 45, 3), np.uint8)
+        ad = jnp.asarray(a)
+        xs, ys = self._coords(rng, -30, 80, -30, 70, (16, 16))
+        for border in (BorderMode.ZERO, BorderMode.MIRROR):
+            pad = W._pad1(ad, border)
+            got = np.asarray(W._sample_tile(
+                ad, xs, ys, Interpolation.BILINEAR, border, pad))
+            want = np.asarray(W._sample_tile(
+                ad, xs, ys, Interpolation.BILINEAR, border, None))
+            assert np.array_equal(got, want)
+
+    def test_warp_static_identity_and_translation(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from zignal_tpu.ops.warp import warp_static
+
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 256, (64, 80, 3), np.uint8)
+        ident = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+        got = np.asarray(warp_static(jnp.asarray(a), ident, 64, 80))
+        assert np.array_equal(got, a)
+        t = ((1.0, 0.0, 5.0), (0.0, 1.0, 3.0), (0.0, 0.0, 1.0))
+        got = np.asarray(warp_static(jnp.asarray(a), t, 64, 80))
+        assert np.array_equal(got[:61, :75], a[3:, 5:])
+
+    def test_image_warp_static_matches_runtime(self):
+        """Image.warp (static route, default) vs the runtime device
+        path. Coords come from numpy f32 vs XLA f32; fma contraction
+        may flip floor() at rare pixels on some backends, so allow
+        max |diff| <= 1 at <1% of pixels (the static path is the
+        reference-faithful one — transforms.zig computes coords in
+        scalar f32 with no contraction)."""
+        import os
+
+        import numpy as np
+
+        import zignal_tpu as zignal
+
+        rng = np.random.default_rng(8)
+        a = rng.integers(0, 256, (64, 80, 3), np.uint8)
+        img = zignal.Image.from_numpy(a)
+        proj = zignal.ProjectiveTransform(
+            [(0, 0), (79, 0), (0, 63), (79, 63)],
+            [(4, 2), (75, 5), (-3, 60), (82, 58)])
+        out_s = img.warp(proj).to_numpy()
+        orig = os.environ.get("ZT_WARP_STATIC")
+        os.environ["ZT_WARP_STATIC"] = "0"
+        try:
+            out_r = img.warp(proj).to_numpy()
+        finally:
+            if orig is None:
+                os.environ.pop("ZT_WARP_STATIC", None)
+            else:
+                os.environ["ZT_WARP_STATIC"] = orig
+        d = np.abs(out_s.astype(int) - out_r.astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 0.01
+
+    def test_batch_warp_matches_per_image(self):
+        import numpy as np
+
+        import zignal_tpu as zignal
+
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 256, (2, 48, 56, 3), np.uint8)
+        proj = zignal.ProjectiveTransform(
+            [(0, 0), (55, 0), (0, 47), (55, 47)],
+            [(2, 1), (53, 3), (-2, 45), (57, 44)])
+        got = zignal.ImageBatch.from_numpy(a).warp(proj).to_numpy()
+        for i in range(2):
+            want = zignal.Image.from_numpy(a[i]).warp(proj).to_numpy()
+            assert np.array_equal(got[i], want)

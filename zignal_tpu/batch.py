@@ -753,15 +753,28 @@ class ImageBatch:
         rows, cols = ((self.rows, self.cols) if shape is None
                       else (int(shape[0]), int(shape[1])))
         matrix = transform.homogeneous()
+        import os
+
+        method = Interpolation(method)
+        use_static = (method in (Interpolation.NEAREST,
+                                 Interpolation.BILINEAR)
+                      and os.environ.get("ZT_WARP_STATIC", "1") != "0")
 
         def mk():
+            if use_static:  # host-data matrix: packed-patch static path
+                from .ops.warp import warp_static
+
+                mkey = tuple(map(tuple, np.asarray(
+                    matrix, np.float32).tolist()))
+                return partial(warp_static, matrix=mkey, out_rows=rows,
+                               out_cols=cols, method=method)
             from .ops.warp import warp as warp_op
 
             return partial(warp_op, matrix=matrix, out_rows=rows,
-                           out_cols=cols, method=Interpolation(method))
+                           out_cols=cols, method=method)
 
         key = ("warp", tuple(np.asarray(matrix).ravel().tolist()),
-               rows, cols, method)
+               rows, cols, method, use_static)
         return self._vmapped(key, mk)
 
     def insert(self, source, rect, angle: float = 0.0,

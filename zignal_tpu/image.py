@@ -602,10 +602,26 @@ class Image:
             rows, cols = self.rows, self.cols
         else:
             rows, cols = int(shape[0]), int(shape[1])
-        from .ops.warp import warp as warp_op
+        import os
 
-        out = warp_op(self._device(), transform.homogeneous(), rows, cols,
-                      Interpolation(method))
+        method = Interpolation(method)
+        if (method in (Interpolation.NEAREST, Interpolation.BILINEAR)
+                and os.environ.get("ZT_WARP_STATIC", "1") != "0"):
+            # transform objects are host data: trace-time coords ride
+            # the tiled packed-patch path (~4-15x the runtime gathers).
+            # Each distinct matrix traces once (jit-cached); set
+            # ZT_WARP_STATIC=0 for many-distinct-matrix workloads where
+            # recompiles would dominate.
+            from .ops.warp import warp_static
+
+            key = tuple(map(tuple, np.asarray(
+                transform.homogeneous(), np.float32).tolist()))
+            out = warp_static(self._device(), key, rows, cols, method)
+        else:
+            from .ops.warp import warp as warp_op
+
+            out = warp_op(self._device(), transform.homogeneous(), rows,
+                          cols, method)
         return Image._from_device(out, self._space)
 
     def _coerce_rect(self, rect) -> Rectangle:

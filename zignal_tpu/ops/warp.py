@@ -244,7 +244,66 @@ def _rha_np(x):
     return (np.sign(x) * np.floor(np.abs(x) + np.float32(0.5))).astype(np.float32)
 
 
-def _sample_tile(arr, xs, ys, method, border):
+def _pad1(arr, border: BorderMode):
+    """arr [H, W, C] extended by ONE border-resolved pixel per side:
+    a_pad[i+1, j+1] = arr[i, j]; the frame rows/cols hold the resolved
+    values of index -1 and n (zeros under ZERO). Any bilinear anchor
+    with raw index in [-1, n-1] then has its 2x2 neighborhood at
+    CONSECUTIVE physical positions of a_pad, which is what lets
+    _sample_tile_patch pack all four taps into one gathered row."""
+    from .interpolation import resolve_index_np
+
+    h, w = arr.shape[0], arr.shape[1]
+    if border == BorderMode.ZERO:
+        return jnp.pad(arr, ((1, 1), (1, 1), (0, 0)))
+    lw = int(resolve_index_np(np.int64(-1), w, border))
+    rw = int(resolve_index_np(np.int64(w), w, border))
+    cols = jnp.concatenate(
+        [arr[:, lw:lw + 1], arr, arr[:, rw:rw + 1]], axis=1)
+    lh = int(resolve_index_np(np.int64(-1), h, border))
+    rh = int(resolve_index_np(np.int64(h), h, border))
+    return jnp.concatenate(
+        [cols[lh:lh + 1], cols, cols[rh:rh + 1]], axis=0)
+
+
+def _sample_tile_patch(a_pad, l_i, t_i, fx, fy, dtype, c):
+    """Bilinear tile whose raw anchors all sit in [-1, n-1]: the four
+    taps of anchor (t, l) live at (t+1..t+2, l+1..l+2) of the
+    pre-resolved a_pad, so they pack into ONE [*, 4C] patch row — 4x
+    fewer gather rows than the generic 4-tap path, and gather cost is
+    per ROW (CLAUDE.md gather roofline / radial-blur playbook). Blend
+    math is expression-identical to _sample_tile, so outputs match it
+    bit-for-bit (ZERO-border OOB taps read literal zeros from the pad,
+    which equals the generic path's mask-multiply)."""
+    th, tw = l_i.shape
+    pt = t_i + 1
+    pl = l_i + 1
+    by0, by1 = int(pt.min()), int(pt.max()) + 2
+    bx0, bx1 = int(pl.min()), int(pl.max()) + 2
+    box = jax.lax.slice(a_pad, (by0, bx0, 0), (by1, bx1, c))
+    patch = jnp.concatenate([box[:-1, :-1], box[:-1, 1:],
+                             box[1:, :-1], box[1:, 1:]], axis=-1)
+    bw = bx1 - bx0 - 1
+    lin = (pt - by0) * bw + (pl - bx0)
+    g = jnp.take(patch.reshape(-1, 4 * c), jnp.asarray(lin.reshape(-1)),
+                 axis=0).reshape(th, tw, 4, c)
+    if dtype == jnp.uint8:
+        fxi = jnp.asarray(np.trunc(_rha_np(fx * np.float32(256.0))))[..., None]
+        fyi = jnp.asarray(np.trunc(_rha_np(fy * np.float32(256.0))))[..., None]
+        gf = g.astype(jnp.float32)
+        topv = gf[..., 0, :] * (256 - fxi) + gf[..., 1, :] * fxi
+        botv = gf[..., 2, :] * (256 - fxi) + gf[..., 3, :] * fxi
+        acc = topv * (256 - fyi) + botv * fyi + (256 * 256 // 2)
+        return jnp.clip(jnp.trunc(acc * (1.0 / (256 * 256))),
+                        0, 255).astype(jnp.uint8)
+    fxv = jnp.asarray(fx)[..., None]
+    fyv = jnp.asarray(fy)[..., None]
+    return ((1 - fyv) * ((1 - fxv) * g[..., 0, :] + fxv * g[..., 1, :])
+            + fyv * ((1 - fxv) * g[..., 2, :] + fxv * g[..., 3, :])
+            ).astype(dtype)
+
+
+def _sample_tile(arr, xs, ys, method, border, a_pad=None):
     """One output tile sampled from its (static) source bounding box via
     a single fused take — the box fits VMEM, where random access is ~8x
     faster than HBM gathers. Bit-identical to sample()."""
@@ -274,6 +333,10 @@ def _sample_tile(arr, xs, ys, method, border):
     fy = (ys - top).astype(np.float32)
     l_i = left.astype(np.int64)
     t_i = top.astype(np.int64)
+    if (a_pad is not None and l_i.min() >= -1 and l_i.max() <= w - 1
+            and t_i.min() >= -1 and t_i.max() <= h - 1):
+        # all anchors within one step of the frame: packed-patch path
+        return _sample_tile_patch(a_pad, l_i, t_i, fx, fy, arr.dtype, c)
     c0, vc0 = _res_np(l_i, w, border)
     c1, vc1 = _res_np(l_i + 1, w, border)
     r0, vr0 = _res_np(t_i, h, border)
@@ -325,13 +388,18 @@ def _sample_static(arr, xs, ys, method, border, tile: int = 256):
     if (method not in (Interpolation.NEAREST, Interpolation.BILINEAR)
             or oh * ow > (1 << 22)):
         return sample(arr, jnp.asarray(xs), jnp.asarray(ys), method, border)
+    import os
+
+    a_pad = (_pad1(arr, border)
+             if method == Interpolation.BILINEAR
+             and os.environ.get("ZT_WARP_PATCH", "1") != "0" else None)
     out_rows = []
     for i0 in range(0, oh, tile):
         row = []
         for j0 in range(0, ow, tile):
             row.append(_sample_tile(
                 arr, xs[i0:i0 + tile, j0:j0 + tile],
-                ys[i0:i0 + tile, j0:j0 + tile], method, border))
+                ys[i0:i0 + tile, j0:j0 + tile], method, border, a_pad))
         out_rows.append(row[0] if len(row) == 1
                         else jnp.concatenate(row, axis=1))
     return out_rows[0] if len(out_rows) == 1 \
@@ -438,6 +506,36 @@ def warp(arr, matrix, out_rows: int, out_cols: int,
     sw = m[2, 0] * xs + m[2, 1] * ys + m[2, 2]
     sw = jnp.where(sw == 0, 1.0, sw)
     return sample(arr, sx / sw, sy / sw, method, BorderMode.MIRROR)
+
+
+@partial(jax.jit, static_argnames=("matrix", "out_rows", "out_cols",
+                                   "method"))
+def warp_static(arr, matrix, out_rows: int, out_cols: int,
+                method=Interpolation.BILINEAR):
+    """warp() for a trace-time matrix (hashable tuple-of-tuples of
+    floats, e.g. from Transform.homogeneous().tolist()).
+
+    The backward-mapped coordinates are computed in numpy f32 — the
+    bit-faithful twin of the reference's scalar f32 loop
+    (transforms.zig:522-533; numpy never fma-contracts, unlike the
+    device coord math, which can flip floor() at rare pixels) — and
+    sampled on the tiled static path with packed-patch gathers
+    (~4-15x the runtime-gather warp; CLAUDE.md gather roofline).
+    Image.warp / ImageBatch.warp route here because transform objects
+    are always host data; the runtime warp() above remains for traced
+    matrices and for kernel interpolation methods (whose coords would
+    otherwise embed as megapixel HLO constants)."""
+    ys, xs = np.meshgrid(np.arange(out_rows, dtype=np.float32),
+                         np.arange(out_cols, dtype=np.float32),
+                         indexing="ij")
+    m = np.asarray(matrix, dtype=np.float32)
+    sx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2]
+    sy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2]
+    sw = m[2, 0] * xs + m[2, 1] * ys + m[2, 2]
+    sw = np.where(sw == 0, np.float32(1.0), sw)
+    return _sample_static(arr, (sx / sw).astype(np.float32),
+                          (sy / sw).astype(np.float32), method,
+                          BorderMode.MIRROR)
 
 
 def insert_region(arr, source, rect: tuple, angle: float,
