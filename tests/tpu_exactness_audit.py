@@ -459,6 +459,40 @@ def main():
         else:
             _os.environ["ZT_RADIAL_GROUPED"] = _saved23
 
+    # 24) packed-patch static warp on chip: the +1-pad patch gather
+    # (warp._sample_tile_patch) is pure data movement, so it must be
+    # BIT-identical to the generic 4-tap tile path for every border
+    # mode; and warp_static's numpy coords must match the runtime
+    # device-coord path exactly for AFFINE matrices (no perspective
+    # divide to fma-contract; projective is allowed the documented
+    # +-1 at rare pixels).
+    from zignal_tpu.ops import warp as _W
+    from zignal_tpu.enums import BorderMode as _BM
+    a24 = jax.device_put(rng.integers(0, 256, (137, 245, 3),
+                                      dtype=np.uint8))
+    xs24 = rng.uniform(-0.999, 244.999, (60, 72)).astype(np.float32)
+    ys24 = rng.uniform(-0.999, 136.999, (60, 72)).astype(np.float32)
+    for border24 in (_BM.ZERO, _BM.MIRROR, _BM.REPLICATE, _BM.WRAP):
+        pad24 = _W._pad1(a24, border24)
+        got = np.asarray(_W._sample_tile(
+            a24, xs24, ys24, Interpolation.BILINEAR, border24, pad24))
+        want = np.asarray(_W._sample_tile(
+            a24, xs24, ys24, Interpolation.BILINEAR, border24, None))
+        ok = np.array_equal(got, want)
+        print(f"packed-patch tile bit-exact on TPU ({border24.name}):",
+              ok, flush=True)
+        fails += not ok
+    m24 = np.array([[0.96, -0.29, 30.0], [0.29, 0.96, -20.0],
+                    [0.0, 0.0, 1.0]], np.float32)
+    a24b = jax.device_put(rng.integers(0, 256, (300, 420, 3),
+                                       dtype=np.uint8))
+    got = np.asarray(_W.warp_static(
+        a24b, tuple(map(tuple, m24.tolist())), 300, 420))
+    want = np.asarray(_W.warp(a24b, jnp.asarray(m24), 300, 420))
+    ok = np.array_equal(got, want)
+    print("static warp == runtime warp on TPU (affine):", ok, flush=True)
+    fails += not ok
+
     print("TOTAL FAILS:", fails, flush=True)
 
 if __name__ == "__main__":
