@@ -430,3 +430,68 @@ class TestStaticWarp:
         for i in range(2):
             want = zignal.Image.from_numpy(a[i]).warp(proj).to_numpy()
             assert np.array_equal(got[i], want)
+
+
+class TestRuntimePatchSample:
+    """The packed-patch RUNTIME bilinear path (ops/warp.py
+    _bilinear_patch_rt): one gathered [*, 4C] row per output pixel for
+    data-dependent coords. ZERO/REPLICATE clamp anchors into a
+    border-pre-resolved pad, WRAP remaps by modulo, MIRROR (whose
+    reflection flips tap adjacency) uses min-anchor + swap selects on
+    an unpadded patch. Contract: bit-identity with the generic 4-tap
+    runtime path for every border mode, including far-out-of-range
+    coordinates."""
+
+    @pytest.mark.parametrize("border_name", ["ZERO", "REPLICATE",
+                                             "MIRROR", "WRAP"])
+    @pytest.mark.parametrize("dtype_name", ["uint8", "float32"])
+    def test_patch_rt_bit_identical(self, border_name, dtype_name):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from zignal_tpu.enums import BorderMode
+        from zignal_tpu.ops import warp as W
+
+        border = BorderMode[border_name]
+        rng = np.random.default_rng(11)
+        for h, w, c in [(37, 53, 3), (2, 2, 1), (5, 129, 4)]:
+            if dtype_name == "uint8":
+                a = rng.integers(0, 256, (h, w, c), np.uint8)
+            else:
+                a = rng.normal(size=(h, w, c)).astype(np.float32)
+            ad = jnp.asarray(a)
+            xs = np.concatenate([
+                rng.uniform(-2, w + 2, 400),
+                rng.uniform(-60, w + 60, 200),
+                rng.integers(-3, w + 3, 100).astype(np.float64),
+            ]).astype(np.float32).reshape(70, 10)
+            ys = np.concatenate([
+                rng.uniform(-2, h + 2, 400),
+                rng.uniform(-60, h + 60, 200),
+                rng.integers(-3, h + 3, 100).astype(np.float64),
+            ]).astype(np.float32).reshape(70, 10)
+            got = np.asarray(W._bilinear_patch_rt(
+                ad, jnp.asarray(xs), jnp.asarray(ys), border))
+            want = np.asarray(W._bilinear_generic_rt(
+                ad, jnp.asarray(xs), jnp.asarray(ys), border))
+            assert np.array_equal(got, want), (h, w, c)
+
+    def test_runtime_warp_traced_matrix_unchanged(self):
+        """warp() with a traced matrix (the runtime path, which now
+        routes bilinear through the patch gather) must still match the
+        static-route Image.warp for an affine matrix (same taps, same
+        blend; affine coords have no perspective divide to contract)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from zignal_tpu.ops.warp import warp, warp_static
+
+        rng = np.random.default_rng(12)
+        a = rng.integers(0, 256, (96, 112, 3), np.uint8)
+        m = np.array([[0.9, -0.2, 8.0], [0.2, 0.9, -5.0],
+                      [0.0, 0.0, 1.0]], np.float32)
+        got = np.asarray(warp(jnp.asarray(a), jnp.asarray(m), 96, 112))
+        want = np.asarray(warp_static(jnp.asarray(a),
+                                      tuple(map(tuple, m.tolist())),
+                                      96, 112))
+        assert np.array_equal(got, want)

@@ -493,6 +493,25 @@ def main():
     print("static warp == runtime warp on TPU (affine):", ok, flush=True)
     fails += not ok
 
+    # 25) packed-patch RUNTIME bilinear (one [*,4C] row per output px,
+    # data-dependent coords) vs the generic 4-tap gather, on chip, for
+    # every border mode — pure data movement feeding the identical
+    # blend expression, so bit-identity is the contract. Coords span
+    # interior, border-adjacent, and far-out-of-range.
+    xs25 = rng.uniform(-80.0, 320.0, (192, 224)).astype(np.float32)
+    ys25 = rng.uniform(-80.0, 240.0, (192, 224)).astype(np.float32)
+    a25 = jax.device_put(rng.integers(0, 256, (157, 241, 3),
+                                      dtype=np.uint8))
+    xs25d, ys25d = jnp.asarray(xs25), jnp.asarray(ys25)
+    for border25 in (_BM.ZERO, _BM.MIRROR, _BM.REPLICATE, _BM.WRAP):
+        got = np.asarray(_W._bilinear_patch_rt(a25, xs25d, ys25d, border25))
+        want = np.asarray(_W._bilinear_generic_rt(a25, xs25d, ys25d,
+                                                  border25))
+        ok = np.array_equal(got, want)
+        print(f"packed-patch runtime sample bit-exact on TPU "
+              f"({border25.name}):", ok, flush=True)
+        fails += not ok
+
     print("TOTAL FAILS:", fails, flush=True)
 
 if __name__ == "__main__":

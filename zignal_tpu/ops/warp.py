@@ -139,6 +139,127 @@ _KERNELS = {
 }
 
 
+def _bilinear_blend(tl, tr, bl, br, fx, fy, dtype, valid=None):
+    """The shared bilinear blend, expression-identical to the original
+    4-tap formulation so every lowering of the tap gather stays
+    bit-compatible. u8 rides exact fixed-point in f32: all terms are
+    non-negative integers and acc <= 255*2^16 + 2^15 < 2^24, so f32
+    mul/add and the trunc-divide by 2^16 are exact (int32 muls are
+    emulated on the TPU VPU); bit-identical to the int32 formulation."""
+    if dtype == jnp.uint8:
+        fxi = jnp.trunc(_round_half_away(fx * 256.0))[..., None]
+        fyi = jnp.trunc(_round_half_away(fy * 256.0))[..., None]
+        topv = tl.astype(jnp.float32) * (256 - fxi) \
+            + tr.astype(jnp.float32) * fxi
+        botv = bl.astype(jnp.float32) * (256 - fxi) \
+            + br.astype(jnp.float32) * fxi
+        acc = topv * (256 - fyi) + botv * fyi + (256 * 256 // 2)
+        q = jnp.clip(jnp.trunc(acc * (1.0 / (256 * 256))),
+                     0, 255).astype(jnp.uint8)
+        return q if valid is None else jnp.where(valid[..., None], q, 0)
+    fxv = fx[..., None]
+    fyv = fy[..., None]
+    out = ((1 - fyv) * ((1 - fxv) * tl + fxv * tr)
+           + fyv * ((1 - fxv) * bl + fxv * br)).astype(dtype)
+    return out if valid is None else jnp.where(valid[..., None], out, 0)
+
+
+def _bilinear_generic_rt(arr, xs, ys, border: BorderMode):
+    """Original runtime bilinear: four per-tap resolved gathers fused
+    into one 4N-row take, each tap masked by its own validity."""
+    h, w = arr.shape[0], arr.shape[1]
+    left = jnp.floor(xs)
+    top = jnp.floor(ys)
+    fx = xs - left
+    fy = ys - top
+    l_i = left.astype(jnp.int32)
+    t_i = top.astype(jnp.int32)
+    c0, vc0 = _resolve_dev(l_i, w, border)
+    c1, vc1 = _resolve_dev(l_i + 1, w, border)
+    r0, vr0 = _resolve_dev(t_i, h, border)
+    r1, vr1 = _resolve_dev(t_i + 1, h, border)
+    g = _gather2d_4(arr, (r0, r0, r1, r1), (c0, c1, c0, c1))
+    if arr.dtype == jnp.uint8:
+        tl = g[0].astype(jnp.float32) * (vr0 & vc0)[..., None]
+        tr = g[1].astype(jnp.float32) * (vr0 & vc1)[..., None]
+        bl = g[2].astype(jnp.float32) * (vr1 & vc0)[..., None]
+        br = g[3].astype(jnp.float32) * (vr1 & vc1)[..., None]
+    else:
+        tl = g[0] * (vr0 & vc0)[..., None]
+        tr = g[1] * (vr0 & vc1)[..., None]
+        bl = g[2] * (vr1 & vc0)[..., None]
+        br = g[3] * (vr1 & vc1)[..., None]
+    return _bilinear_blend(tl, tr, bl, br, fx, fy, arr.dtype)
+
+
+def _bilinear_patch_rt(arr, xs, ys, border: BorderMode):
+    """Runtime bilinear with ONE gathered [*, 4C] patch row per output
+    pixel — 4x fewer gather rows than _bilinear_generic_rt, same trick
+    as the static-warp packed-patch path but for data-dependent coords.
+
+    ZERO/REPLICATE: anchors clamp to [-1, n-1] and index a border-
+    pre-resolved +1-pad patch (clamping is exact: under ZERO anything
+    further out is fully invalid and masked to 0; under REPLICATE both
+    taps of any out-of-range anchor resolve to the same edge pixel the
+    clamped anchor's pad/edge pair holds). WRAP: anchors remap by
+    modulo, the pad column/row holding resolve(n) = 0. MIRROR
+    (reflect-101) cannot remap — reflection flips tap adjacency — but
+    its two resolved taps are ALWAYS adjacent (ascending or
+    descending), so min-anchor + per-axis swap selects pick the four
+    taps out of one unpadded patch row. Tap values are exact u8/f32
+    pixels feeding _bilinear_blend's unchanged expressions, so every
+    border mode stays bit-identical to the generic path (oracle test
+    in tests/test_transforms.py)."""
+    h, w = arr.shape[0], arr.shape[1]
+    c = arr.shape[2]
+    left = jnp.floor(xs)
+    top = jnp.floor(ys)
+    fx = xs - left
+    fy = ys - top
+    l_i = left.astype(jnp.int32)
+    t_i = top.astype(jnp.int32)
+
+    if border == BorderMode.MIRROR:
+        c0, _ = _resolve_dev(l_i, w, border)
+        c1, _ = _resolve_dev(l_i + 1, w, border)
+        r0, _ = _resolve_dev(t_i, h, border)
+        r1, _ = _resolve_dev(t_i + 1, h, border)
+        ax = jnp.minimum(c0, c1)
+        ay = jnp.minimum(r0, r1)
+        patch = jnp.concatenate([arr[:-1, :-1], arr[:-1, 1:],
+                                 arr[1:, :-1], arr[1:, 1:]], axis=-1)
+        lin = (ay * (w - 1) + ax).reshape(-1)
+        g = jnp.take(patch.reshape(-1, 4 * c), lin, axis=0)
+        g = g.reshape(*l_i.shape, 2, 2, c)
+        swx = (c0 > c1)[..., None]
+        swy = (r0 > r1)[..., None]
+        row0 = jnp.where(swy[..., None], g[..., 1, :, :], g[..., 0, :, :])
+        row1 = jnp.where(swy[..., None], g[..., 0, :, :], g[..., 1, :, :])
+        tl = jnp.where(swx, row0[..., 1, :], row0[..., 0, :])
+        tr = jnp.where(swx, row0[..., 0, :], row0[..., 1, :])
+        bl = jnp.where(swx, row1[..., 1, :], row1[..., 0, :])
+        br = jnp.where(swx, row1[..., 0, :], row1[..., 1, :])
+        return _bilinear_blend(tl, tr, bl, br, fx, fy, arr.dtype)
+
+    a_pad = _pad1(arr, border)
+    patch = jnp.concatenate([a_pad[:-1, :-1], a_pad[:-1, 1:],
+                             a_pad[1:, :-1], a_pad[1:, 1:]], axis=-1)
+    if border == BorderMode.WRAP:
+        pl = jnp.remainder(l_i, w) + 1
+        pt = jnp.remainder(t_i, h) + 1
+        valid = None
+    else:
+        pl = jnp.clip(l_i, -1, w - 1) + 1
+        pt = jnp.clip(t_i, -1, h - 1) + 1
+        valid = ((l_i >= -1) & (l_i <= w - 1) & (t_i >= -1) & (t_i <= h - 1)
+                 if border == BorderMode.ZERO else None)
+    lin = (pt * (w + 1) + pl).reshape(-1)
+    g = jnp.take(patch.reshape(-1, 4 * c), lin, axis=0)
+    g = g.reshape(*l_i.shape, 4, c)
+    return _bilinear_blend(g[..., 0, :], g[..., 1, :], g[..., 2, :],
+                           g[..., 3, :], fx, fy, arr.dtype, valid)
+
+
 @partial(jax.jit, static_argnames=("method", "border"))
 def sample(arr, xs, ys, method=Interpolation.BILINEAR,
            border: BorderMode = BorderMode.ZERO):
@@ -160,43 +281,17 @@ def sample(arr, xs, ys, method=Interpolation.BILINEAR,
         return jnp.where(valid, out, 0).astype(arr.dtype)
 
     if method == Interpolation.BILINEAR:
-        left = jnp.floor(xs)
-        top = jnp.floor(ys)
-        fx = xs - left
-        fy = ys - top
-        l_i = left.astype(jnp.int32)
-        t_i = top.astype(jnp.int32)
-        c0, vc0 = _resolve_dev(l_i, w, border)
-        c1, vc1 = _resolve_dev(l_i + 1, w, border)
-        r0, vr0 = _resolve_dev(t_i, h, border)
-        r1, vr1 = _resolve_dev(t_i + 1, h, border)
+        import os
 
-        if arr.dtype == jnp.uint8:
-            # fixed-point in f32: all terms are non-negative integers and
-            # acc <= 255*2^16 + 2^15 < 2^24, so f32 mul/add and the
-            # trunc-divide by 2^16 are exact (int32 muls are emulated on
-            # the TPU VPU); bit-identical to the int32 formulation
-            fxi = jnp.trunc(_round_half_away(fx * 256.0))[..., None]
-            fyi = jnp.trunc(_round_half_away(fy * 256.0))[..., None]
-            g = _gather2d_4(arr, (r0, r0, r1, r1), (c0, c1, c0, c1))
-            tl = g[0].astype(jnp.float32) * (vr0 & vc0)[..., None]
-            tr = g[1].astype(jnp.float32) * (vr0 & vc1)[..., None]
-            bl = g[2].astype(jnp.float32) * (vr1 & vc0)[..., None]
-            br = g[3].astype(jnp.float32) * (vr1 & vc1)[..., None]
-            topv = tl * (256 - fxi) + tr * fxi
-            botv = bl * (256 - fxi) + br * fxi
-            acc = topv * (256 - fyi) + botv * fyi + (256 * 256 // 2)
-            q = jnp.trunc(acc * (1.0 / (256 * 256)))
-            return jnp.clip(q, 0, 255).astype(jnp.uint8)
-        g = _gather2d_4(arr, (r0, r0, r1, r1), (c0, c1, c0, c1))
-        tl = g[0] * (vr0 & vc0)[..., None]
-        tr = g[1] * (vr0 & vc1)[..., None]
-        bl = g[2] * (vr1 & vc0)[..., None]
-        br = g[3] * (vr1 & vc1)[..., None]
-        fxv = fx[..., None]
-        fyv = fy[..., None]
-        return ((1 - fyv) * ((1 - fxv) * tl + fxv * tr)
-                + fyv * ((1 - fxv) * bl + fxv * br)).astype(arr.dtype)
+        # packed-patch runtime path: one gathered [*, 4C] row per output
+        # pixel instead of four rows (gather cost is per ROW — CLAUDE.md
+        # gather roofline). Worth the 4x-image-bytes patch build only
+        # when the sample set is a sizable fraction of the image.
+        if (os.environ.get("ZT_WARP_PATCH_RT", "1") != "0"
+                and arr.shape[2] <= 8 and h >= 2 and w >= 2
+                and int(np.prod(xs.shape)) * 8 >= h * w):
+            return _bilinear_patch_rt(arr, xs, ys, border)
+        return _bilinear_generic_rt(arr, xs, ys, border)
 
     # kernel-based: f32 weights normalized by the sum of in-bounds weights
     kernel_fn, radius = _KERNELS[method]
